@@ -1,0 +1,58 @@
+"""TPU numeric operations: batched dense linear algebra on device.
+
+- ``rref`` — Gauss–Jordan engine with pivot-event recording
+- ``solve`` — affine-subspace solving, nullspaces, inverses, rank
+- ``lu`` — LU factor/solve/determinant (XLA loops)
+- ``pallas`` — blocked high-throughput kernels (LU, Gauss–Jordan)
+- ``eigen`` — characteristic polynomial (Faddeev–LeVerrier), QR-iteration
+  eigenvalues, eigenspaces, diagonalization
+- ``generate`` — structured random batch generation on device
+"""
+
+from .rref import (
+    EV_ELIM_ABOVE,
+    EV_ELIM_BELOW,
+    EV_NORM,
+    EV_SWAP,
+    EVENT_NAMES,
+    RREFResult,
+    rref,
+    rref_batched,
+)
+from .solve import (
+    BatchedAffineSubspace,
+    InverseResult,
+    det_gj,
+    det_gj_batched,
+    inverse,
+    inverse_batched,
+    nullspace,
+    nullspace_batched,
+    rank,
+    rank_batched,
+    solve,
+    solve_batched,
+)
+from .lu import (
+    LUResult,
+    det_lu,
+    det_lu_batched,
+    lu_factor,
+    lu_factor_batched,
+    lu_solve,
+    lu_solve_batched,
+    solve_lu,
+    solve_lu_batched,
+)
+
+__all__ = [
+    "RREFResult", "rref", "rref_batched",
+    "EV_SWAP", "EV_NORM", "EV_ELIM_BELOW", "EV_ELIM_ABOVE", "EVENT_NAMES",
+    "BatchedAffineSubspace", "InverseResult",
+    "solve", "solve_batched", "nullspace", "nullspace_batched",
+    "inverse", "inverse_batched", "rank", "rank_batched",
+    "det_gj", "det_gj_batched",
+    "LUResult", "lu_factor", "lu_factor_batched",
+    "lu_solve", "lu_solve_batched", "det_lu", "det_lu_batched",
+    "solve_lu", "solve_lu_batched",
+]

@@ -1,0 +1,195 @@
+"""Batched linear-system solving, nullspaces, inverses and rank on device.
+
+Built on the Gauss–Jordan engine (``ops.rref``).  Results with
+data-dependent dimensionality (solution-space dimension, rank) are returned
+in padded+masked form so everything stays ``jit``-compatible:
+
+``BatchedAffineSubspace`` is the device analog of the exact path's
+``AffineSubspace`` (reference linalg.py:491-522): a particular solution per
+batch element plus a padded ``[n, n]`` generator matrix whose first
+``dim`` masked columns form the nullspace basis; ``is_consistent`` plays
+the role of ``NoSolution``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .rref import RREFResult, rref
+
+
+class BatchedAffineSubspace(NamedTuple):
+    """Padded affine solution set ``particular + span(generators[:, :dim])``."""
+
+    particular: jax.Array    # [..., n]
+    generators: jax.Array    # [..., n, n]; first `dim` columns valid
+    gen_mask: jax.Array      # [..., n] bool; True for valid generator columns
+    dim: jax.Array           # [...] int32
+    is_consistent: jax.Array  # [...] bool; False => NoSolution
+
+    def basis_list(self, b: int = None):
+        """Host helper: valid generator columns as a list of vectors (single
+        element if ``b`` is None, else batch element ``b``)."""
+        gens = self.generators if b is None else self.generators[b]
+        mask = self.gen_mask if b is None else self.gen_mask[b]
+        return [gens[:, j] for j in range(gens.shape[1]) if bool(mask[j])]
+
+
+class InverseResult(NamedTuple):
+    inverse: jax.Array       # [..., n, n]
+    is_invertible: jax.Array  # [...] bool
+
+
+def _pivot_onehots(res: RREFResult, n: int) -> tuple[jax.Array, jax.Array]:
+    """Per-pivot one-hot encodings: rows_onehot[k] selects pivot row k,
+    cols_onehot[k] selects its column.  Invalid (padded) pivots are zero."""
+    k_max = res.pivot_rows.shape[-1]
+    valid = jnp.arange(k_max) < res.num_pivots
+    rows_oh = (
+        jax.nn.one_hot(res.pivot_rows, res.reduced.shape[-2], dtype=res.reduced.dtype)
+        * valid[:, None]
+    )
+    cols_oh = (
+        jax.nn.one_hot(res.pivot_cols, n, dtype=res.reduced.dtype)
+        * valid[:, None]
+    )
+    return rows_oh, cols_oh
+
+
+def _extract_affine(res: RREFResult, n: int, tol: float) -> BatchedAffineSubspace:
+    """From a reduced ``[A|b]`` (bar at column n), build the padded affine
+    solution set."""
+    R = res.reduced
+    rows_oh, cols_oh = _pivot_onehots(res, n)
+    # pivot_col_mask[j] = 1 iff column j is a pivot column.
+    pivot_col_mask = cols_oh.sum(axis=0)
+    free_mask_f = 1 - pivot_col_mask
+    free_mask = free_mask_f > 0.5
+
+    rhs = R[:, n]
+    # particular[c_k] = rhs[r_k]:  sum_k cols_oh[k] * (rows_oh[k] @ rhs)
+    pivot_rhs = rows_oh @ rhs                    # [k_max]
+    particular = cols_oh.T @ pivot_rhs           # [n]
+
+    # Generators: for each free column j, g_j = e_j - sum_k e_{c_k} R[r_k, j].
+    pivot_rows_vals = rows_oh @ R[:, :n]         # [k_max, n] rows at pivots
+    correction = cols_oh.T @ pivot_rows_vals     # [n, n]
+    gen_all = jnp.eye(n, dtype=R.dtype) - correction
+    generators = gen_all * free_mask_f[None, :]
+
+    # Consistency: no row that is zero on the left but nonzero at the bar.
+    left_zero = (jnp.abs(R[:, :n]) <= tol).all(axis=1)
+    inconsistent = (left_zero & (jnp.abs(rhs) > tol)).any()
+
+    dim = free_mask.sum().astype(jnp.int32)
+    return BatchedAffineSubspace(
+        particular=particular,
+        generators=generators,
+        gen_mask=free_mask,
+        dim=dim,
+        is_consistent=~inconsistent,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("pivot_rule",))
+def solve(
+    a: jax.Array,
+    b: jax.Array,
+    tol: float = 0.0,
+    pivot_rule: str = "first",
+) -> BatchedAffineSubspace:
+    """Solution set of ``a @ x = b`` for a single ``[m, n]`` system."""
+    m, n = a.shape
+    aug = jnp.concatenate(
+        [a, b.reshape(m, 1).astype(a.dtype)], axis=1
+    )
+    res = rref(aug, bar_col=n, tol=tol, pivot_rule=pivot_rule,
+               record_events=False)
+    return _extract_affine(res, n, tol)
+
+
+def solve_batched(a, b, tol: float = 0.0, pivot_rule: str = "first"):
+    """``solve`` over leading batch axes: ``a[B,m,n]``, ``b[B,m]``."""
+    return jax.vmap(
+        functools.partial(solve, tol=tol, pivot_rule=pivot_rule)
+    )(a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot_rule",))
+def nullspace(
+    a: jax.Array, tol: float = 0.0, pivot_rule: str = "first"
+) -> BatchedAffineSubspace:
+    """Kernel of ``a`` as an affine subspace through the origin."""
+    m = a.shape[0]
+    return solve(a, jnp.zeros((m,), a.dtype), tol=tol, pivot_rule=pivot_rule)
+
+
+def nullspace_batched(a, tol: float = 0.0, pivot_rule: str = "first"):
+    return jax.vmap(
+        functools.partial(nullspace, tol=tol, pivot_rule=pivot_rule)
+    )(a)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot_rule",))
+def inverse(
+    a: jax.Array, tol: float = 0.0, pivot_rule: str = "partial"
+) -> InverseResult:
+    """Inverse via Gauss–Jordan on ``[A | I]``."""
+    n = a.shape[0]
+    aug = jnp.concatenate([a, jnp.eye(n, dtype=a.dtype)], axis=1)
+    res = rref(aug, bar_col=n, tol=tol, pivot_rule=pivot_rule,
+               record_events=False)
+    inv = res.reduced[:, n:]
+    ok = res.num_pivots == n
+    return InverseResult(
+        jnp.where(ok, inv, jnp.full_like(inv, jnp.nan)), ok
+    )
+
+
+def inverse_batched(a, tol: float = 0.0, pivot_rule: str = "partial"):
+    return jax.vmap(
+        functools.partial(inverse, tol=tol, pivot_rule=pivot_rule)
+    )(a)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot_rule",))
+def rank(
+    a: jax.Array, tol: Optional[float] = None, pivot_rule: str = "partial"
+) -> jax.Array:
+    """Numerical rank = number of pivots found by Gauss–Jordan.
+
+    ``tol=None`` uses the standard data-relative threshold
+    ``max(m, n) * eps * max|a|`` (same convention as SVD-based ranks).
+    """
+    if tol is None:
+        eps = jnp.finfo(jnp.result_type(a.dtype, jnp.float32)).eps
+        tol = max(a.shape) * eps * jnp.max(jnp.abs(a))
+    res = rref(a, bar_col=a.shape[1], tol=tol, pivot_rule=pivot_rule,
+               record_events=False)
+    return res.num_pivots
+
+
+def rank_batched(a, tol: Optional[float] = None, pivot_rule: str = "partial"):
+    return jax.vmap(functools.partial(rank, tol=tol, pivot_rule=pivot_rule))(a)
+
+
+@functools.partial(jax.jit, static_argnames=("pivot_rule",))
+def det_gj(
+    a: jax.Array, tol: float = 0.0, pivot_rule: str = "partial"
+) -> jax.Array:
+    """Determinant as a byproduct of Gauss–Jordan (sign × pivot product).
+    The high-throughput path is ``ops.lu.det_lu``."""
+    n = a.shape[0]
+    res = rref(a, bar_col=n, tol=tol, pivot_rule=pivot_rule,
+               record_events=False)
+    return res.det
+
+
+def det_gj_batched(a, tol: float = 0.0, pivot_rule: str = "partial"):
+    return jax.vmap(
+        functools.partial(det_gj, tol=tol, pivot_rule=pivot_rule)
+    )(a)

@@ -3,17 +3,20 @@
 Tests always run on CPU with 8 virtual devices so multi-chip sharding
 logic is exercised without TPU hardware (the driver separately dry-runs
 the multichip path, and bench.py runs on the real chip).
+
+NOTE: this image preimports jax via a sitecustomize with
+``JAX_PLATFORMS=axon`` (TPU tunnel), so env vars set here are too late —
+we must go through ``jax.config`` before any backend is initialized.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses spawned by tests
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import random
 
