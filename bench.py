@@ -1,0 +1,78 @@
+"""Benchmark: batched 256×256 LU factor+solve throughput on one chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "GFLOP/s", "vs_baseline": R}
+
+``value``      — GFLOP/s of this framework's best backend
+                 (2/3·N³ + 2·N² FLOPs per factor+solve, × batch).
+``vs_baseline``— ratio vs XLA's built-in ``jnp.linalg.solve`` on the same
+                 shapes/chip (the strongest available baseline; the
+                 reference itself publishes no numbers — BASELINE.md).
+
+Runs on the default JAX platform (the real TPU under the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    B, N = 256, 256
+    key = jax.random.PRNGKey(0)
+    k_a, k_b = jax.random.split(key)
+    # Well-conditioned dense batch.
+    a = jax.random.normal(k_a, (B, N, N), jnp.float32) + 4.0 * jnp.eye(
+        N, dtype=jnp.float32
+    )
+    b = jax.random.normal(k_b, (B, N), jnp.float32)
+
+    flops = B * (2.0 / 3.0 * N**3 + 2.0 * N**2)
+
+    from linalg_solver_tpu.ops import dispatch
+
+    ours = jax.jit(
+        lambda a, b: dispatch.solve_batched(a, b, backend="auto")
+    )
+    baseline = jax.jit(lambda a, b: jnp.linalg.solve(a, b))
+
+    t_ours = _time_fn(ours, a, b)
+    t_base = _time_fn(baseline, a, b)
+
+    # Sanity: both must actually solve the systems.
+    x_ours = ours(a, b)
+    resid = jnp.linalg.norm(
+        jnp.einsum("bij,bj->bi", a, x_ours) - b
+    ) / jnp.linalg.norm(b)
+    assert float(resid) < 1e-2, f"solver inaccurate: resid={float(resid)}"
+
+    gflops = flops / t_ours / 1e9
+    gflops_base = flops / t_base / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "batched 256x256 LU factor+solve (B=256, f32)",
+                "value": round(gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(gflops / gflops_base, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,343 @@
+"""Batched eigen stack on device.
+
+Numeric counterpart of the exact path's eigen machinery
+(reference linalg.py:424-480,758-863), redesigned TPU-first:
+
+- **Characteristic polynomial** via Faddeev–LeVerrier — n batched matmuls
+  (ideal MXU work), no elimination, no symbolic scalars
+  (replaces det(A - λI) over Polynomial entries).
+- **Eigenvalues** via shifted QR iteration (Wilkinson shift) on the full
+  matrix, with a final pass extracting complex-conjugate pairs from
+  residual 2×2 blocks; symmetric inputs can use ``jnp.linalg.eigh``.
+- **Eigenspaces** = nullspace of (A - λI), reusing the Gauss–Jordan engine.
+- **Multiplicities**: algebraic by tolerance-clustering of the eigenvalue
+  array (pairwise-distance counting, vectorized); geometric =
+  n − rank(A − λI); full Weyr characteristic from rank((A − λI)^k) —
+  batched matrix powers, again MXU work — which determines the Jordan
+  block structure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .rref import rref
+from .solve import BatchedAffineSubspace, inverse, nullspace, rank
+
+
+# ---------------------------------------------------------------------------
+# Characteristic polynomial (Faddeev–LeVerrier)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def charpoly(a: jax.Array) -> jax.Array:
+    """Coefficients of ``p(λ) = det(λI − A)`` (monic), highest degree first:
+    ``[1, c_{n-1}, ..., c_0]``.
+
+    Faddeev–LeVerrier:  M₁ = I;  cₖ = −tr(A·Mₖ)/k;  Mₖ₊₁ = A·Mₖ + cₖ·I.
+    """
+    n = a.shape[-1]
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    eye = jnp.eye(n, dtype=a.dtype)
+
+    def step(M, k):
+        AM = a @ M
+        c = -jnp.trace(AM) / k
+        return AM + c * eye, c
+
+    _, coeffs = lax.scan(step, eye, jnp.arange(1, n + 1, dtype=a.dtype))
+    return jnp.concatenate([jnp.ones((1,), a.dtype), coeffs])
+
+
+def charpoly_batched(a: jax.Array) -> jax.Array:
+    return jax.vmap(charpoly)(a)
+
+
+@jax.jit
+def charpoly_det_lambda(a: jax.Array) -> jax.Array:
+    """``det(A − λI)`` coefficients (the exact path's sign convention,
+    reference linalg.py:441): ``(−1)^n · p(λ)``, highest degree first."""
+    n = a.shape[-1]
+    return charpoly(a) * ((-1) ** n)
+
+
+# ---------------------------------------------------------------------------
+# Eigenvalues: shifted QR iteration
+# ---------------------------------------------------------------------------
+
+class EigvalsResult(NamedTuple):
+    real: jax.Array  # [..., n]
+    imag: jax.Array  # [..., n]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def eigvals_qr(a: jax.Array, iters: int = 100) -> EigvalsResult:
+    """Eigenvalues of a real ``[n, n]`` matrix via Wilkinson-shifted QR.
+
+    Converges to (quasi-)upper-triangular form; real eigenvalues read off
+    the diagonal, complex-conjugate pairs recovered from remaining 2×2
+    diagonal blocks.  No deflation — fixed iteration count keeps the loop
+    jittable; ``iters≈100`` is ample for the small/medium n this targets.
+    """
+    n = a.shape[0]
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+
+    if n == 1:
+        return EigvalsResult(a[0], jnp.zeros((1,), a.dtype))
+
+    eye = jnp.eye(n, dtype=a.dtype)
+
+    def body(_, A):
+        # Wilkinson shift from the trailing 2x2 block.
+        t = A[n - 2, n - 2] + A[n - 1, n - 1]
+        d = A[n - 2, n - 2] * A[n - 1, n - 1] - A[n - 2, n - 1] * A[n - 1, n - 2]
+        disc = t * t / 4 - d
+        sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0))
+        mu1 = t / 2 + sqrt_disc
+        mu2 = t / 2 - sqrt_disc
+        # Pick the root closer to the bottom-right entry; fall back to a
+        # real shift of t/2 when the block has complex eigenvalues.
+        corner = A[n - 1, n - 1]
+        mu = jnp.where(
+            jnp.abs(mu1 - corner) < jnp.abs(mu2 - corner), mu1, mu2
+        )
+        mu = jnp.where(disc >= 0, mu, t / 2)
+        Q, R = jnp.linalg.qr(A - mu * eye)
+        return R @ Q + mu * eye
+
+    A = lax.fori_loop(0, iters, body, a)
+
+    # Classify 2x2 diagonal blocks: positions where the subdiagonal has not
+    # converged to zero hold complex pairs.
+    diag = jnp.diagonal(A)
+    sub = jnp.concatenate([jnp.diagonal(A, -1), jnp.zeros((1,), A.dtype)])
+    scale = jnp.abs(diag) + jnp.abs(jnp.roll(diag, -1)) + 1e-30
+    eps = jnp.asarray(100, A.dtype) * jnp.finfo(A.dtype).eps
+    live_sub = jnp.abs(sub) > eps * scale  # [n], True at i => block (i, i+1)
+
+    # For a block starting at i: eigenvalues of [[a,b],[c,d]].
+    up = jnp.concatenate([jnp.diagonal(A, 1), jnp.zeros((1,), A.dtype)])
+    nxt = jnp.roll(diag, -1)
+    tr2 = diag + nxt
+    det2 = diag * nxt - up * sub
+    disc2 = tr2 * tr2 / 4 - det2
+    re_pair = tr2 / 2
+    im_pair = jnp.sqrt(jnp.maximum(-disc2, 0))
+    sq = jnp.sqrt(jnp.maximum(disc2, 0))
+
+    # is_second[i] = the block starts at i-1 (i is its second element).
+    is_second = jnp.concatenate(
+        [jnp.zeros((1,), bool), live_sub[:-1]]
+    )
+    is_first = live_sub & ~is_second
+
+    real = jnp.where(is_first, re_pair, diag)
+    real = jnp.where(is_second, jnp.roll(re_pair, 1), real)
+    # Real 2x2 block (disc2 >= 0) that never decoupled: split into the two
+    # real roots; complex block: conjugate pair.
+    real = jnp.where(is_first & (disc2 >= 0), re_pair + sq, real)
+    real = jnp.where(
+        is_second & (jnp.roll(disc2, 1) >= 0),
+        jnp.roll(re_pair - sq, 1),
+        real,
+    )
+    imag = jnp.where(is_first & (disc2 < 0), im_pair, 0)
+    imag = jnp.where(
+        is_second & (jnp.roll(disc2, 1) < 0), -jnp.roll(im_pair, 1), imag
+    )
+    return EigvalsResult(real, imag)
+
+
+def eigvals_qr_batched(a: jax.Array, iters: int = 100) -> EigvalsResult:
+    return jax.vmap(functools.partial(eigvals_qr, iters=iters))(a)
+
+
+# ---------------------------------------------------------------------------
+# Multiplicities & eigenspaces
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def algebraic_multiplicities(
+    real: jax.Array, imag: jax.Array, tol: float = 1e-3
+) -> jax.Array:
+    """For each eigenvalue slot i, the count of eigenvalues within ``tol``
+    (itself included) — i.e. the algebraic multiplicity of its cluster."""
+    dr = real[:, None] - real[None, :]
+    di = imag[:, None] - imag[None, :]
+    close = dr * dr + di * di <= tol * tol
+    return close.sum(axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def eigenspace(
+    a: jax.Array, eigenvalue: jax.Array, tol: float = 1e-4
+) -> BatchedAffineSubspace:
+    """Nullspace of ``A − λI`` (reference linalg.py:758-770, on device)."""
+    n = a.shape[0]
+    shifted = a - eigenvalue * jnp.eye(n, dtype=a.dtype)
+    return nullspace(shifted, tol=tol, pivot_rule="partial")
+
+
+def eigenspace_batched(a, eigenvalue, tol: float = 1e-4):
+    return jax.vmap(functools.partial(eigenspace, tol=tol))(a, eigenvalue)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def geometric_multiplicity(
+    a: jax.Array, eigenvalue: jax.Array, tol: Optional[float] = None
+) -> jax.Array:
+    """n − rank(A − λI)."""
+    n = a.shape[0]
+    shifted = a - eigenvalue * jnp.eye(n, dtype=a.dtype)
+    return n - rank(shifted, tol=tol)
+
+
+@functools.partial(jax.jit, static_argnames=("k_max",))
+def weyr_characteristic(
+    a: jax.Array, eigenvalue: jax.Array, k_max: int,
+    tol: Optional[float] = None,
+) -> jax.Array:
+    """``w_k = rank((A − λI)^{k-1}) − rank((A − λI)^k)`` for k = 1..k_max.
+
+    ``w_1`` is the geometric multiplicity (number of Jordan blocks for λ);
+    ``w_k − w_{k+1}`` is the number of blocks of size exactly k; ``Σ w_k``
+    (over the full range) is the algebraic multiplicity.  Matrix powers are
+    batched matmuls — pure MXU work.
+    """
+    n = a.shape[0]
+    shifted = a - eigenvalue * jnp.eye(n, dtype=a.dtype)
+
+    def step(P, _):
+        P_next = P @ shifted
+        return P_next, rank(P_next, tol=tol)
+
+    _, ranks = lax.scan(
+        step, jnp.eye(n, dtype=shifted.dtype), None, length=k_max
+    )
+    prev = jnp.concatenate([jnp.array([n], ranks.dtype), ranks[:-1]])
+    return (prev - ranks).astype(jnp.int32)
+
+
+def weyr_characteristic_batched(a, eigenvalue, k_max: int,
+                                tol: Optional[float] = None):
+    return jax.vmap(
+        functools.partial(weyr_characteristic, k_max=k_max, tol=tol)
+    )(a, eigenvalue)
+
+
+# ---------------------------------------------------------------------------
+# Diagonalization
+# ---------------------------------------------------------------------------
+
+class DiagonalizationDevResult(NamedTuple):
+    """Device diagonalization ``A = P · diag(eigenvalues) · P⁻¹``."""
+
+    eigenvalues: jax.Array   # [..., n] real parts (sorted descending)
+    eig_imag: jax.Array      # [..., n] imaginary parts
+    alg_mult: jax.Array      # [..., n] per-slot algebraic multiplicities
+    P: jax.Array             # [..., n, n] eigenvector columns
+    P_inv: jax.Array         # [..., n, n]
+    D: jax.Array             # [..., n, n]
+    success: jax.Array       # [...] bool
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def diagonalize(
+    a: jax.Array,
+    iters: int = 100,
+    tol: float = 1e-4,
+    space_tol: float = 1e-3,
+) -> DiagonalizationDevResult:
+    """Batched numeric diagonalization over the reals.
+
+    For each eigenvalue cluster (radius ``tol``) the eigenvalue is refined
+    to the cluster mean — this recovers exact multiple eigenvalues whose QR
+    estimates split by O(√eps), so a genuinely defective matrix shows up as
+    a rank-deficient eigenspace instead of two spurious simple eigenvalues.
+    The eigenspace basis is then the Gauss–Jordan nullspace of A − λI with
+    pivot tolerance ``space_tol``; success iff the collected basis has full
+    count (and all eigenvalues are real).
+
+    Mirrors the exact path's diagonalize (reference linalg.py:833-863) with
+    padded/masked shapes instead of Python control flow.
+    """
+    n = a.shape[0]
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    ev = eigvals_qr(a, iters=iters)
+    order = jnp.argsort(-ev.real)
+    lam = ev.real[order]
+    lam_im = ev.imag[order]
+    all_real = (jnp.abs(lam_im) <= tol).all()
+    alg = algebraic_multiplicities(lam, lam_im, tol=tol)
+
+    # Refine each eigenvalue to its cluster mean.
+    dr = lam[:, None] - lam[None, :]
+    di = lam_im[:, None] - lam_im[None, :]
+    close = (dr * dr + di * di <= tol * tol).astype(a.dtype)
+    lam_refined = (close @ lam) / close.sum(axis=1)
+
+    # For each eigenvalue slot, that λ's nullspace generators (padded).
+    spaces = jax.vmap(lambda l: eigenspace(a, l, tol=space_tol))(lam_refined)
+    # spaces.generators: [n, n, n]; gen_mask: [n, n]
+
+    # A slot is "primary" if it is the first slot of its cluster.
+    first_of_cluster = jnp.ones((n,), bool)
+    same_as_prev = jnp.abs(lam - jnp.roll(lam, 1)) <= tol
+    first_of_cluster = first_of_cluster.at[1:].set(~same_as_prev[1:])
+
+    # Collect eigenvector columns: for primary slot s with geometric
+    # multiplicity g_s, take its first g_s valid generator columns.
+    # Build P by scanning slots and appending valid columns.
+    def collect(carry, slot):
+        P, count = carry
+        gens, mask = slot  # [n, n], [n]  (mask: valid generator columns)
+
+        def put_col(carry2, j):
+            P2, cnt = carry2
+            valid = mask[j]
+            col = gens[:, j]
+            norm = jnp.sqrt((col * col).sum())
+            col = col / jnp.where(norm > 0, norm, 1)
+            P2 = jnp.where(
+                valid,
+                lax.dynamic_update_slice(
+                    P2, col[:, None], (0, jnp.minimum(cnt, n - 1))
+                ),
+                P2,
+            )
+            return (P2, cnt + valid.astype(jnp.int32)), None
+
+        (P, count), _ = lax.scan(put_col, (P, count), jnp.arange(n))
+        return (P, count), None
+
+    # Mask out non-primary slots so each cluster contributes once.
+    masked_gen_mask = spaces.gen_mask & first_of_cluster[:, None]
+    (P, count), _ = lax.scan(
+        collect,
+        (jnp.zeros((n, n), a.dtype), jnp.int32(0)),
+        (spaces.generators, masked_gen_mask),
+    )
+
+    success = (count == n) & all_real
+    inv_res = inverse(jnp.where(success, P, jnp.eye(n, dtype=a.dtype)),
+                      tol=1e-30, pivot_rule="partial")
+    P_inv = inv_res.inverse
+    success = success & inv_res.is_invertible
+    D = P_inv @ a @ P
+    return DiagonalizationDevResult(
+        lam, lam_im, alg, P, P_inv, D, success
+    )
+
+
+def diagonalize_batched(a, iters: int = 100, tol: float = 1e-4,
+                        space_tol: float = 1e-3):
+    return jax.vmap(
+        functools.partial(
+            diagonalize, iters=iters, tol=tol, space_tol=space_tol
+        )
+    )(a)

@@ -1,0 +1,210 @@
+"""Models, mesh/sharding, trace replay, and driver entry point tests —
+the multichip path runs on the 8 virtual CPU devices from conftest."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from linalg_solver_tpu.models.solver import (
+    BatchedSolver,
+    init_train_state,
+    make_training_step,
+)
+from linalg_solver_tpu.models.spectral import spectral_pipeline
+from linalg_solver_tpu.ops.generate import (
+    diagonalizable_batch,
+    full_rank_batch,
+    random_batch,
+)
+from linalg_solver_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(dp=4, tp=2)
+        assert mesh.axis_names == ("dp", "tp")
+        assert mesh.devices.shape == (4, 2)
+
+    def test_default_dp(self):
+        mesh = make_mesh(tp=2)
+        assert mesh.devices.shape == (4, 2)
+
+    def test_too_many_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(dp=16, tp=2)
+
+    def test_shard_batch_placement(self):
+        mesh = make_mesh(dp=8, tp=1)
+        x = jnp.zeros((16, 4, 4))
+        sharded = shard_batch(x, mesh)
+        assert sharded.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("dp", None, None)
+            ),
+            x.ndim,
+        )
+
+
+class TestBatchedSolver:
+    def test_solve_and_inverse(self):
+        solver = BatchedSolver()
+        key = jax.random.PRNGKey(0)
+        a = full_rank_batch(key, 4, 5)
+        b = random_batch(jax.random.PRNGKey(1), 4, 5, 1)[:, :, 0]
+        x = solver.solve(a, b)
+        np.testing.assert_allclose(
+            np.einsum("bij,bj->bi", np.asarray(a), np.asarray(x)),
+            np.asarray(b), atol=1e-3,
+        )
+        inv = solver.inverse(a)
+        np.testing.assert_allclose(
+            np.einsum("bij,bjk->bik", np.asarray(a), np.asarray(inv)),
+            np.broadcast_to(np.eye(5), (4, 5, 5)), atol=1e-3,
+        )
+        dets = solver.det(a)
+        for i in range(4):
+            np.testing.assert_allclose(
+                float(dets[i]),
+                np.linalg.det(np.asarray(a[i]).astype(np.float64)),
+                rtol=1e-3,
+            )
+        assert list(np.asarray(solver.rank(a))) == [5] * 4
+
+    def test_affine_solve_rank_deficient(self):
+        solver = BatchedSolver()
+        a = jnp.broadcast_to(
+            jnp.array([[1.0, 2.0, 3.0], [2.0, 4.0, 6.0]]), (2, 2, 3)
+        )
+        b = jnp.array([[1.0, 2.0], [0.0, 1.0]])
+        sol = solver.affine_solve(a, b)
+        assert bool(sol.is_consistent[0])
+        assert not bool(sol.is_consistent[1])
+        assert int(sol.dim[0]) == 2
+
+
+class TestTrainingStep:
+    def test_loss_decreases_on_mesh(self):
+        mesh = make_mesh(dp=4, tp=2)
+        B, N = 8, 8
+        key = jax.random.PRNGKey(0)
+        k_a, k_b = jax.random.split(key)
+        a = jax.random.normal(k_a, (B, N, N)) + 3.0 * jnp.eye(N)
+        b = jax.random.normal(k_b, (B, N))
+        a = shard_batch(a, mesh)
+        b = shard_batch(b, mesh)
+        state = init_train_state(N)
+        state = type(state)(replicate(state.params, mesh), state.step)
+        step = make_training_step(mesh, lr=1e-2)
+        with mesh:
+            state1, loss1 = step(state, a, b)
+            state2, loss2 = step(state1, a, b)
+        assert int(state2.step) == 2
+        assert float(loss2) < float(loss1)
+
+    def test_tp1_matches_tp2(self):
+        """The tp-sharded loss must be invariant to the mesh layout."""
+        B, N = 8, 8
+        key = jax.random.PRNGKey(3)
+        k_a, k_b = jax.random.split(key)
+        a = jax.random.normal(k_a, (B, N, N)) + 3.0 * jnp.eye(N)
+        b = jax.random.normal(k_b, (B, N))
+        losses = []
+        for tp in (1, 2, 4):
+            mesh = make_mesh(tp=tp)
+            sa, sb = shard_batch(a, mesh), shard_batch(b, mesh)
+            state = init_train_state(N)
+            state = type(state)(replicate(state.params, mesh), state.step)
+            step = make_training_step(mesh, lr=1e-2)
+            with mesh:
+                _, loss = step(state, sa, sb)
+            losses.append(float(loss))
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+        np.testing.assert_allclose(losses[0], losses[2], rtol=1e-5)
+
+
+class TestSpectralPipeline:
+    def test_report(self):
+        batch = diagonalizable_batch(
+            jax.random.PRNGKey(2), 2, [4.0, 1.0, -2.0]
+        )
+        report = spectral_pipeline(batch, iters=200)
+        assert bool(np.asarray(report.diagonalizable).all())
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.sort(np.asarray(report.eig_real[i])),
+                [-2.0, 1.0, 4.0], atol=1e-2,
+            )
+            assert list(np.asarray(report.alg_mult[i])) == [1, 1, 1]
+            assert list(np.asarray(report.geom_mult[i])) == [1, 1, 1]
+
+
+class TestTraceReplay:
+    def test_replay_matches_exact_path(self, quiet_trace):
+        """Device event stream replayed on host must reproduce the exact
+        path's snapshots and reduced matrix."""
+        import sympy
+
+        from linalg_solver_tpu.exact.matrix import Matrix
+        from linalg_solver_tpu.ops.rref import rref
+        from linalg_solver_tpu.trace.events import replay_rref_events
+
+        A = [[0, 2, 1, 4], [1, 1, 0, 2], [2, 2, 1, 3]]
+        exact = Matrix([[sympy.Rational(x) for x in row] for row in A])
+        exact_reduced, _, exact_snaps, exact_steps = exact.row_reduce(
+            bar_col=3
+        )
+
+        res = rref(
+            jnp.asarray(np.array(A, np.float32)), bar_col=3, tol=1e-5,
+            pivot_rule="first",
+        )
+        replay_reduced, snaps, steps = replay_rref_events(
+            A, np.asarray(res.events), int(res.num_events), bar_col=3
+        )
+        assert [
+            [sympy.Rational(x) for x in row] for row in exact_reduced
+        ] == replay_reduced
+        assert snaps == exact_snaps
+        assert [lbl[0] for lbl, _ in steps] == [
+            lbl[0] for lbl, _ in exact_steps
+        ]
+
+    def test_replay_solve_trace_logs(self, quiet_trace):
+        from linalg_solver_tpu.trace.events import replay_solve_trace
+
+        replay_solve_trace(batch=2, n=3)
+        text = str(quiet_trace)
+        assert "TPU" in text
+        assert r"\StepSim" in text or r"\sim" in text
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = fn(*args)
+        assert out.shape == (8, 64)
+        a, b = args
+        np.testing.assert_allclose(
+            np.einsum("bij,bj->bi", np.asarray(a), np.asarray(out)),
+            np.asarray(b), atol=1e-2,
+        )
+
+    def test_dryrun_multichip(self, capsys):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
+        assert "dryrun_multichip OK" in capsys.readouterr().out
