@@ -7,7 +7,7 @@ Prints ONE JSON line:
                  (2/3·N³ + 2·N² FLOPs per factor+solve, × batch).
 ``vs_baseline``— ratio vs XLA's built-in ``jnp.linalg.solve`` on the same
                  shapes/chip (the strongest available baseline; the
-                 reference itself publishes no numbers — BASELINE.md).
+                 reference itself publishes no numbers — see BASELINE.md).
 
 Runs on the default JAX platform (the real TPU under the driver).
 """
@@ -20,25 +20,43 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Compiles through the TPU tunnel are slow; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def _time_fn(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+
+def _time_fn(fn, a, b, iters: int = 15) -> float:
+    """Dependency-chained timing: each iteration's input depends on the
+    previous output and the chain ends in a host readback, so async
+    dispatch (and the TPU tunnel's lenient block_until_ready) cannot
+    hide execution time."""
+    dep = jax.jit(lambda a, s: a + 1e-12 * s)
+
+    def run_chain(k: int) -> float:
+        out = fn(a, b)
+        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        t0 = time.perf_counter()
+        aa = a
+        for _ in range(k):
+            out = fn(aa, b)
+            aa = dep(a, jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        return (time.perf_counter() - t0) / k
+
+    # The first chained run in a process is several times slower (device /
+    # runtime warm-up); measure twice and keep the better.
+    return min(run_chain(5), run_chain(iters))
 
 
 def main() -> None:
     B, N = 256, 256
     key = jax.random.PRNGKey(0)
     k_a, k_b = jax.random.split(key)
-    # Well-conditioned dense batch.
-    a = jax.random.normal(k_a, (B, N, N), jnp.float32) + 4.0 * jnp.eye(
-        N, dtype=jnp.float32
-    )
+    # Well-conditioned dense batch: the eigenvalues of a Gaussian matrix
+    # fill a disk of radius ~sqrt(N), so shift by 4*sqrt(N).
+    a = jax.random.normal(k_a, (B, N, N), jnp.float32) + (
+        4.0 * N**0.5
+    ) * jnp.eye(N, dtype=jnp.float32)
     b = jax.random.normal(k_b, (B, N), jnp.float32)
 
     flops = B * (2.0 / 3.0 * N**3 + 2.0 * N**2)
@@ -48,17 +66,20 @@ def main() -> None:
     ours = jax.jit(
         lambda a, b: dispatch.solve_batched(a, b, backend="auto")
     )
-    baseline = jax.jit(lambda a, b: jnp.linalg.solve(a, b))
+    baseline = jax.jit(
+        lambda a, b: jnp.linalg.solve(a, b[..., None])[..., 0]
+    )
 
-    t_ours = _time_fn(ours, a, b)
-    t_base = _time_fn(baseline, a, b)
-
-    # Sanity: both must actually solve the systems.
+    # Sanity: the solver must actually solve the systems.
     x_ours = ours(a, b)
     resid = jnp.linalg.norm(
         jnp.einsum("bij,bj->bi", a, x_ours) - b
     ) / jnp.linalg.norm(b)
     assert float(resid) < 1e-2, f"solver inaccurate: resid={float(resid)}"
+
+    t_ours = _time_fn(ours, a, b)
+    t_base = _time_fn(baseline, a, b)
+    del resid
 
     gflops = flops / t_ours / 1e9
     gflops_base = flops / t_base / 1e9

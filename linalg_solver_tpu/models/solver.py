@@ -59,7 +59,9 @@ class BatchedSolver:
         return dispatch.det_batched(a, backend=self.backend)
 
     def rank(self, a: jax.Array) -> jax.Array:
-        return rank_batched(a)
+        from ..ops import dispatch
+
+        return dispatch.rank_batched(a, backend=self.backend)
 
     def affine_solve(self, a: jax.Array, b: jax.Array):
         """General (possibly singular/rectangular) solve with affine

@@ -19,7 +19,20 @@ import jax
 import jax.numpy as jnp
 
 from . import lu as _lu
+from . import lu_blocked as _lub
 from .solve import inverse_batched as _gj_inverse_batched
+
+
+def _best_nb(n: int) -> int:
+    """Tuned panel width for the blocked path (see bench notes: nb=64 wins
+    at N=256 on v5e; smaller panels pay per-step overheads)."""
+    return min(64, n)
+
+
+def _blocked_ok(n: int) -> bool:
+    """The blocked path needs N divisible by its panel width."""
+    nb = _best_nb(n)
+    return n % nb == 0 and n >= 8
 
 
 def _pallas_available() -> bool:
@@ -31,32 +44,38 @@ def _pallas_available() -> bool:
         return False
 
 
-def _resolve(backend: str, op: str) -> str:
+def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
     if backend == "auto":
         if _pallas_available():
             from . import pallas
 
-            if pallas.supports(op):
+            if pallas.supports(op, n):
                 return "pallas"
+        if n is not None and _blocked_ok(n):
+            return "blocked"
         return "loop"
     return backend
 
 
 def lu_factor_batched(a: jax.Array, backend: str = "auto"):
-    be = _resolve(backend, "lu_factor")
+    be = _resolve(backend, "lu_factor", a.shape[-1])
     if be == "pallas":
         from . import pallas
 
         return pallas.lu_factor_batched(a)
+    if be == "blocked":
+        return _lub.blocked_lu_batched(a, nb=_best_nb(a.shape[-1]))
     return _lu.lu_factor_batched(a)
 
 
 def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
-    be = _resolve(backend, "solve")
+    be = _resolve(backend, "solve", a.shape[-1])
     if be == "pallas":
         from . import pallas
 
         return pallas.solve_batched(a, b)
+    if be == "blocked":
+        return _lub.blocked_solve_batched(a, b, nb=_best_nb(a.shape[-1]))
     if be == "xla":
         return jnp.linalg.solve(a, b)
     return _lu.solve_lu_batched(a, b)
@@ -73,12 +92,25 @@ def inverse_batched(a: jax.Array, backend: str = "auto"):
     return _gj_inverse_batched(a, tol=1e-30).inverse
 
 
+def rank_batched(a: jax.Array, backend: str = "auto", tol=None):
+    be = _resolve(backend, "rank", a.shape[-1])
+    if be == "pallas":
+        from . import pallas
+
+        return pallas.rank_batched(a, tol=tol)
+    from .solve import rank_batched as _loop_rank
+
+    return _loop_rank(a, tol=tol)
+
+
 def det_batched(a: jax.Array, backend: str = "auto"):
-    be = _resolve(backend, "det")
+    be = _resolve(backend, "det", a.shape[-1])
     if be == "pallas":
         from . import pallas
 
         return pallas.det_batched(a)
+    if be == "blocked":
+        return _lub.blocked_det_batched(a)
     if be == "xla":
         return jnp.linalg.det(a)
     return _lu.det_lu_batched(a)

@@ -1,0 +1,62 @@
+"""Blocked Pallas TPU kernels.
+
+- ``gj_kernel``       — VMEM-resident batched Gauss–Jordan (batch in the
+  lane dimension) for small/medium N: inverse, solve, det, rank.
+- ``lu_panel_kernel`` — VMEM-resident LU panel factorization plugged into
+  the blocked XLA LU for large N.
+
+``supports(op)`` / ``is_supported()`` are the dispatch hooks used by
+``ops.dispatch``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import gj_kernel
+from .gj_kernel import gauss_jordan_tiled, GJResult
+
+
+def is_supported() -> bool:
+    """Pallas TPU kernels need a TPU backend (tests use interpret mode
+    explicitly)."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+_OPS = {"inverse", "solve", "det", "rank"}
+
+#: augmented width the GJ kernel needs per op
+_WIDTH = {
+    "inverse": lambda n: 2 * n,
+    "solve": lambda n: n + 1,
+    "det": lambda n: n,
+    "rank": lambda n: n,
+}
+
+
+def supports(op: str, n: int | None = None) -> bool:
+    if op not in _OPS:
+        return False
+    if n is None:
+        return True
+    return gj_kernel.supported(n, _WIDTH[op](n))
+
+
+def inverse_batched(a: jax.Array) -> jax.Array:
+    return gj_kernel.inverse_batched(a)
+
+
+def solve_batched(a: jax.Array, b: jax.Array) -> jax.Array:
+    return gj_kernel.solve_batched(a, b)
+
+
+def det_batched(a: jax.Array) -> jax.Array:
+    return gj_kernel.det_batched(a)
+
+
+def rank_batched(a: jax.Array, tol=None) -> jax.Array:
+    return gj_kernel.rank_batched(a, tol=tol)

@@ -166,8 +166,10 @@ def rank(
     ``max(m, n) * eps * max|a|`` (same convention as SVD-based ranks).
     """
     if tol is None:
+        # Gauss-Jordan residues are larger than SVD's, so the threshold is
+        # 100x the usual max(m,n)*eps*|A| rank tolerance.
         eps = jnp.finfo(jnp.result_type(a.dtype, jnp.float32)).eps
-        tol = max(a.shape) * eps * jnp.max(jnp.abs(a))
+        tol = max(a.shape) * 100 * eps * jnp.max(jnp.abs(a))
     res = rref(a, bar_col=a.shape[1], tol=tol, pivot_rule=pivot_rule,
                record_events=False)
     return res.num_pivots

@@ -1,0 +1,110 @@
+"""Pallas kernel tests — interpret mode on CPU (the real-TPU path is
+exercised by bench.py / the driver)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from linalg_solver_tpu.ops.pallas import gj_kernel
+
+
+def make_batch(B, N, seed=0, shift=None):
+    rng = np.random.RandomState(seed)
+    shift = shift if shift is not None else 3.0 * np.sqrt(N)
+    return (
+        rng.randn(B, N, N).astype(np.float32)
+        + shift * np.eye(N, dtype=np.float32)
+    )
+
+
+class TestGJKernel:
+    def test_inverse(self):
+        A = make_batch(4, 8, seed=0)
+        inv = np.asarray(gj_kernel.inverse_batched(
+            jnp.asarray(A), interpret=True
+        ))
+        np.testing.assert_allclose(
+            np.einsum("bij,bjk->bik", A, inv),
+            np.broadcast_to(np.eye(8), (4, 8, 8)),
+            atol=1e-4,
+        )
+
+    def test_solve(self):
+        A = make_batch(4, 8, seed=1)
+        rng = np.random.RandomState(2)
+        b = rng.randn(4, 8).astype(np.float32)
+        x = np.asarray(gj_kernel.solve_batched(
+            jnp.asarray(A), jnp.asarray(b), interpret=True
+        ))
+        np.testing.assert_allclose(
+            np.einsum("bij,bj->bi", A, x), b, atol=1e-3
+        )
+
+    def test_det(self):
+        A = make_batch(4, 8, seed=3)
+        d = np.asarray(gj_kernel.det_batched(jnp.asarray(A), interpret=True))
+        expected = np.linalg.det(A.astype(np.float64))
+        np.testing.assert_allclose(d, expected, rtol=1e-3)
+
+    def test_det_with_pivot_swaps(self):
+        # Antidiagonal forces a non-identity pivot order; sign must follow.
+        A = np.zeros((2, 4, 4), np.float32)
+        for i in range(4):
+            A[:, i, 3 - i] = float(i + 1)
+        d = np.asarray(gj_kernel.det_batched(jnp.asarray(A), interpret=True))
+        expected = np.linalg.det(A.astype(np.float64))
+        np.testing.assert_allclose(d, expected, rtol=1e-5)
+
+    def test_rank_full_and_deficient(self):
+        rng = np.random.RandomState(4)
+        full = make_batch(2, 8, seed=5)
+        low = np.einsum(
+            "bik,bkj->bij",
+            rng.randn(2, 8, 3).astype(np.float32),
+            rng.randn(2, 3, 8).astype(np.float32),
+        )
+        batch = np.concatenate([full, low])
+        ranks = np.asarray(gj_kernel.rank_batched(
+            jnp.asarray(batch), interpret=True
+        ))
+        assert list(ranks) == [8, 8, 3, 3]
+
+    def test_rank_rectangular(self):
+        A = np.array([[[1.0, 2.0, 3.0], [2.0, 4.0, 6.0]]], np.float32)
+        r = np.asarray(gj_kernel.rank_batched(jnp.asarray(A), interpret=True))
+        assert list(r) == [1]
+
+    def test_rank_zero_column_then_pivot(self):
+        # Column 0 all-zero but the matrix has rank 1: pivot-skip logic.
+        A = np.array([[[0.0, 1.0], [0.0, 0.0]]], np.float32)
+        r = np.asarray(gj_kernel.rank_batched(jnp.asarray(A), interpret=True))
+        assert list(r) == [1]
+
+    def test_batch_padding(self):
+        # Batch not divisible by the lane tile gets padded transparently.
+        A = make_batch(3, 4, seed=6)
+        inv = np.asarray(gj_kernel.inverse_batched(
+            jnp.asarray(A), interpret=True
+        ))
+        assert inv.shape == (3, 4, 4)
+        np.testing.assert_allclose(
+            np.einsum("bij,bjk->bik", A, inv),
+            np.broadcast_to(np.eye(4), (3, 4, 4)),
+            atol=1e-4,
+        )
+
+    def test_supported_bounds(self):
+        assert gj_kernel.supported(64, 128)
+        assert not gj_kernel.supported(256, 512)
+
+    def test_matches_loop_inverse(self):
+        from linalg_solver_tpu.ops.solve import inverse_batched as gj_loop
+
+        A = make_batch(4, 8, seed=7)
+        pallas_inv = np.asarray(
+            gj_kernel.inverse_batched(jnp.asarray(A), interpret=True)
+        )
+        loop_inv = np.asarray(gj_loop(jnp.asarray(A), tol=1e-30).inverse)
+        np.testing.assert_allclose(pallas_inv, loop_inv, atol=1e-4)
