@@ -14,6 +14,7 @@
 // Build: make -C csrc   (produces build/libplanner.so)
 
 #include <algorithm>
+#include <functional>
 #include <cstdint>
 #include <cstring>
 #include <deque>
@@ -408,14 +409,26 @@ struct CanonicalForm {
   uint64_t hash = 0;
 };
 
+// Colors are compressed to dense ranks each round; using sorted u64
+// signatures instead of vector<int> keys avoids allocation churn in the
+// refinement loop (the planner's hottest constant factor).
 vector<int> compress_colors(const vector<vector<int>>& colors) {
-  std::map<vector<int>, int> ranking;
-  for (auto& c : colors) ranking.emplace(c, 0);
-  int i = 0;
-  for (auto& kv : ranking) kv.second = i++;
-  vector<int> out;
-  out.reserve(colors.size());
-  for (auto& c : colors) out.push_back(ranking[c]);
+  vector<std::pair<const vector<int>*, int>> order;
+  order.reserve(colors.size());
+  for (size_t i = 0; i < colors.size(); ++i)
+    order.emplace_back(&colors[i], (int)i);
+  std::sort(order.begin(), order.end(),
+            [](const auto& a, const auto& b) { return *a.first < *b.first; });
+  vector<int> out(colors.size());
+  int rank = -1;
+  const vector<int>* prev = nullptr;
+  for (auto& [ptr, idx] : order) {
+    if (!prev || *ptr != *prev) {
+      ++rank;
+      prev = ptr;
+    }
+    out[idx] = rank;
+  }
   return out;
 }
 
@@ -653,9 +666,42 @@ void consider(std::pair<Cost, ProcPtr>& best, bool& has_best, Cost cost,
   }
 }
 
+struct PatternKey {
+  int rows, cols;
+  vector<uint64_t> bits;
+  bool operator==(const PatternKey& o) const {
+    return rows == o.rows && cols == o.cols && bits == o.bits;
+  }
+};
+struct PatternKeyHash {
+  size_t operator()(const PatternKey& k) const {
+    uint64_t h = 0xCBF29CE484222325ull;
+    auto mix = [&](uint64_t v) {
+      h ^= v;
+      h *= 0x100000001B3ull;
+    };
+    mix((uint64_t)k.rows);
+    mix((uint64_t)k.cols);
+    for (uint64_t b : k.bits) mix(b);
+    return (size_t)h;
+  }
+};
+// Identical (not merely permutation-equivalent) subpatterns recur
+// constantly during the search; an exact-bits front cache skips the WL
+// canonicalization for them entirely.
+using ExactCache =
+    std::unordered_map<PatternKey, std::pair<Cost, ProcPtr>, PatternKeyHash>;
+ExactCache* g_exact_cache = nullptr;
+
 std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
   const int n = g.rows;
   if (n <= 2) return {direct_cost(n), make_direct(n, g.entries())};
+
+  PatternKey key{g.rows, g.cols, g.bits};
+  if (g_exact_cache) {
+    auto hit = g_exact_cache->find(key);
+    if (hit != g_exact_cache->end()) return hit->second;
+  }
 
   CanonicalForm canon = canonicalize(g);
   auto it = cache.find(canon.hash);
@@ -779,13 +825,14 @@ std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
 
   if (!has_best) best = {direct_cost(n), make_direct(n, g.entries())};
 
-  // Cache in canonical coordinates.
+  // Cache in canonical coordinates (+ exact-bits front cache).
   {
     auto inv_r = invert_perm(canon.row_perm);
     auto inv_c = invert_perm(canon.col_perm);
     cache[canon.hash] = {best.first,
                          remap_process(best.second, inv_r, inv_c)};
   }
+  if (g_exact_cache) (*g_exact_cache)[key] = best;
   return best;
 }
 
@@ -868,8 +915,6 @@ char* dup_string(const string& s) {
 
 }  // namespace
 
-#include <functional>
-
 extern "C" {
 
 // All functions return malloc'd JSON; free with planner_free.
@@ -878,7 +923,10 @@ const char* planner_find_optimal(const uint8_t* data, int rows, int cols) {
   if (rows != cols || rows > 64) return nullptr;
   Pattern g = pattern_from_bytes(data, rows, cols);
   Cache cache;
+  ExactCache exact;
+  g_exact_cache = &exact;
   auto [cost, proc] = search(g, cache);
+  g_exact_cache = nullptr;
   string out = "{\"cost\":{\"mults\":" + std::to_string(cost.mults) +
                ",\"adds\":" + std::to_string(cost.adds) + "},\"process\":";
   emit_process(out, proc);
