@@ -7,6 +7,7 @@ from .solver import (
     init_train_state,
     make_training_step,
 )
+from .jordan import JordanReport, jordan_analysis
 from .spectral import SpectralReport, spectral_pipeline
 
 __all__ = [
@@ -16,4 +17,6 @@ __all__ = [
     "make_training_step",
     "SpectralReport",
     "spectral_pipeline",
+    "JordanReport",
+    "jordan_analysis",
 ]

@@ -111,16 +111,38 @@ def rank_batch(
     return A @ B
 
 
-@functools.partial(jax.jit, static_argnames=("b", "dtype"))
+@functools.partial(jax.jit, static_argnames=("b", "n", "dtype"))
+def orthogonal_batch(key: Array, b: int, n: int, dtype=jnp.float32) -> Array:
+    """Batch of Haar-ish random orthogonal matrices (QR of a Gaussian).
+    Perfectly conditioned similarity transforms — the right choice for
+    large-N structured generation where unimodular inverses blow up."""
+    g = jax.random.normal(key, (b, n, n), dtype)
+    q, r = jnp.linalg.qr(g)
+    # Fix the sign convention so Q is unique given G.
+    sign = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    return q * sign[:, None, :]
+
+
+def _similarity_pair(key, b, n, transform, dtype):
+    """(P_inv, P) for the requested transform family."""
+    if transform == "orthogonal":
+        P = orthogonal_batch(key, b, n, dtype=dtype)
+        return jnp.swapaxes(P, -1, -2), P
+    P = unimodular_batch(key, b, n, dtype=dtype)
+    return inverse_batched(P, tol=1e-30).inverse, P
+
+
+@functools.partial(jax.jit, static_argnames=("b", "dtype", "transform"))
 def diagonalizable_batch(
-    key: Array, b: int, eigenvalues: Sequence[float], dtype=jnp.float32
+    key: Array, b: int, eigenvalues: Sequence[float], dtype=jnp.float32,
+    transform: str = "unimodular",
 ) -> Array:
     """Diagonalizable batch with the prescribed (shared) eigenvalue list:
-    ``P⁻¹ · diag(eigs) · P`` with batch-random unimodular ``P``."""
+    ``P⁻¹ · diag(eigs) · P``.  ``transform="unimodular"`` (integer-exact,
+    small N) or ``"orthogonal"`` (condition-preserving, any N)."""
     eigs = jnp.asarray(eigenvalues, dtype)
     n = eigs.shape[0]
-    P = unimodular_batch(key, b, n, dtype=dtype)
-    P_inv = inverse_batched(P, tol=1e-30).inverse
+    P_inv, P = _similarity_pair(key, b, n, transform, dtype)
     D = jnp.diag(eigs)
     return P_inv @ D[None, :, :] @ P
 
@@ -129,27 +151,31 @@ def jordan_form_matrix(
     blocks: List[Tuple[float, int]], dtype=jnp.float32
 ) -> Array:
     """The (single) Jordan-form matrix for ``[(eigenvalue, size), ...]``."""
+    import numpy as np
+
     n = sum(size for _, size in blocks)
-    J = jnp.zeros((n, n), dtype)
+    J = np.zeros((n, n), dtype=jnp.dtype(dtype))
     pos = 0
     for eig, size in blocks:
         for i in range(size):
-            J = J.at[pos + i, pos + i].set(eig)
+            J[pos + i, pos + i] = eig
             if i < size - 1:
-                J = J.at[pos + i, pos + i + 1].set(1.0)
+                J[pos + i, pos + i + 1] = 1.0
         pos += size
-    return J
+    return jnp.asarray(J)
 
 
-@functools.partial(jax.jit, static_argnames=("b", "blocks", "dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("b", "blocks", "dtype", "transform")
+)
 def jordan_batch(
     key: Array, b: int, blocks: Tuple[Tuple[float, int], ...],
-    dtype=jnp.float32,
+    dtype=jnp.float32, transform: str = "unimodular",
 ) -> Array:
     """Batch of matrices similar to the prescribed Jordan form:
-    ``P⁻¹ J P`` with batch-random unimodular ``P``."""
+    ``P⁻¹ J P``.  Use ``transform="orthogonal"`` at large N (a unimodular
+    P⁻¹ has exponentially large entries and destroys conditioning)."""
     J = jordan_form_matrix(list(blocks), dtype)
     n = J.shape[0]
-    P = unimodular_batch(key, b, n, dtype=dtype)
-    P_inv = inverse_batched(P, tol=1e-30).inverse
+    P_inv, P = _similarity_pair(key, b, n, transform, dtype)
     return P_inv @ J[None, :, :] @ P

@@ -153,6 +153,54 @@ def _panel_factor(panel, k0, nb, row_idx, tol):
     )
 
 
+def _panel_factor_two_level(panel, nb, nbi, tol):
+    """Two-level panel factorization: the per-column pivot loop runs over
+    ``nbi``-wide inner panels (halving the loop-carried slab), with inner
+    trailing updates propagating into the rest of the ``nb``-wide panel as
+    GEMMs.  Equivalent to ``_panel_factor(panel, 0, nb, ...)``."""
+    Bsz, M, _ = panel.shape
+    dtype = panel.dtype
+    perm_total = jnp.broadcast_to(
+        jnp.arange(M)[None, :], (Bsz, M)
+    ).astype(jnp.int32)
+    sign = jnp.ones((Bsz,), dtype)
+    ok = jnp.ones((Bsz,), bool)
+
+    for c0 in range(0, nb, nbi):
+        sub = panel[:, c0:, c0:c0 + nbi]
+        sub, lperm, psign, pok = _panel_factor(
+            sub, 0, nbi, jnp.arange(M - c0), tol
+        )
+        sign = sign * psign
+        ok = ok & pok
+
+        lower = jnp.take_along_axis(
+            panel[:, c0:, :], lperm[:, :, None], axis=1
+        )
+        lower = jnp.concatenate(
+            [lower[:, :, :c0], sub, lower[:, :, c0 + nbi:]], axis=2
+        )
+        pt_lower = jnp.take_along_axis(perm_total[:, c0:], lperm, axis=1)
+        perm_total = jnp.concatenate(
+            [perm_total[:, :c0], pt_lower], axis=1
+        )
+
+        if c0 + nbi < nb:
+            L11 = jnp.tril(sub[:, :nbi, :], -1) + jnp.eye(nbi, dtype=dtype)
+            L21 = sub[:, nbi:, :]
+            A12 = lower[:, :nbi, c0 + nbi:]
+            A22 = lower[:, nbi:, c0 + nbi:]
+            U12 = invert_unit_lower(L11) @ A12
+            A22 = A22 - L21 @ U12
+            lower = jnp.concatenate(
+                [lower[:, :, :c0 + nbi],
+                 jnp.concatenate([U12, A22], axis=1)], axis=2
+            )
+        panel = jnp.concatenate([panel[:, :c0, :], lower], axis=1)
+
+    return panel, perm_total, sign, ok
+
+
 @functools.partial(
     jax.jit, static_argnames=("nb", "panel_backend", "interpret")
 )
@@ -190,6 +238,10 @@ def blocked_lu_batched(
             pres = panel_factor(panel, 0, nb, interpret=interpret)
             panel, local_perm = pres.panel, pres.local_perm
             psign, pok = pres.sign, pres.ok
+        elif panel_backend == "two_level" and nb >= 32:
+            panel, local_perm, psign, pok = _panel_factor_two_level(
+                panel, nb, nb // 2, tol_arr
+            )
         else:
             panel, local_perm, psign, pok = _panel_factor(
                 panel, 0, nb, jnp.arange(sub_rows), tol_arr
@@ -238,20 +290,49 @@ def blocked_solve_batched(
     return blocked_lu_solve(res, b)
 
 
-@jax.jit
-def blocked_lu_solve(res: BlockedLUResult, b: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("nb",))
+def blocked_lu_solve(
+    res: BlockedLUResult, b: jax.Array, nb: int = 64
+) -> jax.Array:
+    """Block forward/backward substitution: only the nb×nb diagonal blocks
+    are inverted (divide-and-conquer); off-diagonal contributions are
+    batched GEMMs.  Far cheaper than inverting the full triangulars."""
     lu, perm = res.lu, res.perm
     N = lu.shape[-1]
+    nb = min(nb, N)
     vector_input = b.ndim == 2
     if vector_input:
         b = b[:, :, None]
     b = b.astype(lu.dtype)
     pb = jnp.take_along_axis(b, perm[:, :, None], axis=1)
 
-    L = jnp.tril(lu, -1) + jnp.eye(N, dtype=lu.dtype)
-    U = jnp.triu(lu)
-    y = invert_unit_lower(L) @ pb
-    x = invert_upper(U) @ y
+    if N % nb:
+        nb = N  # fallback: single block
+
+    m = N // nb
+    eye = jnp.eye(nb, dtype=lu.dtype)
+
+    # Forward: L y = P b (unit lower triangular).
+    ys = []
+    for i in range(m):
+        ri = slice(i * nb, (i + 1) * nb)
+        rhs = pb[:, ri]
+        for j in range(i):
+            rhs = rhs - lu[:, ri, j * nb:(j + 1) * nb] @ ys[j]
+        L_ii = jnp.tril(lu[:, ri, ri], -1) + eye
+        ys.append(invert_unit_lower(L_ii) @ rhs)
+
+    # Backward: U x = y.
+    xs: list = [None] * m
+    for i in reversed(range(m)):
+        ri = slice(i * nb, (i + 1) * nb)
+        rhs = ys[i]
+        for j in range(i + 1, m):
+            rhs = rhs - lu[:, ri, j * nb:(j + 1) * nb] @ xs[j]
+        U_ii = jnp.triu(lu[:, ri, ri])
+        xs[i] = invert_upper(U_ii) @ rhs
+
+    x = jnp.concatenate(xs, axis=1)
     return x[:, :, 0] if vector_input else x
 
 

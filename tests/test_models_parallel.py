@@ -208,3 +208,54 @@ class TestGraftEntry:
 
         ge.dryrun_multichip(8)
         assert "dryrun_multichip OK" in capsys.readouterr().out
+
+
+class TestJordanAnalysis:
+    def test_known_jordan_structure(self):
+        from linalg_solver_tpu.models.jordan import jordan_analysis
+        from linalg_solver_tpu.ops.generate import jordan_batch
+
+        # J(2)⊕J(2)⊕J(1-block of 5): eigenvalue 2 has blocks (2, 2),
+        # eigenvalue 5 has one block of size 1.
+        batch = jordan_batch(
+            jax.random.PRNGKey(3), 4, ((2.0, 2), (2.0, 2), (5.0, 1))
+        )
+        report = jordan_analysis(
+            batch, jnp.array([2.0, 5.0]), k_max=3
+        )
+        alg = np.asarray(report.alg_mult)
+        geom = np.asarray(report.geom_mult)
+        blocks = np.asarray(report.block_counts)
+        for i in range(4):
+            assert alg[i, 0] == 4 and geom[i, 0] == 2
+            assert alg[i, 1] == 1 and geom[i, 1] == 1
+            # eigenvalue 2: zero blocks of size 1, two of size 2
+            assert list(blocks[i, 0, :3]) == [0, 2, 0]
+            assert list(blocks[i, 1, :3]) == [1, 0, 0]
+
+    def test_diagonalizable_all_size_one(self):
+        from linalg_solver_tpu.models.jordan import jordan_analysis
+        from linalg_solver_tpu.ops.generate import diagonalizable_batch
+
+        batch = diagonalizable_batch(
+            jax.random.PRNGKey(4), 3, [3.0, 3.0, 1.0]
+        )
+        report = jordan_analysis(batch, jnp.array([3.0, 1.0]), k_max=2)
+        alg = np.asarray(report.alg_mult)
+        geom = np.asarray(report.geom_mult)
+        assert (alg[:, 0] == 2).all() and (geom[:, 0] == 2).all()
+        assert (alg[:, 1] == 1).all() and (geom[:, 1] == 1).all()
+
+    def test_gj_method_agrees_with_svd(self):
+        from linalg_solver_tpu.models.jordan import jordan_analysis
+        from linalg_solver_tpu.ops.generate import jordan_batch
+
+        batch = jordan_batch(jax.random.PRNGKey(5), 2, ((1.0, 3),))
+        gj_rep = jordan_analysis(batch, jnp.array([1.0]), k_max=4,
+                                 method="gj")
+        svd_rep = jordan_analysis(batch, jnp.array([1.0]), k_max=4,
+                                  method="svd")
+        assert np.array_equal(
+            np.asarray(gj_rep.weyr), np.asarray(svd_rep.weyr)
+        )
+        assert list(np.asarray(gj_rep.weyr[0, 0])) == [1, 1, 1, 0]
