@@ -617,22 +617,66 @@ vector<int> compose_perm(const vector<int>& a, const vector<int>& b) {
   return out;
 }
 
-// Remap top-level coordinates; subprocesses stay in local coordinates
-// except AddRow results (same size as parent => recursive remap).
+// The permutation a top-level remap induces on a minor's local (sorted
+// remaining index) coordinate system: old local i = i-th remaining index
+// without `exclude_old`; it lands at the sorted position of its image
+// among the new remaining indices.
+vector<int> induced_minor_perm(int exclude_old, const vector<int>& index_map) {
+  const int n = (int)index_map.size();
+  vector<int> images;
+  images.reserve(n - 1);
+  for (int k = 0; k < n; ++k)
+    if (k != exclude_old) images.push_back(index_map[k]);
+  vector<int> sorted_images = images;
+  std::sort(sorted_images.begin(), sorted_images.end());
+  vector<int> pos((size_t)n, -1);
+  for (size_t i = 0; i < sorted_images.size(); ++i)
+    pos[sorted_images[i]] = (int)i;
+  vector<int> out;
+  out.reserve(images.size());
+  for (int v : images) out.push_back(pos[v]);
+  return out;
+}
+
+bool is_identity(const vector<int>& p) {
+  for (size_t i = 0; i < p.size(); ++i)
+    if (p[i] != (int)i) return false;
+  return true;
+}
+
+// Remap a process's coordinates, recursively.  Block-triangular blocks
+// live in coordinates defined by the composed block permutation and are
+// shared untouched; expansion minors live in sorted-remaining-index
+// coordinates whose ORDER changes under a general remap, so each minor is
+// remapped by the induced local permutation.  (Soundness fix over the
+// reference's remap, which left minors in stale coordinates.)
 ProcPtr remap_process(const ProcPtr& proc, const vector<int>& row_map,
                       const vector<int>& col_map) {
+  if (is_identity(row_map) && is_identity(col_map)) return proc;
   auto p = std::make_shared<Process>(*proc);
   switch (proc->kind) {
     case Process::kDirect:
       break;
-    case Process::kRowExp:
+    case Process::kRowExp: {
       p->line = row_map[proc->line];
-      for (auto& m : p->minors) m.first = col_map[m.first];
+      vector<int> rho = induced_minor_perm(proc->line, row_map);
+      for (auto& m : p->minors) {
+        vector<int> sigma = induced_minor_perm(m.first, col_map);
+        m.second = remap_process(m.second, rho, sigma);
+        m.first = col_map[m.first];
+      }
       break;
-    case Process::kColExp:
+    }
+    case Process::kColExp: {
       p->line = col_map[proc->line];
-      for (auto& m : p->minors) m.first = row_map[m.first];
+      vector<int> sigma = induced_minor_perm(proc->line, col_map);
+      for (auto& m : p->minors) {
+        vector<int> rho = induced_minor_perm(m.first, row_map);
+        m.second = remap_process(m.second, rho, sigma);
+        m.first = row_map[m.first];
+      }
       break;
+    }
     case Process::kBlockTri:
       p->row_perm = compose_perm(row_map, proc->row_perm);
       p->col_perm = compose_perm(col_map, proc->col_perm);

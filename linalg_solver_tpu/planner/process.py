@@ -237,27 +237,63 @@ class Process:
         return self.format_tree()
 
 
+def _induced_minor_perm(exclude_old: int, exclude_new: int,
+                        index_map: Permutation) -> Permutation:
+    """The permutation a top-level index remap induces on a minor's local
+    coordinates.
+
+    A minor's local index i refers to the i-th *remaining* index in sorted
+    order.  Remapping the parent reorders which original indices sit at
+    which sorted positions, so the minor's coordinate system permutes:
+    old local i (= sorted remaining w/o ``exclude_old``, position i) lands
+    at the sorted position of ``index_map[i-th remaining]`` among the new
+    remaining indices (w/o ``exclude_new``).
+    """
+    n = len(index_map)
+    old_remaining = [k for k in range(n) if k != exclude_old]
+    new_remaining = sorted(
+        index_map[k] for k in old_remaining
+    )
+    assert exclude_new not in new_remaining
+    position = {v: i for i, v in enumerate(new_remaining)}
+    return Permutation(
+        [position[index_map[k]] for k in old_remaining], _validate=False
+    )
+
+
 def remap_process(process: Process, row_map: Permutation,
                   col_map: Permutation) -> Process:
-    """Apply index mappings to a process's *top-level* coordinates.
+    """Apply index mappings to a process's coordinates, recursively.
 
-    Subprocesses of expansions and blocks live in their own local coordinate
-    systems and are shared untouched; an AddRow result is the same size as
-    its parent and is remapped recursively.
+    Block-triangular blocks live in coordinates defined by the (composed)
+    block permutation itself, so they are shared untouched.  Expansion
+    minors live in sorted-remaining-index coordinates, whose ORDER changes
+    under a general remap — each minor is remapped by the induced
+    permutation of its local coordinate system (this is the soundness fix
+    over the reference's remap, which left minors untouched and relied on
+    a runtime sparsity check to fail fast; see determinant.rs:898-954).
+    An AddRow result is the same size as its parent: remapped directly.
     """
+    if row_map.is_id() and col_map.is_id():
+        return process
+
     raw = process.raw
     if isinstance(raw, Direct):
         new_raw: Variant = Direct(raw.size)
     elif isinstance(raw, RowExpansion):
-        new_raw = RowExpansion(
-            row_map[raw.row],
-            [(col_map[c], sub) for c, sub in raw.minors],
-        )
+        new_minors = []
+        rho = _induced_minor_perm(raw.row, row_map[raw.row], row_map)
+        for c, sub in raw.minors:
+            sigma = _induced_minor_perm(c, col_map[c], col_map)
+            new_minors.append((col_map[c], remap_process(sub, rho, sigma)))
+        new_raw = RowExpansion(row_map[raw.row], new_minors)
     elif isinstance(raw, ColExpansion):
-        new_raw = ColExpansion(
-            col_map[raw.col],
-            [(row_map[r], sub) for r, sub in raw.minors],
-        )
+        new_minors = []
+        sigma = _induced_minor_perm(raw.col, col_map[raw.col], col_map)
+        for r, sub in raw.minors:
+            rho = _induced_minor_perm(r, row_map[r], row_map)
+            new_minors.append((row_map[r], remap_process(sub, rho, sigma)))
+        new_raw = ColExpansion(col_map[raw.col], new_minors)
     elif isinstance(raw, BlockTriangular):
         new_raw = BlockTriangular(
             list(raw.blocks),

@@ -1,0 +1,127 @@
+"""Bareiss fraction-free elimination: bit-exact integer determinants and
+ranks on device, differential against sympy's exact arithmetic."""
+
+import random
+
+import numpy as np
+import pytest
+import sympy
+
+import jax.numpy as jnp
+
+from linalg_solver_tpu.ops.exact_int import (
+    BareissResult,
+    bareiss_batched,
+    bareiss_det_batched,
+    bareiss_rank_batched,
+    bareiss_safe,
+)
+
+
+def int_batch(B, n, rng, lo=-5, hi=5):
+    return np.array(
+        [[[rng.randint(lo, hi) for _ in range(n)] for _ in range(n)]
+         for _ in range(B)],
+        dtype=np.int32,
+    )
+
+
+class TestBareissSafe:
+    def test_small_shapes_safe(self):
+        assert bareiss_safe(3, 5)
+        assert bareiss_safe(4, 5)
+        assert bareiss_safe(6, 2)
+
+    def test_worst_case_bounds_unsafe(self):
+        # 8x8 with entries up to 5 can overflow int32 in the worst case;
+        # bareiss_batched verifies the actual run via the `ok` flags.
+        assert not bareiss_safe(8, 5)
+        assert not bareiss_safe(32, 5)
+
+
+class TestBareiss:
+    def test_exact_det_random(self):
+        rng = random.Random(0)
+        checked = 0
+        for n, hi in ((3, 5), (5, 5), (8, 2)):
+            A = int_batch(8, n, rng, lo=-hi, hi=hi)
+            res = bareiss_batched(jnp.asarray(A))
+            ok = np.asarray(res.ok)
+            for i in range(8):
+                if not ok[i]:
+                    continue  # runtime overflow flag: no exactness claim
+                expected = int(sympy.Matrix(A[i].tolist()).det())
+                assert int(res.det[i]) == expected, (n, i)
+                assert int(res.rank[i]) == sympy.Matrix(A[i].tolist()).rank()
+                checked += 1
+        assert checked >= 16  # the flag must not be trivially False
+
+    def test_singular_and_rank_deficient(self):
+        rng = random.Random(1)
+        mats = []
+        for _ in range(6):
+            n, r = 6, rng.randint(1, 4)
+            X = np.array(
+                [[rng.randint(-2, 2) for _ in range(r)] for _ in range(n)]
+            )
+            Y = np.array(
+                [[rng.randint(-2, 2) for _ in range(n)] for _ in range(r)]
+            )
+            mats.append((X @ Y).astype(np.int32))
+        A = np.stack(mats)
+        res = bareiss_batched(jnp.asarray(A))
+        assert bool(np.asarray(res.ok).all())
+        for i in range(6):
+            assert int(res.det[i]) == 0
+            assert int(res.rank[i]) == sympy.Matrix(A[i].tolist()).rank()
+
+    def test_zero_column_skip(self):
+        A = np.array(
+            [[[0, 1, 2], [0, 3, 4], [0, 5, 6]],
+             [[1, 0, 0], [0, 0, 1], [0, 1, 0]]],
+            dtype=np.int32,
+        )
+        res = bareiss_batched(jnp.asarray(A))
+        assert int(res.det[0]) == 0 and int(res.rank[0]) == 2
+        assert int(res.det[1]) == -1 and int(res.rank[1]) == 3
+
+    def test_bit_matches_exact_path(self, quiet_trace):
+        """Device Bareiss determinant == exact-path planner determinant,
+        as integers, wherever the runtime overflow flag allows the
+        exactness claim (config-1-style sparse 8x8 inputs)."""
+        from linalg_solver_tpu.exact.matrix import Matrix
+
+        rng = random.Random(2026)
+        A = int_batch(4, 6, rng, lo=-3, hi=3)
+        # Sparsify (config 1 uses ~45% sparsity): keeps minors small AND
+        # keeps the exact-path planner search fast.
+        for b in range(4):
+            for _ in range(16):
+                A[b, rng.randrange(6), rng.randrange(6)] = 0
+        res = bareiss_batched(jnp.asarray(A))
+        checked = 0
+        for i in range(4):
+            if not bool(res.ok[i]):
+                continue
+            exact = Matrix(
+                [[sympy.Rational(int(x)) for x in row] for row in A[i]]
+            ).determinant()
+            assert int(res.det[i]) == int(exact)
+            checked += 1
+        assert checked >= 2
+
+    def test_identity_and_diagonal(self):
+        A = np.stack([
+            np.eye(4, dtype=np.int32),
+            np.diag(np.array([2, -3, 1, 4], np.int32)),
+        ])
+        res = bareiss_batched(jnp.asarray(A))
+        assert list(np.asarray(res.det)) == [1, -24]
+        assert list(np.asarray(res.rank)) == [4, 4]
+
+    def test_overflow_flagged(self):
+        # Large entries at n=8 exceed the int32 Hadamard bound.
+        rng = random.Random(3)
+        A = int_batch(2, 8, rng, lo=-1000, hi=1000)
+        res = bareiss_batched(jnp.asarray(A))
+        assert not bool(np.asarray(res.ok).all())

@@ -152,3 +152,17 @@ class TestNativePerformance:
         # Not a strict benchmark, but the native engine should never be
         # slower; typically it is 10-100x faster.
         assert t_native < t_python, (t_native, t_python)
+
+
+class TestNativeTreeSoundness:
+    def test_full_tree_soundness_randomized(self):
+        """The native engine's remap must also fix up minor coordinate
+        systems (full-tree nz validation)."""
+        from tests.test_planner import _validate_tree
+
+        rng = random.Random(23)
+        for _ in range(10):
+            n = rng.randint(3, 6)
+            pattern = random_pattern(rng, n, 0.5)
+            _, proc = native.find_optimal_process(pattern)
+            _validate_tree(SparsityPattern.from_bools(pattern), proc)

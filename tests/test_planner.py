@@ -358,3 +358,116 @@ class TestPermutationAlgebra:
             Permutation([0, 0])
         with pytest.raises(ValueError):
             Permutation([0, 5])
+
+
+def _validate_tree(pattern: "SparsityPattern", process, rows=None, cols=None):
+    """Structural soundness: at every node, the process's expected nonzeros
+    must equal the pattern restricted to (rows, cols) — including inside
+    expansion minors, block-triangular blocks and AddRow results.  This is
+    the full-tree version of the executor's runtime sparsity check."""
+    from linalg_solver_tpu.planner import (
+        AddRow as _AddRow,
+        BlockTriangular as _BT,
+        ColExpansion as _CE,
+        Direct as _D,
+        RowExpansion as _RE,
+    )
+
+    if rows is None:
+        rows = list(range(pattern.rows))
+    if cols is None:
+        cols = list(range(pattern.cols))
+    actual = {
+        (i, j)
+        for i in range(len(rows))
+        for j in range(len(cols))
+        if pattern.get(rows[i], cols[j])
+    }
+    raw = process.raw
+    if not isinstance(raw, _AddRow):
+        assert set(process.expected_nonzeros.entries()) == actual, (
+            rows, cols, sorted(actual),
+            process.expected_nonzeros.entries(),
+        )
+    if isinstance(raw, _RE):
+        sub_rows = [r for i, r in enumerate(rows) if i != raw.row]
+        for c, sub in raw.minors:
+            sub_cols = [x for i, x in enumerate(cols) if i != c]
+            _validate_tree(pattern, sub, sub_rows, sub_cols)
+    elif isinstance(raw, _CE):
+        sub_cols = [x for i, x in enumerate(cols) if i != raw.col]
+        for r, sub in raw.minors:
+            sub_rows = [x for i, x in enumerate(rows) if i != r]
+            _validate_tree(pattern, sub, sub_rows, sub_cols)
+    elif isinstance(raw, _BT):
+        arp = [rows[i] for i in raw.row_perm]
+        acp = [cols[i] for i in raw.col_perm]
+        offset = 0
+        for block in raw.blocks:
+            size = block.size
+            _validate_tree(
+                pattern, block,
+                arp[offset:offset + size], acp[offset:offset + size],
+            )
+            offset += size
+    elif isinstance(raw, _AddRow):
+        # Apply the symbolic row operation, then validate the result tree.
+        import copy
+
+        bits = [
+            [pattern.get(rows[i], cols[j]) for j in range(len(cols))]
+            for i in range(len(rows))
+        ]
+        for j in range(len(cols)):
+            bits[raw.dst][j] = bits[raw.dst][j] or bits[raw.src][j]
+        bits[raw.dst][raw.pivot_col] = False
+        sub_pattern = SparsityPattern.from_bools(bits)
+        _validate_tree(
+            pattern=sub_pattern, process=raw.result,
+            rows=list(range(len(rows))), cols=list(range(len(cols))),
+        )
+
+
+class TestProcessTreeSoundness:
+    def test_regression_cached_minor_coordinates(self):
+        """Regression: remapped cache hits must fix up expansion minors'
+        local coordinate systems (sorted-remaining order changes under
+        permutation).  This exact matrix used to trip the executor's
+        sparsity check (and would trip the reference's too)."""
+        M = [
+            [0, 2, 0, -2, 0, -1],
+            [0, -1, 3, 0, 2, 0],
+            [0, 0, 2, 0, -3, 1],
+            [0, 0, -1, 0, 0, 2],
+            [0, 0, 0, -1, -3, 3],
+            [2, -1, -1, 0, 0, 0],
+        ]
+        pattern = SparsityPattern.from_bools(
+            [[x != 0 for x in row] for row in M]
+        )
+        _, proc = find_optimal_process(pattern)
+        _validate_tree(pattern, proc)
+
+        import sympy
+
+        from linalg_solver_tpu.exact.determinant_exec import execute_process
+        from linalg_solver_tpu.exact.matrix import Matrix
+        from linalg_solver_tpu.utils.trace import nest_logger
+
+        m = Matrix([[sympy.Rational(x) for x in row] for row in M])
+        with nest_logger():
+            got = execute_process(m, proc)
+        assert got == sympy.Matrix(M).det()
+
+    def test_full_tree_soundness_randomized(self):
+        rng = random.Random(17)
+        for _ in range(12):
+            n = rng.randint(3, 6)
+            pattern = SparsityPattern.from_bools(
+                [
+                    [rng.random() < 0.5 for _ in range(n)]
+                    for _ in range(n)
+                ]
+            )
+            _, proc = find_optimal_process(pattern)
+            _validate_tree(pattern, proc)
