@@ -15,7 +15,6 @@ Runs on the default JAX platform (the real TPU under the driver).
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -26,26 +25,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _time_fn(fn, a, b, iters: int = 15) -> float:
-    """Dependency-chained timing: each iteration's input depends on the
-    previous output and the chain ends in a host readback, so async
-    dispatch (and the TPU tunnel's lenient block_until_ready) cannot
-    hide execution time."""
-    dep = jax.jit(lambda a, s: a + 1e-12 * s)
+    from linalg_solver_tpu.utils.benchmarking import chained_time
 
-    def run_chain(k: int) -> float:
-        out = fn(a, b)
-        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        t0 = time.perf_counter()
-        aa = a
-        for _ in range(k):
-            out = fn(aa, b)
-            aa = dep(a, jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        return (time.perf_counter() - t0) / k
-
-    # The first chained run in a process is several times slower (device /
-    # runtime warm-up); measure twice and keep the better.
-    return min(run_chain(5), run_chain(iters))
+    return chained_time(fn, a, b, iters=iters)
 
 
 def main() -> None:

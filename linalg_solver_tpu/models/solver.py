@@ -68,6 +68,13 @@ class BatchedSolver:
         subspace results."""
         return solve_batched(a, b, tol=1e-5, pivot_rule="partial")
 
+    def det_exact(self, a_int: jax.Array):
+        """BIT-EXACT integer determinants + ranks (Bareiss fraction-free
+        elimination); see ``ops.exact_int`` for the overflow contract."""
+        from ..ops.exact_int import bareiss_batched
+
+        return bareiss_batched(a_int)
+
 
 # ---------------------------------------------------------------------------
 # Preconditioner training (the multichip "training step")

@@ -145,15 +145,26 @@ def replay_solve_trace(batch: int = 4, n: int = 3, seed: int = 0) -> None:
         batch,
     )
     host_aug = np.asarray(aug[0])
-    log_replayed_reduction(
+    reduced_exact = log_replayed_reduction(
         host_aug,
         np.asarray(res.events[0]),
         int(res.num_events[0]),
         bar_col=n,
     )
     log(
-        r"Řešení prvku 0: $x = %s$",
-        "(" + ", ".join(
-            str(v) for v in np.asarray(res.reduced[0][:, n])
-        ) + ")",
+        r"Řešení prvku 0 (přesně, z přehrané derivace): "
+        r"$x = \left(%s\right)$",
+        ", ".join(
+            sympy.latex(sympy.nsimplify(row[n])) for row in reduced_exact
+        ),
+    )
+
+    # Exact integer determinants of the same batch (Bareiss, bit-exact).
+    from ..ops.exact_int import bareiss_batched
+
+    bres = bareiss_batched(jnp.round(A).astype(jnp.int32))
+    log(
+        r"Celočíselné determinanty dávky (Bareissova eliminace, přesně): "
+        r"$%s$",
+        ", ".join(str(int(d)) for d in np.asarray(bres.det)),
     )

@@ -1,0 +1,53 @@
+"""Measurement utilities for TPU workloads.
+
+``chained_time`` is the framework's canonical timing method: each
+iteration's input depends on the previous output and the chain ends in a
+host readback, so asynchronous dispatch (and remote-tunnel runtimes whose
+``block_until_ready`` is lenient) cannot hide execution time.  The first
+chained run in a process is typically several times slower than steady
+state, so the best of ``repeats`` runs is reported.
+
+``trace`` wraps ``jax.profiler`` for on-device profiling.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+
+
+def chained_time(
+    fn: Callable, *args, iters: int = 15, repeats: int = 2
+) -> float:
+    """Average seconds per call of ``fn(*args)``, async-dispatch-proof."""
+    dep = jax.jit(lambda x, s: x + 1e-12 * s)
+
+    def leaf(out):
+        return jax.tree_util.tree_leaves(out)[0]
+
+    def run(k: int) -> float:
+        out = fn(*args)
+        float(leaf(out).ravel()[0])  # warm + sync
+        t0 = time.perf_counter()
+        chained = args[0]
+        for _ in range(k):
+            out = fn(chained, *args[1:])
+            chained = dep(args[0], leaf(out).ravel()[0])
+        float(leaf(out).ravel()[0])
+        return (time.perf_counter() - t0) / k
+
+    return min(run(iters if r else max(iters // 3, 2))
+               for r in range(repeats))
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Profile a block with ``jax.profiler`` (view with TensorBoard/xprof)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
