@@ -679,19 +679,25 @@ class Matrix:
                 or (isinstance(r, (int, float)) and not isinstance(r, bool))
             }
         if roots:
-            factors_dict = char_poly.factor_roots(list(roots.items()))
-            rendered = []
-            for factor, mult in factors_dict.items():
-                if mult == 1:
-                    rendered.append(cformat(factor, arg_of="*"))
-                else:
-                    rendered.append(
-                        r"%s^{%d}" % (cformat(factor, arg_of="^"), mult)
-                    )
-            log(
-                r"Rozložený tvar: $$ p(\lambda) = %s $$",
-                r" \cdot ".join(rendered),
-            )
+            try:
+                factors_dict = char_poly.factor_roots(list(roots.items()))
+            except ValueError:
+                # Radical roots that resist exact division verification:
+                # skip the factored display, the eigenvalues stand.
+                factors_dict = None
+            if factors_dict is not None:
+                rendered = []
+                for factor, mult in factors_dict.items():
+                    if mult == 1:
+                        rendered.append(cformat(factor, arg_of="*"))
+                    else:
+                        rendered.append(
+                            r"%s^{%d}" % (cformat(factor, arg_of="^"), mult)
+                        )
+                log(
+                    r"Rozložený tvar: $$ p(\lambda) = %s $$",
+                    r" \cdot ".join(rendered),
+                )
 
         summary = ", ".join(
             f"${cformat(r)}$ (multiplicity {m})" for r, m in roots.items()

@@ -16,6 +16,27 @@ import sympy
 from ..utils.fmt import cformat
 
 
+def _numerically_zero(expr: Any, scale: "Polynomial", digits: int = 40) -> bool:
+    """High-precision numeric check that a (possibly Poly-wrapped) sympy
+    remainder vanishes, relative to the polynomial's coefficient scale."""
+    try:
+        if isinstance(expr, sympy.Poly):
+            coeffs = expr.all_coeffs()
+        else:
+            coeffs = [expr]
+        ref = max(
+            (abs(complex(sympy.N(c, digits))) for c in scale.powers.values()),
+            default=1.0,
+        )
+        ref = max(ref, 1.0)
+        return all(
+            abs(complex(sympy.N(c, digits))) < 10.0 ** (-digits // 2) * ref
+            for c in coeffs
+        )
+    except Exception:
+        return False
+
+
 class Polynomial:
     """``{exponent: coefficient}`` plus a display variable name."""
 
@@ -116,13 +137,19 @@ class Polynomial:
 
     # -- root manipulation ------------------------------------------------
     def remove_root(self, root: Any) -> "Polynomial":
-        """Exact division by ``(x - root)``; raises if the remainder is nonzero."""
+        """Exact division by ``(x - root)``; raises if the remainder is nonzero.
+
+        Roots in complicated radical form (e.g. cubic formulas) can defeat
+        sympy's symbolic zero-proving even when exact; the remainder is then
+        verified numerically at high precision before rejecting.
+        """
         if not self.powers:
             return Polynomial({}, self.var)
         x = sympy.symbols(self.var)
         p = self._to_sympy_poly()
         quotient, remainder = sympy.div(p, sympy.Poly(x - root, x))
-        if not sympy.simplify(remainder).is_zero:
+        rem = sympy.simplify(remainder)
+        if not rem.is_zero and not _numerically_zero(rem, scale=self):
             raise ValueError(
                 f"{root} is not a root of the polynomial, division resulted "
                 f"in remainder {remainder}"

@@ -68,6 +68,19 @@ class BatchedSolver:
         subspace results."""
         return solve_batched(a, b, tol=1e-5, pivot_rule="partial")
 
+    def solve_checked(self, a: jax.Array, b: jax.Array,
+                      rel_tol: float = 1e-3):
+        """Solve + verify: returns ``(x, relative_residuals, ok_mask)``.
+        The production-facing failure-detection hook — a solver result is
+        only trusted when its residual check passes."""
+        x = self.solve(a, b)
+        resid = jnp.linalg.norm(
+            jnp.einsum("...ij,...j->...i", a, x) - b, axis=-1
+        )
+        scale = jnp.linalg.norm(b, axis=-1) + 1e-30
+        rel = resid / scale
+        return x, rel, rel < rel_tol
+
     def det_exact(self, a_int: jax.Array):
         """BIT-EXACT integer determinants + ranks (Bareiss fraction-free
         elimination); see ``ops.exact_int`` for the overflow contract."""

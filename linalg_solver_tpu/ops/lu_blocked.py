@@ -336,6 +336,15 @@ def blocked_lu_solve(
     return x[:, :, 0] if vector_input else x
 
 
+@functools.partial(jax.jit, static_argnames=("nb",))
+def blocked_inverse_batched(a: jax.Array, nb: int = 64) -> jax.Array:
+    """Batched inverse: LU factor + block substitution against I."""
+    B, N, _ = a.shape
+    res = blocked_lu_batched(a, nb=nb)
+    eye = jnp.broadcast_to(jnp.eye(N, dtype=res.lu.dtype), (B, N, N))
+    return blocked_lu_solve(res, eye, nb=nb)
+
+
 @jax.jit
 def blocked_det_batched(a: jax.Array) -> jax.Array:
     res = blocked_lu_batched(a)

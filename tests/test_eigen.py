@@ -160,3 +160,20 @@ class TestDiagonalize:
         res = A.diagonalize()
         text = res.cformat()
         assert "Diagonalizace" in text
+
+
+class TestRadicalRootRobustness:
+    def test_cubic_radical_spectrum(self):
+        """Matrices whose characteristic polynomial has cubic-radical roots
+        must not crash eigenvalues/diagonalize (sympy cannot symbolically
+        prove the division remainder zero; the numeric fallback must)."""
+        A = rationalize(Matrix([[2, 1, 0], [0, 3, 1], [1, 0, 1]]))
+        eigs = A.eigenvalues()
+        assert len(eigs) == 3 and all(m == 1 for m in eigs.values())
+        # (Full diagonalize over the radical field is exact but extremely
+        # slow in sympy — eigenvalues() is the path the fix unblocks.)
+
+    def test_remove_root_still_rejects_nonroots(self):
+        p = Polynomial({2: 1, 1: -3, 0: 2})  # (x-1)(x-2)
+        with pytest.raises(ValueError):
+            p.remove_root(sympy.Rational(7))

@@ -128,3 +128,23 @@ class TestBlockedLU:
         )
         # Odd sizes fall back to the loop path.
         assert dispatch._resolve("auto", "solve", 7) == "loop"
+
+
+class TestBlockedInverse:
+    def test_inverse(self):
+        A = make_batch(4, 16, seed=11)
+        from linalg_solver_tpu.ops.lu_blocked import blocked_inverse_batched
+
+        inv = np.asarray(blocked_inverse_batched(jnp.asarray(A), nb=8))
+        np.testing.assert_allclose(
+            np.einsum("bij,bjk->bik", A, inv),
+            np.broadcast_to(np.eye(16), (4, 16, 16)),
+            atol=1e-3,
+        )
+
+    def test_dispatch_large_n_uses_blocked(self):
+        from linalg_solver_tpu.ops import dispatch
+
+        assert dispatch._resolve("auto", "inverse", 256) in (
+            "blocked", "pallas",
+        )
