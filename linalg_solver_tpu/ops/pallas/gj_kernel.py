@@ -80,20 +80,18 @@ def _gj_kernel(a_hbm, tol_ref, out_hbm, perm_ref, piv_ref, work, sems,
         inv_piv = 1.0 / safe
 
         arr = out_ref[:]
-        # Extract + normalize the pivot row: [w, bt].
-        pivot_row = jnp.sum(arr * oh_p[:, None, :], axis=0) * inv_piv[None, :]
+        # Extract the (unnormalized) pivot row: [w, bt].
+        pivot_row = jnp.sum(arr * oh_p[:, None, :], axis=0)
 
-        # Eliminate column j from every other row; write the normalized
-        # pivot row back in place.  Skipped entirely for lanes without a
-        # usable pivot.
+        # One fused update: new[r] = arr[r] − coeff[r]·pivot_row with
+        #   coeff[r≠p] = col[r]/piv   (eliminates column j), and
+        #   coeff[p]   = 1 − 1/piv    (normalizes the pivot row in place:
+        #                              arr[p] − (1−1/piv)·arr[p] = arr[p]/piv).
         act = has_pivot.astype(dtype)                     # [bt]
-        oh_act = oh_p * act[None, :]
-        factors = col * (1.0 - oh_p) * act[None, :]       # [n, bt]
-        arr = arr - factors[:, None, :] * pivot_row[None, :, :]
-        arr = (
-            arr * (1.0 - oh_act[:, None, :])
-            + oh_act[:, None, :] * pivot_row[None, :, :]
-        )
+        coeff = jnp.where(
+            oh_p > 0, 1.0 - inv_piv[None, :], col * inv_piv[None, :]
+        ) * act[None, :]
+        arr = arr - coeff[:, None, :] * pivot_row[None, :, :]
         out_ref[:] = arr
 
         newly = ((rows == p[None, :]) & has_pivot[None, :]).astype(dtype)
