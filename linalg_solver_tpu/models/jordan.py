@@ -30,6 +30,8 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.precision import f32_matmuls
 from jax import lax
 
 from ..ops.solve import rank_batched as _gj_rank_batched
@@ -59,6 +61,7 @@ def _rank_svd(mats: jax.Array, coeff: float) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k_max", "method"))
+@f32_matmuls
 def jordan_analysis(
     a: jax.Array,
     eigenvalues: jax.Array,

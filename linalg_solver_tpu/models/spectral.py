@@ -56,7 +56,8 @@ def spectral_pipeline(
         diag = diagonalize(mat, iters=iters, tol=tol)
         return lam, lam_im, alg, geom, diag
 
-    lam, lam_im, alg, geom, diag = jax.vmap(single)(a)
+    with jax.default_matmul_precision("float32"):
+        lam, lam_im, alg, geom, diag = jax.vmap(single)(a)
     return SpectralReport(
         lam, lam_im, alg, geom,
         diag.success, diag.P, diag.P_inv, diag.D,

@@ -24,6 +24,8 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.precision import f32_matmuls
 from jax import lax
 
 from .rref import rref
@@ -35,6 +37,7 @@ from .solve import BatchedAffineSubspace, inverse, nullspace, rank
 # ---------------------------------------------------------------------------
 
 @jax.jit
+@f32_matmuls
 def charpoly(a: jax.Array) -> jax.Array:
     """Coefficients of ``p(λ) = det(λI − A)`` (monic), highest degree first:
     ``[1, c_{n-1}, ..., c_0]``.
@@ -75,6 +78,47 @@ class EigvalsResult(NamedTuple):
     imag: jax.Array  # [..., n]
 
 
+def householder_qr(a: jax.Array):
+    """Full-precision QR of a square matrix via Householder reflections.
+
+    ``jnp.linalg.qr`` on TPU runs its internal products at reduced matmul
+    precision (measured |QR−A| ≈ 7e-3 relative) and ignores the precision
+    context — useless inside an iterative eigensolver.  This version uses
+    only VPU elementwise ops and explicitly-f32 matvecs.
+    """
+    n = a.shape[0]
+    idx = jnp.arange(n)
+
+    def body(k, carry):
+        R, Qt = carry
+        x = R[:, k]
+        mask = (idx >= k).astype(R.dtype)
+        xm = x * mask
+        xk = R[k, k]
+        alpha = -jnp.sign(jnp.where(xk == 0, 1.0, xk)) * jnp.sqrt(
+            jnp.sum(xm * xm)
+        )
+        v = xm - alpha * (idx == k).astype(R.dtype)
+        vnorm2 = jnp.sum(v * v)
+        beta = jnp.where(vnorm2 > 0, 2.0 / vnorm2, 0.0)
+        vR = jax.lax.dot_general(
+            v, R, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        R = R - beta * v[:, None] * vR[None, :]
+        vQ = jax.lax.dot_general(
+            v, Qt, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Qt = Qt - beta * v[:, None] * vQ[None, :]
+        return R, Qt
+
+    R, Qt = lax.fori_loop(
+        0, n, body, (a, jnp.eye(n, dtype=a.dtype))
+    )
+    return Qt.T, R
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def eigvals_qr(a: jax.Array, iters: int = 100) -> EigvalsResult:
     """Eigenvalues of a real ``[n, n]`` matrix via Wilkinson-shifted QR.
@@ -93,7 +137,9 @@ def eigvals_qr(a: jax.Array, iters: int = 100) -> EigvalsResult:
     eye = jnp.eye(n, dtype=a.dtype)
 
     def body(_, A):
-        # Wilkinson shift from the trailing 2x2 block.
+        # Wilkinson shift from the trailing 2x2 block.  (This loop runs
+        # under float32 matmul precision: the TPU's default bf16 matmul
+        # mantissa stalls the iteration at O(1e-2) errors.)
         t = A[n - 2, n - 2] + A[n - 1, n - 1]
         d = A[n - 2, n - 2] * A[n - 1, n - 1] - A[n - 2, n - 1] * A[n - 1, n - 2]
         disc = t * t / 4 - d
@@ -107,8 +153,12 @@ def eigvals_qr(a: jax.Array, iters: int = 100) -> EigvalsResult:
             jnp.abs(mu1 - corner) < jnp.abs(mu2 - corner), mu1, mu2
         )
         mu = jnp.where(disc >= 0, mu, t / 2)
-        Q, R = jnp.linalg.qr(A - mu * eye)
-        return R @ Q + mu * eye
+        Q, R = householder_qr(A - mu * eye)
+        RQ = jax.lax.dot_general(
+            R, Q, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return RQ + mu * eye
 
     A = lax.fori_loop(0, iters, body, a)
 
@@ -198,6 +248,7 @@ def geometric_multiplicity(
 
 
 @functools.partial(jax.jit, static_argnames=("k_max",))
+@f32_matmuls
 def weyr_characteristic(
     a: jax.Array, eigenvalue: jax.Array, k_max: int,
     tol: Optional[float] = None,
@@ -247,6 +298,7 @@ class DiagonalizationDevResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+@f32_matmuls
 def diagonalize(
     a: jax.Array,
     iters: int = 100,

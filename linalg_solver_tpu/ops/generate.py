@@ -21,6 +21,8 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
+
 from .lu import det_lu_batched
 from .solve import inverse_batched, rank_batched
 
@@ -41,6 +43,7 @@ def random_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n", "dtype", "spread"))
+@f32_matmuls
 def unimodular_batch(
     key: Array, b: int, n: int, dtype=jnp.float32, spread: int = 1
 ) -> Array:
@@ -85,6 +88,7 @@ def full_rank_batch(
     jax.jit,
     static_argnames=("b", "m", "n", "r", "lo", "hi", "dtype", "max_tries"),
 )
+@f32_matmuls
 def rank_batch(
     key: Array, b: int, m: int, n: int, r: int,
     lo: int = -5, hi: int = 5, dtype=jnp.float32, max_tries: int = 8,
@@ -112,6 +116,7 @@ def rank_batch(
 
 
 @functools.partial(jax.jit, static_argnames=("b", "n", "dtype"))
+@f32_matmuls
 def orthogonal_batch(key: Array, b: int, n: int, dtype=jnp.float32) -> Array:
     """Batch of Haar-ish random orthogonal matrices (QR of a Gaussian).
     Perfectly conditioned similarity transforms — the right choice for
@@ -133,6 +138,7 @@ def _similarity_pair(key, b, n, transform, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("b", "dtype", "transform"))
+@f32_matmuls
 def diagonalizable_batch(
     key: Array, b: int, eigenvalues: Sequence[float], dtype=jnp.float32,
     transform: str = "unimodular",
@@ -168,6 +174,7 @@ def jordan_form_matrix(
 @functools.partial(
     jax.jit, static_argnames=("b", "blocks", "dtype", "transform")
 )
+@f32_matmuls
 def jordan_batch(
     key: Array, b: int, blocks: Tuple[Tuple[float, int], ...],
     dtype=jnp.float32, transform: str = "unimodular",

@@ -28,6 +28,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.precision import f32_matmuls
 from jax import lax
 
 
@@ -204,6 +206,7 @@ def _panel_factor_two_level(panel, nb, nbi, tol):
 @functools.partial(
     jax.jit, static_argnames=("nb", "panel_backend", "interpret")
 )
+@f32_matmuls
 def blocked_lu_batched(
     a: jax.Array, nb: int = 128, tol: float = 0.0,
     panel_backend: str = "xla", interpret: bool = False,
@@ -281,6 +284,7 @@ def blocked_lu_batched(
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
+@f32_matmuls
 def blocked_solve_batched(
     a: jax.Array, b: jax.Array, nb: int = 128
 ) -> jax.Array:
@@ -291,6 +295,7 @@ def blocked_solve_batched(
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
+@f32_matmuls
 def blocked_lu_solve(
     res: BlockedLUResult, b: jax.Array, nb: int = 64
 ) -> jax.Array:
@@ -337,6 +342,7 @@ def blocked_lu_solve(
 
 
 @functools.partial(jax.jit, static_argnames=("nb",))
+@f32_matmuls
 def blocked_inverse_batched(a: jax.Array, nb: int = 64) -> jax.Array:
     """Batched inverse: LU factor + block substitution against I."""
     B, N, _ = a.shape

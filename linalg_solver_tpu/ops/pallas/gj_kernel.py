@@ -138,7 +138,9 @@ def tile_size(n: int, w: int) -> int:
 
 
 def supported(n: int, w: Optional[int] = None) -> bool:
-    return tile_size(n, w if w is not None else 2 * n) > 0
+    w = w if w is not None else 2 * n
+    w = ((w + 7) // 8) * 8  # the wrapper pads to the sublane tile
+    return tile_size(n, w) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -183,7 +185,16 @@ def gauss_jordan_tiled(
     """Run the kernel over a ``[B, N, W]`` batch (``W >= N``; columns past
     ``N`` are the augmented part, carried along).  ``tol`` is a per-matrix
     pivot threshold ``[B]`` (default 0: any nonzero pivots)."""
-    B, n, w = a.shape
+    B, n, w_in = a.shape
+    # The column dimension sits in the sublane axis of the [N, W, BT]
+    # working tile: unaligned widths (e.g. [A|b] with w = n+1) fault the
+    # DMA slicing on hardware — pad to the f32 tile multiple of 8 with
+    # zero columns (carried along untouched by the elimination).
+    w = ((w_in + 7) // 8) * 8
+    if w != w_in:
+        a = jnp.concatenate(
+            [a, jnp.zeros((B, n, w - w_in), a.dtype)], axis=2
+        )
     bt = tile_size(n, w)
     if bt == 0:
         raise ValueError(
@@ -209,7 +220,7 @@ def gauss_jordan_tiled(
         a_t, tol.astype(dtype)[None, :], interpret
     )
     out = GJResult(
-        jnp.transpose(reduced, (2, 0, 1))[:B],
+        jnp.transpose(reduced, (2, 0, 1))[:B, :, :w_in],
         jnp.transpose(perm, (1, 0))[:B],
         jnp.transpose(pivs, (1, 0))[:B],
     )
