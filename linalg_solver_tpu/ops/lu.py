@@ -21,6 +21,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..utils.precision import f32_matmuls
 from jax import lax
 
 
@@ -32,6 +34,7 @@ class LUResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=())
+@f32_matmuls
 def lu_factor(a: jax.Array, tol: float = 0.0) -> LUResult:
     """Factor a single ``[n, n]`` matrix: P @ a = L @ U."""
     n = a.shape[0]
@@ -81,6 +84,7 @@ def lu_factor_batched(a: jax.Array, tol: float = 0.0) -> LUResult:
 
 
 @jax.jit
+@f32_matmuls
 def lu_solve(res: LUResult, b: jax.Array) -> jax.Array:
     """Solve ``a @ x = b`` given ``lu_factor(a)`` (single system;
     ``b`` may be a vector or ``[n, k]`` block of right-hand sides)."""

@@ -19,6 +19,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..utils.precision import f32_matmuls
+
 from .rref import RREFResult, rref
 
 
@@ -96,6 +98,7 @@ def _extract_affine(res: RREFResult, n: int, tol: float) -> BatchedAffineSubspac
 
 
 @functools.partial(jax.jit, static_argnames=("pivot_rule",))
+@f32_matmuls
 def solve(
     a: jax.Array,
     b: jax.Array,
@@ -135,6 +138,7 @@ def nullspace_batched(a, tol: float = 0.0, pivot_rule: str = "first"):
 
 
 @functools.partial(jax.jit, static_argnames=("pivot_rule",))
+@f32_matmuls
 def inverse(
     a: jax.Array, tol: float = 0.0, pivot_rule: str = "partial"
 ) -> InverseResult:
