@@ -53,7 +53,9 @@ def spectral_pipeline(
         geom = jax.vmap(
             lambda l: geometric_multiplicity(mat, l, tol=rank_tol)
         )(lam)
-        diag = diagonalize(mat, iters=iters, tol=tol)
+        # Reuse the QR iteration's eigenvalues for the diagonalization —
+        # the iteration is the dominant cost of the pipeline.
+        diag = diagonalize(mat, iters=iters, tol=tol, eigvals=ev)
         return lam, lam_im, alg, geom, diag
 
     with jax.default_matmul_precision("float32"):

@@ -304,6 +304,7 @@ def diagonalize(
     iters: int = 100,
     tol: float = 1e-4,
     space_tol: float = 1e-3,
+    eigvals: Optional[EigvalsResult] = None,
 ) -> DiagonalizationDevResult:
     """Batched numeric diagonalization over the reals.
 
@@ -320,7 +321,7 @@ def diagonalize(
     """
     n = a.shape[0]
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
-    ev = eigvals_qr(a, iters=iters)
+    ev = eigvals_qr(a, iters=iters) if eigvals is None else eigvals
     order = jnp.argsort(-ev.real)
     lam = ev.real[order]
     lam_im = ev.imag[order]
