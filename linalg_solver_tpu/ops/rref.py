@@ -138,8 +138,11 @@ def rref(
         events, ec = push_event(events, ec, EV_SWAP, r, pivot_row, do_swap)
 
         # --- normalize pivot row -----------------------------------------
+        # Event gating is tolerance-based: float pivots land 1-ulp off
+        # exact values (0.99999994 vs the exact path's 1), and the event
+        # stream must match the exact path's step sequence.
         pivot_val = A[r, j]
-        needs_norm = has_pivot & (pivot_val != 1)
+        needs_norm = has_pivot & (jnp.abs(pivot_val - 1) > tol_arr)
         normalized = A[r] / jnp.where(has_pivot, pivot_val, 1)
         A = A.at[r].set(jnp.where(has_pivot, normalized, A[r]))
         det = jnp.where(has_pivot, det * pivot_val, det)
@@ -147,7 +150,7 @@ def rref(
 
         # --- eliminate below ---------------------------------------------
         factors = jnp.where((row_idx > r) & has_pivot, A[:, j], 0)
-        any_elim = (factors != 0).any()
+        any_elim = (jnp.abs(factors) > tol_arr).any()
         A = A - factors[:, None] * A[r][None, :]
         events, ec = push_event(events, ec, EV_ELIM_BELOW, j, r, any_elim)
 
@@ -187,7 +190,7 @@ def rref(
         colj = piv_cols[kk_safe]
         col = A[:, colj]
         factors = jnp.where((row_idx < row) & valid, col, 0)
-        any_elim = (factors != 0).any()
+        any_elim = (jnp.abs(factors) > tol_arr).any()
         A = A - factors[:, None] * A[row][None, :]
         events, ec = push_event(
             events, ec, EV_ELIM_ABOVE, colj, row, any_elim

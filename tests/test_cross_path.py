@@ -87,3 +87,64 @@ class TestSolveStructureAgreement:
             got = sorted(float(v) for v in np.asarray(dev.real))
             want = sorted(float(e) for e in exact)
             np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+class TestTraceReplayFuzz:
+    def test_replay_matches_exact_path_randomized(self, quiet_trace):
+        """Device event streams must replay to the exact path's snapshots
+        for arbitrary integer systems (many seeds, with forced zeros)."""
+        import jax.numpy as jnp
+
+        from linalg_solver_tpu.ops.rref import rref
+        from linalg_solver_tpu.trace.events import replay_rref_events
+
+        rng = random.Random(77)
+        for trial in range(10):
+            m, n = 4, 5
+            A = [
+                [
+                    rng.randint(-3, 3) if rng.random() < 0.7 else 0
+                    for _ in range(n)
+                ]
+                for _ in range(m)
+            ]
+            exact = Matrix(
+                [[sympy.Rational(x) for x in row] for row in A]
+            )
+            exact_reduced, _, exact_snaps, exact_steps = exact.row_reduce(
+                bar_col=n - 1
+            )
+            res = rref(
+                jnp.asarray(np.array(A, np.float32)), bar_col=n - 1,
+                tol=1e-4, pivot_rule="first",
+            )
+            replay_reduced, snaps, steps = replay_rref_events(
+                A, np.asarray(res.events), int(res.num_events),
+                bar_col=n - 1,
+            )
+            assert snaps == exact_snaps, f"trial {trial}"
+            assert [
+                [sympy.Rational(x) for x in row] for row in exact_reduced
+            ] == replay_reduced, f"trial {trial}"
+
+
+class TestDeterminantFuzz:
+    def test_planned_determinant_fuzz(self, quiet_trace):
+        """Wider fuzz of the (native-engine) planner + executor against
+        sympy — guards the remap/coordinate algebra."""
+        rng = random.Random(99)
+        for trial in range(15):
+            n = rng.randint(4, 6)
+            density = rng.choice([0.35, 0.5, 0.65])
+            items = [
+                [
+                    sympy.Rational(rng.randint(-4, 4))
+                    if rng.random() < density else sympy.Rational(0)
+                    for _ in range(n)
+                ]
+                for _ in range(n)
+            ]
+            m = Matrix(items)
+            assert m.determinant() == sympy.Matrix(items).det(), (
+                f"trial {trial}: {items}"
+            )
