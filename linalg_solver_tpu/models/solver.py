@@ -66,7 +66,7 @@ class BatchedSolver:
     def affine_solve(self, a: jax.Array, b: jax.Array):
         """General (possibly singular/rectangular) solve with affine
         subspace results."""
-        return solve_batched(a, b, tol=1e-5, pivot_rule="partial")
+        return solve_batched(a, b, pivot_rule="partial")
 
     def solve_checked(self, a: jax.Array, b: jax.Array,
                       rel_tol: float = 1e-3):

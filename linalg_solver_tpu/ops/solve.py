@@ -102,20 +102,27 @@ def _extract_affine(res: RREFResult, n: int, tol: float) -> BatchedAffineSubspac
 def solve(
     a: jax.Array,
     b: jax.Array,
-    tol: float = 0.0,
+    tol: Optional[float] = None,
     pivot_rule: str = "first",
 ) -> BatchedAffineSubspace:
-    """Solution set of ``a @ x = b`` for a single ``[m, n]`` system."""
+    """Solution set of ``a @ x = b`` for a single ``[m, n]`` system.
+
+    ``tol=None`` uses a data-relative threshold (``100·max(m,n)·eps·max
+    |[A|b]|``); pass an explicit value (e.g. 0) for exact-semantics runs
+    on integer data."""
     m, n = a.shape
     aug = jnp.concatenate(
         [a, b.reshape(m, 1).astype(a.dtype)], axis=1
     )
+    if tol is None:
+        eps = jnp.finfo(jnp.result_type(a.dtype, jnp.float32)).eps
+        tol = 100 * max(m, n + 1) * eps * jnp.max(jnp.abs(aug))
     res = rref(aug, bar_col=n, tol=tol, pivot_rule=pivot_rule,
                record_events=False)
     return _extract_affine(res, n, tol)
 
 
-def solve_batched(a, b, tol: float = 0.0, pivot_rule: str = "first"):
+def solve_batched(a, b, tol: Optional[float] = None, pivot_rule: str = "first"):
     """``solve`` over leading batch axes: ``a[B,m,n]``, ``b[B,m]``."""
     return jax.vmap(
         functools.partial(solve, tol=tol, pivot_rule=pivot_rule)
@@ -124,14 +131,14 @@ def solve_batched(a, b, tol: float = 0.0, pivot_rule: str = "first"):
 
 @functools.partial(jax.jit, static_argnames=("pivot_rule",))
 def nullspace(
-    a: jax.Array, tol: float = 0.0, pivot_rule: str = "first"
+    a: jax.Array, tol: Optional[float] = None, pivot_rule: str = "first"
 ) -> BatchedAffineSubspace:
     """Kernel of ``a`` as an affine subspace through the origin."""
     m = a.shape[0]
     return solve(a, jnp.zeros((m,), a.dtype), tol=tol, pivot_rule=pivot_rule)
 
 
-def nullspace_batched(a, tol: float = 0.0, pivot_rule: str = "first"):
+def nullspace_batched(a, tol: Optional[float] = None, pivot_rule: str = "first"):
     return jax.vmap(
         functools.partial(nullspace, tol=tol, pivot_rule=pivot_rule)
     )(a)
