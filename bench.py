@@ -24,11 +24,13 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _time_fn(fn, a, b, iters: int = 15) -> float:
-    from linalg_solver_tpu.utils.benchmarking import chained_time
+def _time_fn(fn, a, b, iters: int = 10) -> float:
+    from linalg_solver_tpu.utils.benchmarking import device_loop_time
 
-    # Tunnel-attached runs vary ±20-40% between chains; best of three.
-    return chained_time(fn, a, b, iters=iters, repeats=3)
+    # On-device scan loop: excludes the multi-ms per-dispatch latency of
+    # the tunnel runtime (which would otherwise dominate sub-10ms
+    # kernels); best of three runs against tunnel variance.
+    return device_loop_time(fn, a, b, iters=iters, repeats=3)
 
 
 def main() -> None:

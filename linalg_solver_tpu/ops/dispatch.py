@@ -23,15 +23,16 @@ from . import lu_blocked as _lub
 from .solve import inverse_batched as _gj_inverse_batched
 
 
-def _best_nb(n: int) -> int:
-    """Tuned panel width for the blocked path (see bench notes: nb=64 wins
-    at N=256 on v5e; smaller panels pay per-step overheads)."""
-    return min(64, n)
+def _best_nb(n: int, panel_backend: str = "xla") -> int:
+    """Tuned panel width for the blocked path (bench notes: with the
+    Pallas panel kernel nb=128 wins at N=256 on v5e — chunkier trailing
+    GEMMs; the XLA panel prefers nb=64)."""
+    return min(128 if panel_backend == "pallas" else 64, n)
 
 
-def _blocked_ok(n: int) -> bool:
+def _blocked_ok(n: int, panel_backend: str = "xla") -> bool:
     """The blocked path needs N divisible by its panel width."""
-    nb = _best_nb(n)
+    nb = _best_nb(n, panel_backend)
     return n % nb == 0 and n >= 8
 
 
@@ -44,6 +45,10 @@ def _pallas_available() -> bool:
         return False
 
 
+#: ops served by the blocked LU with the Pallas panel kernel
+_BLOCKED_PALLAS_OPS = {"lu_factor", "solve", "det", "inverse"}
+
+
 def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
     if backend == "auto":
         if _pallas_available():
@@ -51,6 +56,12 @@ def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
 
             if pallas.supports(op, n):
                 return "pallas"
+            if (
+                op in _BLOCKED_PALLAS_OPS
+                and n is not None
+                and _blocked_ok(n, "pallas")
+            ):
+                return "blocked_pallas"
         if n is not None and _blocked_ok(n):
             return "blocked"
         return "loop"
@@ -63,6 +74,10 @@ def lu_factor_batched(a: jax.Array, backend: str = "auto"):
         from . import pallas
 
         return pallas.lu_factor_batched(a)
+    if be == "blocked_pallas":
+        return _lub.blocked_lu_batched(
+            a, nb=_best_nb(a.shape[-1], "pallas"), panel_backend="pallas"
+        )
     if be == "blocked":
         return _lub.blocked_lu_batched(a, nb=_best_nb(a.shape[-1]))
     return _lu.lu_factor_batched(a)
@@ -74,6 +89,11 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
         from . import pallas
 
         return pallas.solve_batched(a, b)
+    if be == "blocked_pallas":
+        res = _lub.blocked_lu_batched(
+            a, nb=_best_nb(a.shape[-1], "pallas"), panel_backend="pallas"
+        )
+        return _lub.blocked_lu_solve(res, b)
     if be == "blocked":
         return _lub.blocked_solve_batched(a, b, nb=_best_nb(a.shape[-1]))
     if be == "xla":
@@ -82,11 +102,15 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
 
 
 def inverse_batched(a: jax.Array, backend: str = "auto"):
-    be = _resolve(backend, "inverse")
+    be = _resolve(backend, "inverse", a.shape[-1])
     if be == "pallas":
         from . import pallas
 
         return pallas.inverse_batched(a)
+    if be == "blocked_pallas":
+        return _lub.blocked_inverse_batched(
+            a, nb=_best_nb(a.shape[-1], "pallas"), panel_backend="pallas"
+        )
     if be == "xla":
         return jnp.linalg.inv(a)
     return _gj_inverse_batched(a, tol=1e-30).inverse
@@ -109,6 +133,10 @@ def det_batched(a: jax.Array, backend: str = "auto"):
         from . import pallas
 
         return pallas.det_batched(a)
+    if be == "blocked_pallas":
+        return _lub.blocked_det_batched(
+            a, nb=_best_nb(a.shape[-1], "pallas"), panel_backend="pallas"
+        )
     if be == "blocked":
         return _lub.blocked_det_batched(a)
     if be == "xla":

@@ -24,7 +24,7 @@ square batches; ``ops.pallas.lu_kernel`` moves the panel loop into VMEM.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,17 +38,49 @@ class BlockedLUResult(NamedTuple):
     perm: jax.Array   # [B, N] row i of (PA) = row perm[i] of A
     sign: jax.Array   # [B]
     ok: jax.Array     # [B]
+    #: inverses of the nb×nb diagonal blocks of L and U, ``[B, m, nb, nb]``
+    #: (produced by the pallas path, where they fall out of the panel
+    #: phase) — lets ``blocked_lu_solve`` run with zero inversions.
+    l11_inv: Optional[jax.Array] = None
+    u11_inv: Optional[jax.Array] = None
+
+
+#: below this size, triangular inverses use the Neumann product instead of
+#: recursing — ~10 chunky batched matmuls beat ~60 tiny ops on TPU, where
+#: small-op dispatch latency dominates.
+_NEUMANN_BASE = 64
+
+
+def _neumann_inv_unit(M: jax.Array) -> jax.Array:
+    """Inverse of ``I + M`` for strictly-triangular (nilpotent) ``M``.
+
+    ``inv(I + M) = Σ_k (−M)^k = Π_j (I + (−M)^{2^j})`` — exact after
+    ``ceil(log2 n)`` factors because ``M^n = 0``.  2 batched matmuls per
+    level, all MXU work, no concatenates.
+    """
+    n = M.shape[-1]
+    eye = jnp.eye(n, dtype=M.dtype)
+    P = -M
+    acc = eye + P
+    levels = max((n - 1).bit_length(), 1)
+    for _ in range(levels - 1):
+        P = P @ P
+        acc = acc + acc @ P
+    return acc
 
 
 def invert_unit_lower(L: jax.Array) -> jax.Array:
-    """Inverse of a batched unit-lower-triangular ``[..., n, n]`` matrix by
-    divide and conquer: log₂(n) levels of batched matmuls (MXU work).
+    """Inverse of a batched unit-lower-triangular ``[..., n, n]`` matrix:
+    divide and conquer down to ``_NEUMANN_BASE``, then the Neumann product
+    (all batched matmuls — MXU work).
 
     ``[[A, 0], [C, B]]⁻¹ = [[A⁻¹, 0], [−B⁻¹ C A⁻¹, B⁻¹]]``.
     """
     n = L.shape[-1]
     if n == 1:
         return jnp.ones_like(L)
+    if n <= _NEUMANN_BASE:
+        return _neumann_inv_unit(jnp.tril(L, -1))
     h = n // 2
     A = L[..., :h, :h]
     C = L[..., h:, :h]
@@ -63,10 +95,16 @@ def invert_unit_lower(L: jax.Array) -> jax.Array:
 
 
 def invert_upper(U: jax.Array) -> jax.Array:
-    """Inverse of a batched upper-triangular matrix (non-unit diagonal)."""
+    """Inverse of a batched upper-triangular matrix (non-unit diagonal):
+    D&C to ``_NEUMANN_BASE``, then ``U = D(I + D⁻¹·strict(U))`` with the
+    Neumann product for the unit part."""
     n = U.shape[-1]
     if n == 1:
         return 1.0 / U
+    if n <= _NEUMANN_BASE:
+        d = jnp.diagonal(U, axis1=-2, axis2=-1)
+        K = jnp.triu(U, 1) / d[..., :, None]
+        return _neumann_inv_unit(K) / d[..., None, :]
     h = n // 2
     A = U[..., :h, :h]
     Bm = U[..., :h, h:]
@@ -155,6 +193,76 @@ def _panel_factor(panel, k0, nb, row_idx, tol):
     )
 
 
+def _perm_parity(perm: jax.Array) -> jax.Array:
+    """Sign of a batched permutation ``[B, n]`` via inversion counting."""
+    n = perm.shape[-1]
+    pi = perm.astype(jnp.int32)
+    k_lt_l = jnp.arange(n)[:, None] < jnp.arange(n)[None, :]
+    inversions = jnp.sum(
+        (pi[..., :, None] > pi[..., None, :]) & k_lt_l, axis=(-2, -1)
+    )
+    return jnp.where(inversions % 2 == 0, 1.0, -1.0)
+
+
+def _panel_factor_inplace(panel, nb, tol):
+    """No-swap (in-place pivoting) panel factorization.
+
+    Instead of physically exchanging rows at every pivot step (two extra
+    full-panel one-hot traversals per step), each step selects the
+    largest-magnitude *unpivoted* row as the pivot, eliminates the other
+    unpivoted rows, and records the pivot's step index.  Rows stay in
+    their original positions; the caller reorders once with a single
+    gather (``local_perm = argsort(piv_step)``, stable so never-pivoted
+    rows keep their relative order).  Produces the same packed L\\U panel
+    and the same pivot choices as the swap-based ``_panel_factor`` — the
+    eligible row set at step ``c`` (unpivoted rows) equals the
+    swap-based "rows >= c" set.
+
+    Returns ``(panel_unordered, piv_step [B, n], ok)``.
+    """
+    Bsz, n, _ = panel.shape
+    row_idx = jnp.arange(n)
+    col_idx = jnp.arange(panel.shape[2])
+    sentinel = jnp.int32(n)
+
+    def step(c, carry):
+        panel, pivoted, piv_step, ok = carry
+        col = lax.dynamic_slice_in_dim(panel, c, 1, axis=2)[:, :, 0]
+        masked = jnp.where(pivoted, -jnp.inf, jnp.abs(col))
+        p = jnp.argmax(masked, axis=1)                       # [B]
+        mx = jnp.take_along_axis(masked, p[:, None], 1)[:, 0]
+        has = mx > tol
+        oh_p = row_idx[None, :] == p[:, None]                # [B, n]
+        pivot_val = jnp.take_along_axis(col, p[:, None], 1)[:, 0]
+        inv = 1.0 / jnp.where(has, pivot_val, 1.0)
+        ohf = oh_p.astype(panel.dtype)
+        pivot_row = jnp.einsum("bn,bnk->bk", ohf, panel)     # [B, nb]
+        elim = (~pivoted) & (~oh_p) & has[:, None]
+        factors = col * inv[:, None] * elim.astype(panel.dtype)
+        cols_right = (col_idx[None, None, :] > c).astype(panel.dtype)
+        col_oh = (col_idx[None, None, :] == c).astype(panel.dtype)
+        new_col = jnp.where(elim, factors, col)
+        panel = (
+            panel
+            - factors[:, :, None] * (pivot_row[:, None, :] * cols_right)
+        )
+        panel = panel * (1 - col_oh) + new_col[:, :, None] * col_oh
+        newly = oh_p & has[:, None]
+        pivoted = pivoted | newly
+        piv_step = jnp.where(newly, jnp.int32(c), piv_step)
+        ok = ok & has
+        return panel, pivoted, piv_step, ok
+
+    init = (
+        panel,
+        jnp.zeros((Bsz, n), bool),
+        jnp.full((Bsz, n), sentinel, jnp.int32),
+        jnp.ones((Bsz,), bool),
+    )
+    panel, _, piv_step, ok = lax.fori_loop(0, nb, step, init)
+    return panel, piv_step, ok
+
+
 def _panel_factor_two_level(panel, nb, nbi, tol):
     """Two-level panel factorization: the per-column pivot loop runs over
     ``nbi``-wide inner panels (halving the loop-carried slab), with inner
@@ -203,6 +311,69 @@ def _panel_factor_two_level(panel, nb, nbi, tol):
     return panel, perm_total, sign, ok
 
 
+def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
+    """Deferred-reordering blocked LU around the masked Pallas panel.
+
+    Rows are never physically moved between panel phases: each phase's
+    kernel skips already-pivoted rows (finished U rows), the trailing
+    update is a GEMM with those rows masked to zero, and the per-phase
+    ``U12 = L11⁻¹ A12`` blocks are kept aside.  ONE batched gather at
+    the very end assembles the packed L\\U — this removes the per-phase
+    full-matrix gather + concatenate traffic that dominated the
+    straightforward implementation (measured ~5 of 6.6 ms device time at
+    B=N=256).  The diagonal-block inverses produced along the way are
+    returned so the solve phase needs no triangular inversions.
+    """
+    from .pallas.lu_panel_kernel import panel_factor_masked
+
+    B, N, _ = a.shape
+    A = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    eye_nb = jnp.eye(nb, dtype=A.dtype)
+
+    pivoted = jnp.zeros((B, N), jnp.int32)
+    ok = jnp.ones((B,), bool)
+    piv_rows, u12s, l11s_inv, u11s_inv = [], [], [], []
+
+    for k0 in range(0, N, nb):
+        panel = A[:, :, k0:k0 + nb]
+        panel_u, _, piv_row, pivoted, pok = panel_factor_masked(
+            panel, pivoted, nb, interpret=interpret
+        )
+        ok = ok & pok
+        piv_rows.append(piv_row.astype(jnp.int32))
+        A = A.at[:, :, k0:k0 + nb].set(panel_u)
+
+        # This phase's pivot rows in step order hold L11 (strictly below
+        # the diagonal) and U11 (on/above) — one small [B, nb, nb] gather.
+        prow_idx = piv_rows[-1][:, :, None]
+        L11U11 = jnp.take_along_axis(panel_u, prow_idx, axis=1)
+        l11i = invert_unit_lower(jnp.tril(L11U11, -1) + eye_nb)
+        u11i = invert_upper(jnp.triu(L11U11))
+        l11s_inv.append(l11i)
+        u11s_inv.append(u11i)
+
+        if k0 + nb < N:
+            trail = A[:, :, k0 + nb:]
+            A12 = jnp.take_along_axis(trail, prow_idx, axis=1)
+            U12 = l11i @ A12                     # [B, nb, W]
+            u12s.append(U12)
+            # Masked trailing GEMM: pivoted rows (finished U rows and
+            # this phase's pivots) contribute zero and stay untouched.
+            unpiv = (pivoted == 0).astype(A.dtype)
+            L21m = panel_u * unpiv[:, :, None]
+            A = A.at[:, :, k0 + nb:].set(trail - L21m @ U12)
+
+    perm = jnp.concatenate(piv_rows, axis=1)     # [B, N]
+    lu = jnp.take_along_axis(A, perm[:, :, None], axis=1)
+    for p, U12 in enumerate(u12s):
+        lu = lu.at[:, p * nb:(p + 1) * nb, (p + 1) * nb:].set(U12)
+    sign = _perm_parity(perm).astype(A.dtype)
+    return BlockedLUResult(
+        lu, perm, sign, ok,
+        jnp.stack(l11s_inv, axis=1), jnp.stack(u11s_inv, axis=1),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("nb", "panel_backend", "interpret")
 )
@@ -221,6 +392,8 @@ def blocked_lu_batched(
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
     nb = min(nb, N)
     assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
+    if panel_backend == "pallas":
+        return _pallas_lu(a, nb, interpret)
     row_idx = jnp.arange(N)
     tol_arr = jnp.asarray(tol, a.dtype)
 
@@ -235,32 +408,44 @@ def blocked_lu_batched(
         # and gather traffic on average.
         sub_rows = N - k0
         panel = A[:, k0:, k0:k0 + nb]          # [B, N-k0, nb]
-        if panel_backend == "pallas":
-            from .pallas.lu_panel_kernel import panel_factor
-
-            pres = panel_factor(panel, 0, nb, interpret=interpret)
-            panel, local_perm = pres.panel, pres.local_perm
-            psign, pok = pres.sign, pres.ok
-        elif panel_backend == "two_level" and nb >= 32:
-            panel, local_perm, psign, pok = _panel_factor_two_level(
-                panel, nb, nb // 2, tol_arr
+        if panel_backend == "inplace":
+            # No-swap pivoting: rows stay put during the panel loop; one
+            # stable argsort of the pivot-step indices recovers the
+            # permutation and a single gather reorders everything.
+            panel_u, piv_step, pok = _panel_factor_inplace(
+                panel, nb, tol_arr
             )
+            local_perm = jnp.argsort(
+                piv_step, axis=1, stable=True
+            ).astype(jnp.int32)
+            psign = _perm_parity(local_perm).astype(A.dtype)
+            merged = jnp.concatenate(
+                [A[:, k0:, :k0], panel_u, A[:, k0:, k0 + nb:]], axis=2
+            )
+            lower = jnp.take_along_axis(
+                merged, local_perm[:, :, None], axis=1
+            )
+            panel = lower[:, :, k0:k0 + nb]
         else:
-            panel, local_perm, psign, pok = _panel_factor(
-                panel, 0, nb, jnp.arange(sub_rows), tol_arr
+            if panel_backend == "two_level" and nb >= 32:
+                panel, local_perm, psign, pok = _panel_factor_two_level(
+                    panel, nb, nb // 2, tol_arr
+                )
+            else:
+                panel, local_perm, psign, pok = _panel_factor(
+                    panel, 0, nb, jnp.arange(sub_rows), tol_arr
+                )
+            # Deferred swaps: apply the panel's permutation to the
+            # remaining rows of everything OUTSIDE the panel columns in
+            # one batched gather, then write the factored panel back.
+            lower = jnp.take_along_axis(
+                A[:, k0:, :], local_perm[:, :, None], axis=1
+            )
+            lower = jnp.concatenate(
+                [lower[:, :, :k0], panel, lower[:, :, k0 + nb:]], axis=2
             )
         sign = sign * psign
         ok = ok & pok
-
-        # Deferred swaps: apply the panel's permutation to the remaining
-        # rows of everything OUTSIDE the panel columns in one batched
-        # gather, then write the factored panel back.
-        lower = jnp.take_along_axis(
-            A[:, k0:, :], local_perm[:, :, None], axis=1
-        )
-        lower = jnp.concatenate(
-            [lower[:, :, :k0], panel, lower[:, :, k0 + nb:]], axis=2
-        )
         perm_lower = jnp.take_along_axis(perm[:, k0:], local_perm, axis=1)
         perm = jnp.concatenate([perm[:, :k0], perm_lower], axis=1)
 
@@ -300,10 +485,13 @@ def blocked_lu_solve(
     res: BlockedLUResult, b: jax.Array, nb: int = 64
 ) -> jax.Array:
     """Block forward/backward substitution: only the nb×nb diagonal blocks
-    are inverted (divide-and-conquer); off-diagonal contributions are
-    batched GEMMs.  Far cheaper than inverting the full triangulars."""
+    are inverted; off-diagonal contributions are batched GEMMs.  When the
+    factorization carries the diagonal-block inverses (pallas path), the
+    solve is pure matmuls — no inversions at all."""
     lu, perm = res.lu, res.perm
     N = lu.shape[-1]
+    if res.l11_inv is not None:
+        nb = res.l11_inv.shape[-1]
     nb = min(nb, N)
     vector_input = b.ndim == 2
     if vector_input:
@@ -317,6 +505,18 @@ def blocked_lu_solve(
     m = N // nb
     eye = jnp.eye(nb, dtype=lu.dtype)
 
+    def l_inv(i):
+        if res.l11_inv is not None:
+            return res.l11_inv[:, i]
+        ri = slice(i * nb, (i + 1) * nb)
+        return invert_unit_lower(jnp.tril(lu[:, ri, ri], -1) + eye)
+
+    def u_inv(i):
+        if res.u11_inv is not None:
+            return res.u11_inv[:, i]
+        ri = slice(i * nb, (i + 1) * nb)
+        return invert_upper(jnp.triu(lu[:, ri, ri]))
+
     # Forward: L y = P b (unit lower triangular).
     ys = []
     for i in range(m):
@@ -324,8 +524,7 @@ def blocked_lu_solve(
         rhs = pb[:, ri]
         for j in range(i):
             rhs = rhs - lu[:, ri, j * nb:(j + 1) * nb] @ ys[j]
-        L_ii = jnp.tril(lu[:, ri, ri], -1) + eye
-        ys.append(invert_unit_lower(L_ii) @ rhs)
+        ys.append(l_inv(i) @ rhs)
 
     # Backward: U x = y.
     xs: list = [None] * m
@@ -334,25 +533,31 @@ def blocked_lu_solve(
         rhs = ys[i]
         for j in range(i + 1, m):
             rhs = rhs - lu[:, ri, j * nb:(j + 1) * nb] @ xs[j]
-        U_ii = jnp.triu(lu[:, ri, ri])
-        xs[i] = invert_upper(U_ii) @ rhs
+        xs[i] = u_inv(i) @ rhs
 
     x = jnp.concatenate(xs, axis=1)
     return x[:, :, 0] if vector_input else x
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
+@functools.partial(jax.jit, static_argnames=("nb", "panel_backend"))
 @f32_matmuls
-def blocked_inverse_batched(a: jax.Array, nb: int = 64) -> jax.Array:
+def blocked_inverse_batched(
+    a: jax.Array, nb: int = 64, panel_backend: str = "xla"
+) -> jax.Array:
     """Batched inverse: LU factor + block substitution against I."""
     B, N, _ = a.shape
-    res = blocked_lu_batched(a, nb=nb)
+    res = blocked_lu_batched(a, nb=nb, panel_backend=panel_backend)
     eye = jnp.broadcast_to(jnp.eye(N, dtype=res.lu.dtype), (B, N, N))
     return blocked_lu_solve(res, eye, nb=nb)
 
 
-@jax.jit
-def blocked_det_batched(a: jax.Array) -> jax.Array:
-    res = blocked_lu_batched(a)
+@functools.partial(jax.jit, static_argnames=("nb", "panel_backend"))
+def blocked_det_batched(
+    a: jax.Array, nb: int = 128, panel_backend: str = "xla"
+) -> jax.Array:
+    nb = min(nb, a.shape[-1])
+    if a.shape[-1] % nb:
+        nb = a.shape[-1]
+    res = blocked_lu_batched(a, nb=nb, panel_backend=panel_backend)
     diag = jnp.diagonal(res.lu, axis1=-2, axis2=-1)
     return jnp.where(res.ok, res.sign * jnp.prod(diag, axis=-1), 0.0)

@@ -1,24 +1,37 @@
-"""Pallas TPU kernel: LU panel factorization for the blocked batched LU.
+"""Pallas TPU kernel: in-place (no-swap) LU panel factorization.
 
 The blocked LU (``ops.lu_blocked``) spends its wall-clock in the panel
-loop: ``nb`` sequential pivot steps, each re-touching the ``[B, N, nb]``
-panel in HBM.  This kernel runs those steps with the panel resident in
-VMEM, batch in the lane dimension (``[N, nb, BT]``, BT = 128 lanes), so
-the whole panel phase costs one HBM read + one write.  The trailing
-``A22 -= L21 @ U12`` updates and the deferred out-of-panel row swaps stay
-in XLA, where the GEMMs land on the MXU with full-width contractions.
+loop.  This kernel runs the ``nb`` sequential pivot steps with the panel
+resident in VMEM, batch in the lane dimension, so the panel phase costs
+one HBM read + one write; the trailing ``A22 -= L21 @ U12`` updates stay
+in XLA where the GEMMs land on the MXU.
 
-Per column step (all lanes in parallel):
-pivot = argmax |column| over rows ≥ j → explicit row swap (one-hot
-exchange, O(N·nb·BT) VPU) → scale multipliers → rank-1 update of the
-columns right of the pivot.  The local permutation, sign and
-zero-pivot mask are tracked per lane.
+Two design points carry the performance:
+
+- **In-place pivoting** (the trick that makes ``gj_kernel`` fast): no row
+  is ever physically exchanged.  Step ``c`` selects, per lane, the
+  largest-magnitude **unpivoted** row of column ``c`` — the same
+  candidate set, hence the same pivot choice, as swap-based partial
+  pivoting — eliminates the other unpivoted rows, writes the multipliers
+  into column ``c``, and records the pivot's step index.  The caller
+  reorders rows once afterwards with a single batched XLA gather
+  (stable ``argsort`` of the step indices), recovering packed L\\U.
+- **Column-major working layout ``[nb, n, BT]``** (columns in the
+  untiled leading dimension, batch in lanes): the per-step column read
+  and the multiplier write are native dynamic-index ops instead of
+  masked full-panel traversals, and the elimination is statically
+  sliced to the not-yet-factored column group ``[g0:]`` — per step only
+  the live part of the panel is touched (2–3 traversals of the
+  remaining columns: one-hot pivot-row extraction + fused rank-1
+  update), which is the floor for rank-1-update LU.
+
+The swap-based variant this replaced cost ~6 full-width traversals per
+step; measured on v5e this version is ~4× faster end to end.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,14 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 
+#: column-group width for the static elimination slices (= f32 sublane
+#: tile; each group's steps touch only columns >= the group start).
+GROUP = 8
 
-def _panel_kernel(a_hbm, out_hbm, perm_ref, sign_ref, ok_ref, work, sems,
-                  *, n: int, nb: int, k0: int, bt: int):
-    """The panel stays in HBM; each program DMAs its lane-tile into the
-    single VMEM ``work`` buffer, factors there, and DMAs back (one buffer
-    instead of double-buffered in/out blocks, which exceed VMEM at
-    [256, 64, 128] tiles).  Dynamic indexing goes through the ref; perm
-    updates use one-hot selects."""
+
+def _panel_kernel(a_hbm, mask_ref, out_hbm, step_ref, row_ref, mask_out,
+                  ok_ref, work, sems, *, n: int, nb: int, bt: int):
+    """One batch tile.  The panel stays in HBM; each program DMAs its
+    lane-tile into the single VMEM ``work`` buffer (``[nb, n, bt]``),
+    factors there, and DMAs back.  Masks are carried as f32 0/1 (Mosaic
+    i1 loop carries are fragile); ``piv_step`` is the i32 step index at
+    which each row was chosen as pivot (sentinel ``n`` = never).
+
+    ``mask_ref`` marks rows already pivoted by *earlier* panels — they
+    are never pivot candidates and never eliminated (their entries are
+    finished U rows).  ``row_ref`` records the chosen pivot row per step
+    so the caller needs no argsort to recover the pivot order."""
     i = pl.program_id(0)
     dtype = work.dtype
 
@@ -45,77 +67,63 @@ def _panel_kernel(a_hbm, out_hbm, perm_ref, sign_ref, ok_ref, work, sems,
     load.start()
     load.wait()
 
-    out_ref = work
     rows = lax.broadcasted_iota(jnp.int32, (n, bt), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (1, nb, 1), 1)
 
-    def step(jj, carry):
-        perm, sign, ok = carry
-        j = k0 + jj  # global pivot row for panel column jj
-
-        col = out_ref[:, pl.ds(jj, 1), :][:, 0, :]          # [n, bt]
-        eligible = rows >= j
-        masked = jnp.where(eligible, jnp.abs(col), -jnp.inf)
-        p = jnp.argmax(masked, axis=0)                      # [bt]
-        mx = jnp.max(masked, axis=0)
-        has_pivot = mx > 0.0
-
-        # Swap rows j <-> p (full panel width) via one-hot exchange.
-        do_swap = has_pivot & (p != j)
-        act = do_swap.astype(dtype)
-        oh_j = (rows == j).astype(dtype)                    # [n, bt]
-        oh_p = (rows == p[None, :]).astype(dtype)
-        arr = out_ref[:]
-        row_j = out_ref[pl.ds(j, 1), :, :][0]               # [nb, bt]
-        row_p = jnp.sum(arr * oh_p[:, None, :], axis=0)     # [nb, bt]
-        delta = (row_j - row_p) * act[None, :]
-        arr = arr - oh_j[:, None, :] * delta[None, :, :] \
-                  + oh_p[:, None, :] * delta[None, :, :]
-
-        perm_j = jnp.sum(
-            perm * (rows == j).astype(jnp.int32), axis=0
-        )                                                   # [bt]
-        perm_p = jnp.sum(
-            perm * oh_p.astype(jnp.int32), axis=0
-        )                                                   # [bt]
-        swap_mask = do_swap[None, :]
-        perm = jnp.where(
-            (rows == j) & swap_mask, perm_p[None, :], perm
-        )
-        perm = jnp.where(
-            (rows == p[None, :]) & swap_mask, perm_j[None, :], perm
-        )
-        sign = jnp.where(do_swap, -sign, sign)
-
-        # Scale multipliers and rank-1 update of columns right of jj.
-        col = jnp.sum(
-            arr * (cols == jj).astype(dtype), axis=1
-        )                                                   # [n, bt]
-        pivot_val = jnp.sum(col * oh_j, axis=0)             # [bt]
-        safe = jnp.where(has_pivot, pivot_val, 1.0)
-        below = (rows > j).astype(dtype) * has_pivot.astype(dtype)[None, :]
-        factors = col / safe[None, :] * below               # [n, bt]
-        pivot_row = jnp.sum(arr * oh_j[:, None, :], axis=0)  # [nb, bt]
-        right = (cols > jj).astype(dtype)                   # [1, nb, 1]
-        arr = arr - factors[:, None, :] * (pivot_row[None, :, :] * right)
-        # Store the multipliers in panel column jj (rows below j).
-        col_oh = (cols == jj).astype(dtype)                 # [1, nb, 1]
-        new_col = jnp.where(below > 0, factors, col)        # [n, bt]
-        arr = arr * (1.0 - col_oh) + new_col[:, None, :] * col_oh
-        out_ref[:] = arr
-
-        ok = ok * has_pivot.astype(dtype)
-        return perm, sign, ok
-
-    init = (
-        lax.broadcasted_iota(jnp.int32, (n, bt), 0),
-        jnp.ones((bt,), dtype),
-        jnp.ones((bt,), dtype),  # ok carried as f32 0/1 (Mosaic i1 carries
-                                 # are fragile in loop layouts)
+    carry = (
+        mask_ref[:].astype(dtype),            # pivoted (f32 0/1)
+        jnp.full((n, bt), n, jnp.int32),      # piv_step
+        jnp.ones((bt,), dtype),               # ok
     )
-    perm, sign, ok = lax.fori_loop(0, nb, step, init)
-    perm_ref[:] = perm
-    sign_ref[:] = sign[None, :]
+
+    carry = carry + (jnp.zeros((nb, bt), jnp.int32),)  # piv_row
+    steps_nb = lax.broadcasted_iota(jnp.int32, (nb, bt), 0)
+
+    for g0 in range(0, nb, GROUP):
+        w = nb - g0                            # live columns
+        cols_g = lax.broadcasted_iota(jnp.int32, (w, 1, 1), 0)
+
+        def step(jj, carry, g0=g0, w=w, cols_g=cols_g):
+            pivoted, piv_step, ok, piv_row = carry
+            c = g0 + jj
+
+            col = work[pl.ds(c, 1)][0]                      # [n, bt]
+            masked = jnp.where(pivoted > 0, -jnp.inf, jnp.abs(col))
+            p = jnp.argmax(masked, axis=0)                  # [bt]
+            mx = jnp.max(masked, axis=0)
+            has = (mx > 0.0).astype(dtype)                  # [bt] 0/1
+            oh_p = (rows == p[None, :]).astype(dtype)       # [n, bt]
+            pivot_val = jnp.sum(col * oh_p, axis=0)         # [bt]
+            # has==0 implies pivot_val==0 (all unpivoted entries vanish),
+            # so this is a branch-free safe reciprocal.
+            inv = 1.0 / (pivot_val + (1.0 - has))
+
+            elim = (1.0 - pivoted) * (1.0 - oh_p) * has[None, :]
+            factors = col * inv[None, :] * elim             # [n, bt]
+
+            live = work[pl.ds(g0, w)]                       # [w, n, bt]
+            # Pivot row over the live columns (one-hot contraction).
+            pr = jnp.sum(live * oh_p[None, :, :], axis=1)   # [w, bt]
+            right = (cols_g > jj).astype(dtype)             # [w, 1, 1]
+            work[pl.ds(g0, w)] = (
+                live - factors[None, :, :] * (pr[:, None, :] * right)
+            )
+            # Column c: multipliers for eliminated rows, untouched else.
+            new_col = elim * factors + (1.0 - elim) * col
+            work[pl.ds(c, 1)] = new_col[None]
+
+            newly = oh_p * has[None, :]
+            pivoted = jnp.maximum(pivoted, newly)
+            piv_step = jnp.where(newly > 0, c, piv_step)
+            piv_row = jnp.where(steps_nb == c, p[None, :], piv_row)
+            ok = ok * has
+            return pivoted, piv_step, ok, piv_row
+
+        carry = lax.fori_loop(0, min(GROUP, nb - g0), step, carry)
+
+    pivoted, piv_step, ok, piv_row = carry
+    step_ref[:] = piv_step
+    row_ref[:] = piv_row
+    mask_out[:] = (pivoted > 0).astype(jnp.int32)
     ok_ref[:] = (ok[None, :] > 0).astype(jnp.int32)
 
     store = pltpu.make_async_copy(
@@ -125,70 +133,89 @@ def _panel_kernel(a_hbm, out_hbm, perm_ref, sign_ref, ok_ref, work, sems,
     store.wait()
 
 
-class PanelResult(NamedTuple):
-    panel: jax.Array      # [B, N, nb] factored panel
-    local_perm: jax.Array  # [B, N] row source indices (for deferred swaps)
-    sign: jax.Array       # [B]
-    ok: jax.Array         # [B] bool
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+def panel_factor_masked(
+    panel: jax.Array,
+    pivoted: jax.Array,
+    nb: int,
+    interpret: bool = False,
+):
+    """Factor a ``[B, N, nb]`` panel in place, skipping rows already
+    marked in ``pivoted`` (``[B, N]`` 0/1 — finished U rows from earlier
+    panels).  Rows are NOT reordered.
 
+    Returns ``(panel_u, piv_step, piv_row, pivoted_out, ok)``:
 
-@functools.partial(jax.jit, static_argnames=("k0", "nb", "interpret"))
-def panel_factor(
-    panel: jax.Array, k0: int, nb: int, interpret: bool = False
-) -> PanelResult:
-    """Factor a ``[B, N, nb]`` panel whose columns span global columns
-    ``[k0, k0+nb)``; batch padded to the lane width internally."""
+    - ``panel_u [B, N, nb]`` — eliminated panel, rows in original order;
+    - ``piv_step [B, N]`` — step at which each row was pivoted *by this
+      panel* (sentinel ``N`` = not this panel);
+    - ``piv_row [B, nb]`` — the pivot row chosen at each step (the pivot
+      order without any argsort);
+    - ``pivoted_out [B, N]`` — updated mask (input ∪ this panel's rows);
+    - ``ok [B]`` — every step found a nonzero pivot.
+    """
     B, n, _ = panel.shape
     bt = LANES
     pad = (-B) % bt
     if pad:
+        # Identity-patterned filler keeps every padded lane factorable.
         filler = jnp.broadcast_to(
-            jnp.eye(n, nb, k=-k0, dtype=panel.dtype), (pad, n, nb)
+            jnp.eye(n, nb, dtype=panel.dtype), (pad, n, nb)
         )
         panel = jnp.concatenate([panel, filler], axis=0)
+        pivoted = jnp.concatenate(
+            [pivoted, jnp.zeros((pad, n), pivoted.dtype)], axis=0
+        )
     Bp = panel.shape[0]
 
-    p_t = jnp.transpose(panel, (1, 2, 0)).astype(
+    p_t = jnp.transpose(panel, (2, 1, 0)).astype(
         jnp.result_type(panel.dtype, jnp.float32)
-    )  # [N, nb, Bp]
+    )  # [nb, N, Bp]
+    m_t = jnp.transpose(pivoted, (1, 0)).astype(jnp.int32)  # [N, Bp]
 
-    kernel = functools.partial(_panel_kernel, n=n, nb=nb, k0=k0, bt=bt)
-    out, perm, sign, ok = pl.pallas_call(
+    kernel = functools.partial(_panel_kernel, n=n, nb=nb, bt=bt)
+    out, piv_step, piv_row, mask_out, ok = pl.pallas_call(
         kernel,
         grid=(Bp // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # full panel, HBM
+            pl.BlockSpec((n, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # full panel, HBM
             pl.BlockSpec((n, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i: (0, i),
+            pl.BlockSpec((nb, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, nb, Bp), p_t.dtype),
+            jax.ShapeDtypeStruct((nb, n, Bp), p_t.dtype),
             jax.ShapeDtypeStruct((n, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((1, Bp), p_t.dtype),
+            jax.ShapeDtypeStruct((nb, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((n, Bp), jnp.int32),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, nb, bt), p_t.dtype),
+            pltpu.VMEM((nb, n, bt), p_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         # The scratch tile plus elimination temporaries exceed the default
-        # 16MB scoped-VMEM budget at [256, 64, 128]; raise the cap.
+        # scoped-VMEM budget at [64, 256, 128]; raise the cap.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(p_t)
+    )(p_t, m_t)
 
-    return PanelResult(
-        jnp.transpose(out, (2, 0, 1))[:B],
-        jnp.transpose(perm, (1, 0))[:B],
-        sign[0, :B],
+    return (
+        jnp.transpose(out, (2, 1, 0))[:B],
+        jnp.transpose(piv_step, (1, 0))[:B],
+        jnp.transpose(piv_row, (1, 0))[:B],
+        jnp.transpose(mask_out, (1, 0))[:B],
         ok[0, :B].astype(bool),
     )

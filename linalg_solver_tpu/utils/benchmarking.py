@@ -43,6 +43,51 @@ def chained_time(
                for r in range(repeats))
 
 
+def device_loop_time(
+    fn: Callable, *args, iters: int = 10, repeats: int = 3
+) -> float:
+    """Average seconds per call of ``fn(*args)`` with the iteration loop
+    running ON DEVICE (``lax.scan``), eliminating per-call host dispatch.
+
+    Through the axon TPU tunnel, each host→device dispatch costs several
+    milliseconds — comparable to the kernels being measured — so
+    ``chained_time`` systematically overstates sub-10ms workloads.  The
+    scan carries a scalar derived from each output and perturbs the first
+    input by ``carry * 0`` (a true data dependency that XLA cannot hoist,
+    with no numerical effect), so iterations execute sequentially and
+    cannot be CSE'd.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    first = args[0]
+
+    def leaf(out):
+        return jax.tree_util.tree_leaves(out)[0]
+
+    @jax.jit
+    def loop(*a):
+        def body(carry, _):
+            out = fn(a[0] + carry * 0.0, *a[1:])
+            dep = leaf(out).ravel()[0].astype(first.dtype)
+            return dep, None
+
+        carry, _ = lax.scan(
+            body, jnp.zeros((), first.dtype), None, length=iters
+        )
+        return carry
+
+    best = float("inf")
+    for _ in range(repeats):
+        # float() forces a host readback — block_until_ready is not
+        # reliable through the tunnel runtime.
+        float(loop(*args))  # warm / steady-state
+        t0 = time.perf_counter()
+        float(loop(*args))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Profile a block with ``jax.profiler`` (view with TensorBoard/xprof)."""

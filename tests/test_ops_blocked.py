@@ -120,6 +120,44 @@ class TestBlockedLU:
         ok = np.asarray(res.ok)
         assert bool(ok[0]) and not bool(ok[1])
 
+    @pytest.mark.parametrize("backend", ["inplace", "pallas"])
+    def test_inplace_panel_backends_match_swap_path(self, backend):
+        """No-swap pivoting must produce the same packed L\\U, perm, sign
+        and determinant as the swap-based panel (same pivot choices)."""
+        A = make_batch(5, 16, seed=12, shift=2.0)
+        kw = {"interpret": True} if backend == "pallas" else {}
+        res = blocked_lu_batched(
+            jnp.asarray(A), nb=4, panel_backend=backend, **kw
+        )
+        ref = blocked_lu_batched(jnp.asarray(A), nb=4, panel_backend="xla")
+        assert bool(np.asarray(res.ok).all())
+        np.testing.assert_array_equal(
+            np.asarray(res.perm), np.asarray(ref.perm)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.sign), np.asarray(ref.sign)
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.lu), np.asarray(ref.lu), atol=1e-5
+        )
+        lu = np.asarray(res.lu)
+        perm = np.asarray(res.perm)
+        for i in range(5):
+            L = np.tril(lu[i], -1) + np.eye(16)
+            U = np.triu(lu[i])
+            np.testing.assert_allclose(
+                L @ U, A[i][perm[i]], atol=1e-4
+            )
+
+    def test_inplace_singular_flagged(self):
+        A = make_batch(2, 8, seed=13)
+        A[1, :, 0] = 0.0
+        A[1, 0, :] = 0.0
+        res = blocked_lu_batched(jnp.asarray(A), nb=4,
+                                 panel_backend="inplace")
+        ok = np.asarray(res.ok)
+        assert bool(ok[0]) and not bool(ok[1])
+
     def test_dispatch_auto_uses_blocked(self):
         from linalg_solver_tpu.ops import dispatch
 
