@@ -6,6 +6,8 @@
 - ``pallas`` — blocked high-throughput kernels (LU, Gauss–Jordan)
 - ``eigen`` — characteristic polynomial (Faddeev–LeVerrier), QR-iteration
   eigenvalues, eigenspaces, diagonalization
+- ``schur`` — Hessenberg + Francis double-shift QR real Schur form (the
+  production eigensolver: deflating, convergence-flagged)
 - ``generate`` — structured random batch generation on device
 """
 
@@ -44,8 +46,17 @@ from .lu import (
     solve_lu,
     solve_lu_batched,
 )
+from .schur import (
+    SchurEigvals,
+    SchurResult,
+    eigvals_schur,
+    hessenberg,
+    real_schur,
+)
 
 __all__ = [
+    "SchurResult", "SchurEigvals",
+    "hessenberg", "real_schur", "eigvals_schur",
     "RREFResult", "rref", "rref_batched",
     "EV_SWAP", "EV_NORM", "EV_ELIM_BELOW", "EV_ELIM_ABOVE", "EVENT_NAMES",
     "BatchedAffineSubspace", "InverseResult",

@@ -125,3 +125,62 @@ class TestBareiss:
         A = int_batch(2, 8, rng, lo=-1000, hi=1000)
         res = bareiss_batched(jnp.asarray(A))
         assert not bool(np.asarray(res.ok).all())
+
+
+class TestCRT:
+    """Multi-word exact integers: device modular elimination + host CRT
+    lifts the int32 intermediate bound entirely."""
+
+    @staticmethod
+    def _bigint_det(M):
+        M = [[int(x) for x in row] for row in M]
+        n = len(M)
+        sign, prev = 1, 1
+        for j in range(n):
+            p = next((i for i in range(j, n) if M[i][j] != 0), None)
+            if p is None:
+                return 0
+            if p != j:
+                M[j], M[p] = M[p], M[j]
+                sign = -sign
+            for i in range(j + 1, n):
+                for k in range(j + 1, n):
+                    M[i][k] = (M[i][k] * M[j][j] - M[i][j] * M[j][k]) // prev
+                M[i][j] = 0
+            prev = M[j][j]
+        return sign * prev
+
+    def test_det_beyond_int32(self):
+        from linalg_solver_tpu.ops.exact_int import (
+            bareiss_safe, crt_det_batched,
+        )
+
+        rng = np.random.RandomState(7)
+        B, n = 4, 12
+        A = rng.randint(-20, 21, size=(B, n, n)).astype(np.int32)
+        assert not bareiss_safe(n, 20)  # int32 Bareiss can't certify this
+        got = crt_det_batched(A)
+        for b in range(B):
+            want = self._bigint_det(A[b].tolist())
+            assert got[b] == want
+            assert abs(want) > 2**31  # genuinely multi-word
+
+    def test_det_zero_and_small(self):
+        from linalg_solver_tpu.ops.exact_int import crt_det_batched
+
+        A = np.stack([
+            np.eye(5, dtype=np.int32),
+            np.zeros((5, 5), np.int32),
+            np.diag(np.array([2, -3, 1, 4, 1], np.int32)),
+        ])
+        assert crt_det_batched(A) == [1, 0, -24]
+
+    def test_rank(self):
+        from linalg_solver_tpu.ops.exact_int import crt_rank_batched
+
+        rng = np.random.RandomState(8)
+        A = rng.randint(-50, 51, size=(3, 10, 10)).astype(np.int32)
+        A[1, :, 4] = 3 * A[1, :, 2] - A[1, :, 0]
+        A[1, :, 9] = A[1, :, 1]
+        r = crt_rank_batched(A)
+        assert list(r) == [10, 8, 10]

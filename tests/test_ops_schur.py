@@ -1,0 +1,175 @@
+"""Francis double-shift real-Schur eigensolver: differential tests vs
+numpy/LAPACK, structural invariants, and the scan-vs-stepwise regression
+(the fori_loop lowering of the bulge chase miscompiles on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from linalg_solver_tpu.ops import schur
+
+
+def gaussian(B, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(B, n, n).astype(np.float32)
+
+
+def prescribed(B, n, seed=0):
+    """Well-separated prescribed real spectra (min gap ≫ the pipeline's
+    1e-3 cluster tolerance) under a mild similarity."""
+    rng = np.random.RandomState(seed)
+    base = np.linspace(-5, 5, n, dtype=np.float32)
+    lam = np.stack([
+        rng.permutation(base) + rng.uniform(-0.1, 0.1, n).astype(
+            np.float32
+        )
+        for _ in range(B)
+    ])
+    P = rng.randn(B, n, n).astype(np.float32) * 0.3 + np.eye(
+        n, dtype=np.float32
+    )
+    A = np.einsum(
+        "bij,bj,bjk->bik", P, lam,
+        np.linalg.inv(P.astype(np.float64)).astype(np.float32),
+    ).astype(np.float32)
+    return A, lam
+
+
+class TestHessenberg:
+    def test_similar_and_banded(self):
+        A = gaussian(3, 12, seed=1)
+        H = np.asarray(schur.hessenberg(jnp.asarray(A)))
+        assert np.abs(np.tril(H, -2)).max() < 1e-5
+        for b in range(3):
+            ev_a = np.sort_complex(
+                np.linalg.eigvals(A[b].astype(np.float64))
+            )
+            ev_h = np.sort_complex(
+                np.linalg.eigvals(H[b].astype(np.float64))
+            )
+            np.testing.assert_allclose(ev_a, ev_h, atol=1e-4)
+
+
+class TestRealSchur:
+    def test_quasi_triangular_and_similar(self):
+        A = gaussian(4, 16, seed=2)
+        res = schur.real_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        T = np.asarray(res.T)
+        # Strictly quasi-triangular: below-subdiagonal exactly zero and
+        # no two consecutive nonzero subdiagonal entries.
+        assert np.abs(np.tril(T, -2)).max() == 0.0
+        for b in range(4):
+            sub = np.abs(np.diagonal(T[b], -1)) > 0
+            assert not np.any(sub[:-1] & sub[1:])
+
+    @pytest.mark.parametrize("n", [2, 3, 8, 24])
+    def test_eigvals_vs_numpy(self, n):
+        A = gaussian(5, n, seed=n)
+        res = schur.eigvals_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        got = np.sort_complex(
+            (np.asarray(res.real) + 1j * np.asarray(res.imag)).reshape(-1)
+        )
+        want = np.sort_complex(
+            np.linalg.eigvals(A.astype(np.float64)).reshape(-1)
+        )
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(
+            got, want, atol=5e-4 * max(scale, 1.0)
+        )
+
+    def test_prescribed_real_spectrum(self):
+        A, lam = prescribed(4, 24, seed=3)
+        res = schur.eigvals_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        got = np.sort(np.asarray(res.real), axis=1)
+        want = np.sort(
+            np.linalg.eigvals(A.astype(np.float64)).real, axis=1
+        )
+        np.testing.assert_allclose(got, want, atol=5e-3)
+        assert np.abs(np.asarray(res.imag)).max() < 1e-2
+
+    def test_defective_matrix_converges(self):
+        # Jordan block of size 4: eigenvalues split by ~eps^(1/4); the
+        # solver must converge and land within that cluster radius.
+        rng = np.random.RandomState(4)
+        n = 8
+        J = 2.0 * np.eye(n, dtype=np.float32)
+        for i in range(3):
+            J[i, i + 1] = 1.0
+        P = rng.randn(n, n).astype(np.float32) * 0.2 + np.eye(
+            n, dtype=np.float32
+        )
+        A = (P @ J @ np.linalg.inv(P.astype(np.float64)).astype(
+            np.float32
+        ))[None]
+        res = schur.eigvals_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        np.testing.assert_allclose(
+            np.asarray(res.real)[0], np.full(n, 2.0), atol=0.1
+        )
+
+    def test_complex_pairs_conjugate(self):
+        # rotation-like matrix: all eigenvalues on conjugate pairs
+        rng = np.random.RandomState(5)
+        S = rng.randn(1, 10, 10).astype(np.float32)
+        A = S - np.transpose(S, (0, 2, 1))  # skew: pure imaginary spectrum
+        res = schur.eigvals_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        im = np.sort(np.asarray(res.imag)[0])
+        np.testing.assert_allclose(im + im[::-1], 0.0, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(res.real)[0], 0.0, atol=1e-4
+        )
+
+    def test_chase_scan_matches_stepwise(self):
+        """Regression: the bulge chase must be lowered via lax.scan —
+        the fori_loop lowering produced O(1)-wrong loop-carried state on
+        the TPU backend.  Stepwise single-step calls are the ground
+        truth the loop must reproduce."""
+        A = gaussian(2, 10, seed=6)
+        state = schur._schur_init(jnp.asarray(A))
+        H, hi, stag, anorm = state
+        H2, hi2, st2 = jax.jit(schur._one_sweep)(H, hi, stag, anorm)
+
+        # replicate the sweep stepwise
+        Hs, his, sts = jax.jit(schur._deflate)(H, hi, stag, anorm)
+        s, p = jax.jit(schur._shifts)(Hs, jnp.maximum(his, 1), sts)
+        npad = Hs.shape[1]
+        idx = jnp.arange(npad)
+        sub = jnp.diagonal(Hs, offset=-1, axis1=1, axis2=2)
+        zb = (sub == 0) & (idx[None, :-1] < his[:, None])
+        lo = jnp.max(jnp.where(zb, idx[None, :-1] + 1, 0), axis=1)
+        lo = jnp.where(his >= 1, lo, npad - 1)
+        carry = (Hs, lo, jnp.maximum(his, 1), s, p)
+        step = jax.jit(schur._chase_step)
+        for k in range(npad - 2):
+            carry = step(k, carry)
+        np.testing.assert_allclose(
+            np.asarray(H2), np.asarray(carry[0]), atol=1e-6
+        )
+
+
+class TestSpectralPipelineSchur:
+    def test_matches_qr_method(self):
+        from linalg_solver_tpu.models.spectral import spectral_pipeline
+
+        A, lam = prescribed(3, 12, seed=7)
+        rep = spectral_pipeline(jnp.asarray(A), method="schur")
+        assert bool(np.asarray(rep.diagonalizable).all())
+        got = np.sort(np.asarray(rep.eig_real), axis=1)
+        np.testing.assert_allclose(
+            got, np.sort(lam, axis=1), atol=2e-2
+        )
+        # D really diagonalizes: P D P^{-1} ≈ A
+        recon = np.asarray(
+            jnp.einsum(
+                "bij,bjk,bkl->bil", rep.P, rep.D, rep.P_inv,
+                precision=lax.Precision.HIGHEST,
+            )
+        )
+        np.testing.assert_allclose(recon, A, atol=5e-2)
