@@ -97,6 +97,8 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
     if be == "blocked":
         return _lub.blocked_solve_batched(a, b, nb=_best_nb(a.shape[-1]))
     if be == "xla":
+        if b.ndim == a.ndim - 1:  # vector rhs: jnp.linalg.solve needs a
+            return jnp.linalg.solve(a, b[..., None])[..., 0]
         return jnp.linalg.solve(a, b)
     return _lu.solve_lu_batched(a, b)
 
