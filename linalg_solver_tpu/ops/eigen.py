@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from ..utils.precision import f32_matmuls
 from jax import lax
 
+_HIGH = jax.lax.Precision.HIGHEST
+
 from .rref import rref
 from .solve import BatchedAffineSubspace, inverse, nullspace, rank
 

@@ -113,6 +113,7 @@ def _deflate(H, hi, stagnant, anorm):
     d = jnp.diagonal(H, axis1=1, axis2=2)
     sub = jnp.diagonal(H, offset=-1, axis1=1, axis2=2)
     h11, h22 = d[:, :-1], d[:, 1:]
+    sup = jnp.diagonal(H, offset=1, axis1=1, axis2=2)
     # Strict local criterion (LAPACK-style): converged pairs that never
     # pass it exit instead as isolated 2×2 blocks (the window shrinks
     # from the top) and their eigenvalues are taken from the block
@@ -121,18 +122,32 @@ def _deflate(H, hi, stagnant, anorm):
     # error (measured 1e-3 at n=256).  When the local diagonal is
     # negligible (e.g. skew-symmetric input — diagonal ~0) the criterion
     # is augmented with the neighboring subdiagonal magnitudes, dlahqr's
-    # tst==0 fallback.  The ulp·‖A‖ stall breaker stays as a last
-    # resort, after 20 sweeps without any deflation anywhere.
+    # tst==0 fallback.
     tst = jnp.abs(h11) + jnp.abs(h22)
     nbr = jnp.zeros_like(tst)
     nbr = nbr.at[:, 1:].add(jnp.abs(sub[:, :-1]))
     nbr = nbr.at[:, :-1].add(jnp.abs(sub[:, 1:]))
     tst = jnp.where(tst <= eps * anorm[:, None], tst + nbr, tst)
     tol_local = eps * tst + tiny
+    # Stall breaker (after 20 deflation-free sweeps), perturbation-
+    # ordered: zeroing sub_i moves the adjacent eigenvalues by
+    # ~|h21·h12| / max(gap, √(h21·h12)); break the stall with the LEAST
+    # damaging entries first, loosening the bound exponentially with
+    # continued stagnation so any stall eventually breaks.
+    prod = jnp.abs(sub) * jnp.abs(sup)
+    gap = jnp.abs(h11 - h22)
+    pert = prod / jnp.maximum(gap, jnp.sqrt(prod) + tiny)
+    escal = jnp.exp2(
+        jnp.clip((stagnant.astype(d.dtype) - 20.0) / 5.0, 0.0, 30.0)
+    )
     stalled = stagnant >= 20
     small = (
         (jnp.abs(sub) <= tol_local)
-        | (stalled[:, None] & (jnp.abs(sub) <= eps * anorm[:, None]))
+        | (
+            stalled[:, None]
+            & (jnp.abs(sub) <= eps * anorm[:, None])
+            & (pert <= (eps * anorm * escal)[:, None])
+        )
     )
     sub0 = jnp.where(small, 0.0, sub)
     # Write sub0 back onto the subdiagonal (position (j+1, j) takes
@@ -290,11 +305,47 @@ def _chase_step(k, carry):
 
 
 @jax.jit
+def balance_batched(a: jax.Array, iters: int = 6) -> jax.Array:
+    """Osborne/gebal-style balancing: diagonal similarity D⁻¹AD with
+    power-of-two factors equalizing row/column 1-norms.
+
+    Same eigenvalues (exact similarity — power-of-two scaling is exact
+    in floating point), much smaller ‖A‖ when the input hides a modest
+    spectrum inside a badly scaled basis.  Every eps·‖A‖ term in the QR
+    iteration (roundoff per sweep, deflation thresholds) shrinks with
+    it — the step that lets sgeev reach ~eps·ρ(A) eigenvalue accuracy
+    instead of eps·‖A‖.
+    """
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=bool)
+
+    def pass_(_, A):
+        off = jnp.where(eye, 0.0, jnp.abs(A))
+        r = jnp.sum(off, axis=2)                  # row sums  [B, n]
+        c = jnp.sum(off, axis=1)                  # col sums  [B, n]
+        safe = (r > 0) & (c > 0)
+        # f = 2^round(log2(sqrt(c/r))): exact diagonal similarity.
+        e = jnp.round(0.5 * (jnp.log2(jnp.where(safe, c, 1.0))
+                             - jnp.log2(jnp.where(safe, r, 1.0))))
+        f = jnp.exp2(jnp.clip(e, -40, 40))
+        # gebal gate: scale only where it actually reduces r+c by ≥5%
+        # (unconditional rounding oscillates on already-balanced input).
+        improves = (r * f + c / f) < 0.95 * (r + c)
+        f = jnp.where(safe & improves, f, 1.0)
+        return A * (f[:, :, None] / f[:, None, :])
+
+    return lax.fori_loop(0, iters, pass_, a)
+
+
+@functools.partial(jax.jit, static_argnames=("balance",))
 @f32_matmuls
-def _schur_init(a: jax.Array):
-    """Hessenberg + one-row/column zero pad (so the 3-wide dynamic
-    slices of the bulge chase never clamp at the bottom edge)."""
+def _schur_init(a: jax.Array, balance: bool = True):
+    """Balance + Hessenberg + one-row/column zero pad (so the 3-wide
+    dynamic slices of the bulge chase never clamp at the bottom edge)."""
     B = a.shape[0]
+    if balance:
+        a = balance_batched(a)
     H = jnp.pad(hessenberg(a), ((0, 0), (0, 1), (0, 1)))
     hi0 = jnp.full((B,), a.shape[1] - 1, jnp.int32)
     anorm = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)  # ‖·‖_inf
@@ -336,7 +387,8 @@ def _schur_finalize(state):
 
 
 def real_schur(
-    a: jax.Array, max_sweeps: int = 0, chunk: int = 64
+    a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
+    balance: bool = True,
 ) -> SchurResult:
     """Quasi-upper-triangular (real Schur) form of every matrix in
     ``[B, n, n]`` via Hessenberg + Francis double-shift QR.
@@ -355,7 +407,7 @@ def real_schur(
         )
     if max_sweeps == 0:
         max_sweeps = 8 * n
-    state = _schur_init(a)
+    state = _schur_init(a, balance=balance)
     done = 0
     while done < max_sweeps:
         state, it = _schur_sweeps(state, min(chunk, max_sweeps - done))
@@ -375,12 +427,15 @@ class SchurEigvals(NamedTuple):
 
 
 def eigvals_schur(
-    a: jax.Array, max_sweeps: int = 0, chunk: int = 64
+    a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
+    balance: bool = True,
 ) -> SchurEigvals:
     """Eigenvalues of a batched real matrix via the real Schur form:
     diagonal entries for 1×1 blocks, exact conjugate pairs from 2×2
     blocks (nonzero subdiagonal entries after deflation)."""
-    res = real_schur(a, max_sweeps=max_sweeps, chunk=chunk)
+    res = real_schur(
+        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance
+    )
     re, im = _eigvals_from_T(res.T)
     return SchurEigvals(re, im, res.converged)
 
