@@ -25,12 +25,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _time_fn(fn, a, b, iters: int = 10) -> float:
-    from linalg_solver_tpu.utils.benchmarking import device_loop_time
+    from linalg_solver_tpu.utils.benchmarking import device_slope_time
 
-    # On-device scan loop: excludes the multi-ms per-dispatch latency of
-    # the tunnel runtime (which would otherwise dominate sub-10ms
-    # kernels); best of three runs against tunnel variance.
-    return device_loop_time(fn, a, b, iters=iters, repeats=3)
+    # Slope between two on-device scan-loop lengths: cancels both the
+    # tunnel's per-dispatch latency and the runtime's fixed per-
+    # iteration loop cost, leaving pure device throughput (agrees with
+    # jax.profiler device totals); best of three against variance.
+    return device_slope_time(fn, a, b, i1=5, i2=25, repeats=3)
 
 
 def main() -> None:

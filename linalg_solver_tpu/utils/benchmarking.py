@@ -88,6 +88,53 @@ def device_loop_time(
     return best
 
 
+def device_slope_time(
+    fn: Callable, *args, i1: int = 5, i2: int = 25, repeats: int = 3
+) -> float:
+    """Marginal seconds per call of ``fn(*args)``: the SLOPE between an
+    ``i1``-iteration and an ``i2``-iteration on-device scan loop.
+
+    ``device_loop_time`` still carries a fixed ~1-3 ms per-iteration
+    cost on this runtime (measured: a 0.04 ms matmul times as 1.4 ms);
+    differencing two loop lengths cancels it exactly, leaving pure
+    device throughput.  Agrees with ``jax.profiler`` device totals to a
+    few percent.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    first = args[0]
+
+    def leaf(out):
+        return jax.tree_util.tree_leaves(out)[0]
+
+    def make(iters):
+        @jax.jit
+        def loop(*a):
+            def body(carry, _):
+                out = fn(a[0] + carry * 0.0, *a[1:])
+                dep = leaf(out).ravel()[0].astype(first.dtype)
+                return dep, None
+
+            carry, _ = lax.scan(
+                body, jnp.zeros((), first.dtype), None, length=iters
+            )
+            return carry
+
+        return loop
+
+    best = []
+    for loop in (make(i1), make(i2)):
+        bt = float("inf")
+        for _ in range(repeats):
+            float(loop(*args))  # warm + sync (host readback)
+            t0 = time.perf_counter()
+            float(loop(*args))
+            bt = min(bt, time.perf_counter() - t0)
+        best.append(bt)
+    return max(best[1] - best[0], 1e-12) / (i2 - i1)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Profile a block with ``jax.profiler`` (view with TensorBoard/xprof)."""
