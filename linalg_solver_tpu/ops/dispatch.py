@@ -49,6 +49,12 @@ def _pallas_available() -> bool:
 _BLOCKED_PALLAS_OPS = {"lu_factor", "solve", "det", "inverse"}
 
 
+#: above this size XLA's own blocked LU (big panels, big GEMMs) wins —
+#: measured at N=1024: 687 GFLOP/s for jnp.linalg vs ~260 for ours
+#: (the VMEM-resident panel no longer fits at full lane width).
+_XLA_CROSSOVER_N = 1024
+
+
 def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
     if backend == "auto":
         if _pallas_available():
@@ -56,6 +62,12 @@ def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
 
             if pallas.supports(op, n):
                 return "pallas"
+            if (
+                n is not None
+                and n >= _XLA_CROSSOVER_N
+                and op in ("solve", "det", "inverse")
+            ):
+                return "xla"
             if (
                 op in _BLOCKED_PALLAS_OPS
                 and n is not None

@@ -68,6 +68,11 @@ def _panel_kernel(a_hbm, mask_ref, out_hbm, step_ref, row_ref, mask_out,
     load.wait()
 
     rows = lax.broadcasted_iota(jnp.int32, (n, bt), 0)
+    # Column-chunk width for the live-block pass: the chunk read plus
+    # the two rank-1 update temporaries cost ~3 chunk-sized buffers on
+    # top of the work buffer — size them to the scoped-VMEM budget.
+    budget = 100 * 1024 * 1024 - nb * n * bt * 4
+    _UPDATE_CHUNK = max(8, min(nb, budget // (4 * n * bt * 4) // 8 * 8))
 
     carry = (
         mask_ref[:].astype(dtype),            # pivoted (f32 0/1)
@@ -78,47 +83,92 @@ def _panel_kernel(a_hbm, mask_ref, out_hbm, step_ref, row_ref, mask_out,
     carry = carry + (jnp.zeros((nb, bt), jnp.int32),)  # piv_row
     steps_nb = lax.broadcasted_iota(jnp.int32, (nb, bt), 0)
 
+    def pick_pivot(col, pivoted):
+        """Pivot search + multiplier construction for one column value.
+        Returns (oh_p [n,bt], p [bt], has [bt], factors [n,bt], elim)."""
+        masked = jnp.where(pivoted > 0, -jnp.inf, jnp.abs(col))
+        p = jnp.argmax(masked, axis=0)                      # [bt]
+        mx = jnp.max(masked, axis=0)
+        has = (mx > 0.0).astype(dtype)                      # [bt] 0/1
+        oh_p = (rows == p[None, :]).astype(dtype)           # [n, bt]
+        pivot_val = jnp.sum(col * oh_p, axis=0)             # [bt]
+        # has==0 implies pivot_val==0 (all unpivoted entries vanish),
+        # so this is a branch-free safe reciprocal.
+        inv = 1.0 / (pivot_val + (1.0 - has))
+        elim = (1.0 - pivoted) * (1.0 - oh_p) * has[None, :]
+        factors = col * inv[None, :] * elim                 # [n, bt]
+        return oh_p, p, has, factors, elim
+
     for g0 in range(0, nb, GROUP):
         w = nb - g0                            # live columns
         cols_g = lax.broadcasted_iota(jnp.int32, (w, 1, 1), 0)
 
-        def step(jj, carry, g0=g0, w=w, cols_g=cols_g):
+        def pair_step(kk, carry, g0=g0, w=w, cols_g=cols_g):
+            """Two pivot steps with ONE pass over the live columns
+            (lookahead): step c+1's pivot column is updated cheaply on
+            its own ([n, bt] ops), both pivot rows are extracted from
+            the SAME read of the live block (the second corrected by
+            the first's elimination), and both rank-1 updates land in
+            one fused read-modify-write."""
             pivoted, piv_step, ok, piv_row = carry
+            jj = 2 * kk
             c = g0 + jj
 
-            col = work[pl.ds(c, 1)][0]                      # [n, bt]
-            masked = jnp.where(pivoted > 0, -jnp.inf, jnp.abs(col))
-            p = jnp.argmax(masked, axis=0)                  # [bt]
-            mx = jnp.max(masked, axis=0)
-            has = (mx > 0.0).astype(dtype)                  # [bt] 0/1
-            oh_p = (rows == p[None, :]).astype(dtype)       # [n, bt]
-            pivot_val = jnp.sum(col * oh_p, axis=0)         # [bt]
-            # has==0 implies pivot_val==0 (all unpivoted entries vanish),
-            # so this is a branch-free safe reciprocal.
-            inv = 1.0 / (pivot_val + (1.0 - has))
+            # --- step c: pivot from column c as stored.
+            col1 = work[pl.ds(c, 1)][0]                     # [n, bt]
+            oh1, p1, has1, f1, elim1 = pick_pivot(col1, pivoted)
+            pivoted1 = jnp.maximum(pivoted, oh1 * has1[None, :])
 
-            elim = (1.0 - pivoted) * (1.0 - oh_p) * has[None, :]
-            factors = col * inv[None, :] * elim             # [n, bt]
+            # --- step c+1: its column after step c's elimination.
+            col2_raw = work[pl.ds(c + 1, 1)][0]             # [n, bt]
+            pr1_c2 = jnp.sum(col2_raw * oh1, axis=0)        # [bt]
+            col2 = col2_raw - f1 * pr1_c2[None, :]
+            oh2, p2, has2, f2, elim2 = pick_pivot(col2, pivoted1)
 
-            live = work[pl.ds(g0, w)]                       # [w, n, bt]
-            # Pivot row over the live columns (one-hot contraction).
-            pr = jnp.sum(live * oh_p[None, :, :], axis=1)   # [w, bt]
-            right = (cols_g > jj).astype(dtype)             # [w, 1, 1]
-            work[pl.ds(g0, w)] = (
-                live - factors[None, :, :] * (pr[:, None, :] * right)
+            # --- one pass over the live block (in static column chunks
+            # so the slab-sized temporaries stay within VMEM at large
+            # N): extract both pivot rows, apply both rank-1 updates.
+            f1_at_p2 = jnp.sum(f1 * oh2, axis=0)            # [bt]
+            for h0 in range(g0, g0 + w, _UPDATE_CHUNK):
+                ch = min(_UPDATE_CHUNK, g0 + w - h0)
+                cols_h = h0 + lax.broadcasted_iota(
+                    jnp.int32, (ch, 1, 1), 0
+                )
+                chunk = work[pl.ds(h0, ch)]                 # [ch, n, bt]
+                pr1 = jnp.sum(chunk * oh1[None, :, :], axis=1)
+                pr2_raw = jnp.sum(chunk * oh2[None, :, :], axis=1)
+                # Row p2 after step c's update: r2 = raw − f1[p2]·pr1.
+                pr2 = pr2_raw - f1_at_p2[None, :] * pr1
+                right1 = (cols_h > c).astype(dtype)         # [ch, 1, 1]
+                right2 = (cols_h > c + 1).astype(dtype)
+                work[pl.ds(h0, ch)] = (
+                    chunk
+                    - f1[None, :, :] * (pr1[:, None, :] * right1)
+                    - f2[None, :, :] * (pr2[:, None, :] * right2)
+                )
+            # Multiplier columns (eliminated rows keep their factors).
+            work[pl.ds(c, 1)] = (
+                elim1 * f1 + (1.0 - elim1) * col1
+            )[None]
+            work[pl.ds(c + 1, 1)] = (
+                elim2 * f2 + (1.0 - elim2) * col2
+            )[None]
+
+            pivoted = jnp.maximum(pivoted1, oh2 * has2[None, :])
+            newly1 = (oh1 * has1[None, :]) > 0
+            newly2 = (oh2 * has2[None, :]) > 0
+            piv_step = jnp.where(newly1, c, piv_step)
+            piv_step = jnp.where(newly2, c + 1, piv_step)
+            piv_row = jnp.where(steps_nb == c, p1[None, :], piv_row)
+            piv_row = jnp.where(
+                steps_nb == c + 1, p2[None, :], piv_row
             )
-            # Column c: multipliers for eliminated rows, untouched else.
-            new_col = elim * factors + (1.0 - elim) * col
-            work[pl.ds(c, 1)] = new_col[None]
-
-            newly = oh_p * has[None, :]
-            pivoted = jnp.maximum(pivoted, newly)
-            piv_step = jnp.where(newly > 0, c, piv_step)
-            piv_row = jnp.where(steps_nb == c, p[None, :], piv_row)
-            ok = ok * has
+            ok = ok * has1 * has2
             return pivoted, piv_step, ok, piv_row
 
-        carry = lax.fori_loop(0, min(GROUP, nb - g0), step, carry)
+        carry = lax.fori_loop(
+            0, max(min(GROUP, nb - g0) // 2, 1), pair_step, carry
+        )
 
     pivoted, piv_step, ok, piv_row = carry
     step_ref[:] = piv_step
@@ -155,6 +205,9 @@ def panel_factor_masked(
     - ``ok [B]`` — every step found a nonzero pivot.
     """
     B, n, _ = panel.shape
+    assert nb >= 2 and nb % 2 == 0, (
+        f"lookahead panel kernel needs even nb >= 2, got {nb}"
+    )
     bt = LANES
     pad = (-B) % bt
     if pad:
