@@ -102,10 +102,11 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
 
         return pallas.solve_batched(a, b)
     if be == "blocked_pallas":
-        res = _lub.blocked_lu_batched(
-            a, nb=_best_nb(a.shape[-1], "pallas"), panel_backend="pallas"
+        # Fused path: block substitution in unordered row space — skips
+        # the full-matrix packed-LU assembly gather entirely.
+        return _lub.pallas_solve_batched(
+            a, b, nb=_best_nb(a.shape[-1], "pallas")
         )
-        return _lub.blocked_lu_solve(res, b)
     if be == "blocked":
         return _lub.blocked_solve_batched(a, b, nb=_best_nb(a.shape[-1]))
     if be == "xla":
@@ -148,8 +149,8 @@ def det_batched(a: jax.Array, backend: str = "auto"):
 
         return pallas.det_batched(a)
     if be == "blocked_pallas":
-        return _lub.blocked_det_batched(
-            a, nb=_best_nb(a.shape[-1], "pallas"), panel_backend="pallas"
+        return _lub.pallas_det_batched(
+            a, nb=_best_nb(a.shape[-1], "pallas")
         )
     if be == "blocked":
         return _lub.blocked_det_batched(a)

@@ -313,18 +313,36 @@ def _panel_factor_two_level(panel, nb, nbi, tol):
     return panel, perm_total, sign, ok
 
 
-def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
-    """Deferred-reordering blocked LU around the masked Pallas panel.
+class _PallasLUPhases(NamedTuple):
+    """Unassembled artifacts of the deferred-reordering phase loop.
+
+    Rows of ``a_out`` are in ORIGINAL (unpivoted) order; column block j
+    holds phase j's eliminated panel.  Everything a solve/det needs is
+    here without ever materializing the packed L\\U.
+    """
+    a_out: jax.Array            # [B, N, N] panels in original row order
+    piv_rows: list              # per phase: [B, nb] pivot row per step
+    u12s: list                  # per phase (except last): [B, nb, W]
+    l11s_inv: list              # per phase: [B, nb, nb]
+    u11s_inv: list              # per phase: [B, nb, nb]
+    u11_diags: list             # per phase: [B, nb] diag of U11
+    ok: jax.Array               # [B]
+
+
+def _pallas_lu_phases(
+    a: jax.Array, nb: int, interpret: bool
+) -> _PallasLUPhases:
+    """Phase loop of the deferred-reordering blocked LU around the masked
+    Pallas panel kernel.
 
     Rows are never physically moved between panel phases: each phase's
     kernel skips already-pivoted rows (finished U rows), the trailing
     update is a GEMM with those rows masked to zero, and the per-phase
-    ``U12 = L11⁻¹ A12`` blocks are kept aside.  ONE batched gather at
-    the very end assembles the packed L\\U — this removes the per-phase
-    full-matrix gather + concatenate traffic that dominated the
-    straightforward implementation (measured ~5 of 6.6 ms device time at
-    B=N=256).  The diagonal-block inverses produced along the way are
-    returned so the solve phase needs no triangular inversions.
+    ``U12 = L11⁻¹ A12`` blocks are kept aside.  The diagonal-block
+    inverses produced along the way let the solve run with zero
+    triangular inversions.  Assembly of the packed L\\U (one big batched
+    gather) is left to the caller — the fused solve/det paths skip it
+    entirely.
     """
     from .pallas.lu_panel_kernel import panel_factor_masked
 
@@ -334,7 +352,7 @@ def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
 
     pivoted = jnp.zeros((B, N), jnp.int32)
     ok = jnp.ones((B,), bool)
-    piv_rows, u12s, l11s_inv, u11s_inv = [], [], [], []
+    piv_rows, u12s, l11s_inv, u11s_inv, u11_diags = [], [], [], [], []
 
     for k0 in range(0, N, nb):
         panel = A[:, :, k0:k0 + nb]
@@ -353,6 +371,9 @@ def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
         u11i = invert_upper(jnp.triu(L11U11))
         l11s_inv.append(l11i)
         u11s_inv.append(u11i)
+        u11_diags.append(
+            jnp.sum(L11U11 * eye_nb, axis=-1)    # mask-reduce, no gather
+        )
 
         if k0 + nb < N:
             trail = A[:, :, k0 + nb:]
@@ -365,6 +386,19 @@ def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
             L21m = panel_u * unpiv[:, :, None]
             A = A.at[:, :, k0 + nb:].set(trail - L21m @ U12)
 
+    return _PallasLUPhases(
+        A, piv_rows, u12s, l11s_inv, u11s_inv, u11_diags, ok
+    )
+
+
+def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
+    """Packed L\\U via the Pallas phase loop + ONE final batched gather
+    (removes the per-phase full-matrix gather + concatenate traffic that
+    dominated the straightforward implementation — measured ~5 of 6.6 ms
+    device time at B=N=256)."""
+    ph = _pallas_lu_phases(a, nb, interpret)
+    A, piv_rows, u12s, ok = ph.a_out, ph.piv_rows, ph.u12s, ph.ok
+
     perm = jnp.concatenate(piv_rows, axis=1)     # [B, N]
     lu = jnp.take_along_axis(A, perm[:, :, None], axis=1)
     for p, U12 in enumerate(u12s):
@@ -372,8 +406,89 @@ def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
     sign = _perm_parity(perm).astype(A.dtype)
     return BlockedLUResult(
         lu, perm, sign, ok,
-        jnp.stack(l11s_inv, axis=1), jnp.stack(u11s_inv, axis=1),
+        jnp.stack(ph.l11s_inv, axis=1), jnp.stack(ph.u11s_inv, axis=1),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+@f32_matmuls
+def pallas_solve_batched(
+    a: jax.Array, b: jax.Array, nb: int = 128, interpret: bool = False
+) -> jax.Array:
+    """Fused factor+solve on the Pallas phase loop, WITHOUT assembling the
+    packed L\\U.
+
+    Block substitution runs in the unordered row space the phase loop
+    leaves behind: the RHS is gathered into pivot order per block
+    (``[B, nb, K]`` — N× cheaper than gathering the matrix), the
+    off-diagonal L blocks are gathered on demand (``Σ_{i>j} nb×nb`` ≈
+    half the full-matrix gather, and none at all for m=2's U side since
+    the ``U12`` slabs were kept aside by the phase loop), and the
+    diagonal blocks are applied via their cached inverses — zero
+    triangular inversions, zero full-matrix traffic.
+    """
+    B, N, _ = a.shape
+    nb = min(nb, N)
+    assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
+    ph = _pallas_lu_phases(a, nb, interpret)
+    m = N // nb
+
+    vector_input = b.ndim == 2
+    if vector_input:
+        b = b[:, :, None]
+    b = b.astype(ph.a_out.dtype)
+
+    def pb(i):
+        return jnp.take_along_axis(
+            b, ph.piv_rows[i][:, :, None], axis=1
+        )
+
+    def l_block(i, j):
+        """L_ij (i > j): phase-i pivot rows of phase j's panel — those
+        rows were unpivoted throughout phase j, so every column holds a
+        multiplier (the strict-L block of packed LU)."""
+        panel_j = ph.a_out[:, :, j * nb:(j + 1) * nb]
+        return jnp.take_along_axis(
+            panel_j, ph.piv_rows[i][:, :, None], axis=1
+        )
+
+    # Forward: L y = P b.
+    ys = []
+    for i in range(m):
+        rhs = pb(i)
+        for j in range(i):
+            rhs = rhs - l_block(i, j) @ ys[j]
+        ys.append(ph.l11s_inv[i] @ rhs)
+
+    # Backward: U x = y (U_ij for j > i is a slice of the kept U12 slab).
+    xs: list = [None] * m
+    for i in reversed(range(m)):
+        rhs = ys[i]
+        for j in range(i + 1, m):
+            w0 = (j - i - 1) * nb
+            rhs = rhs - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
+        xs[i] = ph.u11s_inv[i] @ rhs
+
+    x = jnp.concatenate(xs, axis=1)
+    return x[:, :, 0] if vector_input else x
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "interpret"))
+@f32_matmuls
+def pallas_det_batched(
+    a: jax.Array, nb: int = 128, interpret: bool = False
+) -> jax.Array:
+    """Fused determinant on the Pallas phase loop: product of the per-phase
+    U11 diagonals × permutation parity — no packed-LU assembly."""
+    N = a.shape[-1]
+    nb = min(nb, N)
+    if N % nb:
+        nb = N
+    ph = _pallas_lu_phases(a, nb, interpret)
+    perm = jnp.concatenate(ph.piv_rows, axis=1)
+    diag = jnp.concatenate(ph.u11_diags, axis=1)
+    sign = _perm_parity(perm).astype(diag.dtype)
+    return jnp.where(ph.ok, sign * jnp.prod(diag, axis=-1), 0.0)
 
 
 @functools.partial(

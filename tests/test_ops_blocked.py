@@ -149,6 +149,56 @@ class TestBlockedLU:
                 L @ U, A[i][perm[i]], atol=1e-4
             )
 
+    @pytest.mark.parametrize("krhs", [None, 3])
+    def test_fused_pallas_solve_matches_assembled(self, krhs):
+        """The assembly-free fused solve must agree with factor+solve on
+        the packed L\\U (same pivots, same block algebra)."""
+        from linalg_solver_tpu.ops.lu_blocked import (
+            blocked_lu_solve,
+            pallas_solve_batched,
+        )
+
+        A = make_batch(5, 16, seed=14, shift=2.0)
+        rng = np.random.RandomState(15)
+        bshape = (5, 16) if krhs is None else (5, 16, krhs)
+        b = rng.randn(*bshape).astype(np.float32)
+        x_fused = np.asarray(
+            pallas_solve_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=4, interpret=True
+            )
+        )
+        res = blocked_lu_batched(
+            jnp.asarray(A), nb=4, panel_backend="pallas", interpret=True
+        )
+        x_ref = np.asarray(blocked_lu_solve(res, jnp.asarray(b)))
+        np.testing.assert_allclose(x_fused, x_ref, atol=1e-5)
+        if krhs is None:
+            resid = np.einsum("bij,bj->bi", A, x_fused) - b
+        else:
+            resid = np.einsum("bij,bjk->bik", A, x_fused) - b
+        assert np.abs(resid).max() < 1e-3
+
+    def test_fused_pallas_det_matches_numpy(self):
+        from linalg_solver_tpu.ops.lu_blocked import pallas_det_batched
+
+        A = make_batch(4, 16, seed=16, shift=2.0)
+        d = np.asarray(
+            pallas_det_batched(jnp.asarray(A), nb=4, interpret=True)
+        )
+        expected = np.linalg.det(A.astype(np.float64))
+        np.testing.assert_allclose(d, expected, rtol=1e-3)
+
+    def test_fused_pallas_det_singular_is_zero(self):
+        from linalg_solver_tpu.ops.lu_blocked import pallas_det_batched
+
+        A = make_batch(2, 8, seed=17)
+        A[1, :, 0] = 0.0
+        A[1, 0, :] = 0.0
+        d = np.asarray(
+            pallas_det_batched(jnp.asarray(A), nb=4, interpret=True)
+        )
+        assert d[0] != 0.0 and d[1] == 0.0
+
     def test_inplace_singular_flagged(self):
         A = make_batch(2, 8, seed=13)
         A[1, :, 0] = 0.0
