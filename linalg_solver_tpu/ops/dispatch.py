@@ -25,9 +25,10 @@ from .solve import inverse_batched as _gj_inverse_batched
 
 def _best_nb(n: int, panel_backend: str = "xla") -> int:
     """Tuned panel width for the blocked path (bench notes: with the
-    Pallas panel kernel nb=128 wins at N=256 on v5e — chunkier trailing
-    GEMMs; the XLA panel prefers nb=64)."""
-    return min(128 if panel_backend == "pallas" else 64, n)
+    fused assembly-free solve the Pallas panel prefers nb=64 at N=256 on
+    v5e — panel VPU work scales with nb and no longer buys cheaper
+    assembly; nb=128 was ~7% slower, nb=32 ~15% slower)."""
+    return min(64, n)
 
 
 def _blocked_ok(n: int, panel_backend: str = "xla") -> bool:
