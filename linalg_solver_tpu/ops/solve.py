@@ -129,6 +129,99 @@ def solve_batched(a, b, tol: Optional[float] = None, pivot_rule: str = "first"):
     )(a, b)
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+@f32_matmuls
+def solve_affine_gj_batched(
+    a: jax.Array,
+    b: jax.Array,
+    tol: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> BatchedAffineSubspace:
+    """Affine solution sets for a whole batch via the VMEM-resident
+    Gauss–Jordan kernel (``ops.pallas.gj_kernel``) — the fast path for
+    possibly-singular/rectangular systems when one lane tile fits VMEM.
+
+    Semantically equal to ``solve_batched(..., pivot_rule="partial")``:
+    the in-place kernel considers the same pivot candidates (unpivoted
+    rows ≡ rows below the cursor after swaps), and the reduced row
+    echelon form — hence particular solution, generator matrix, masks —
+    is unique for a given pivot-column set.  Extraction exploits that
+    the kernel's pivot COLUMN for step j is j itself, so the one-hot
+    algebra of ``_extract_affine`` collapses to row selects and masks.
+
+    ``a: [B, m, n]``, ``b: [B, m]``; ``tol`` is per-matrix ``[B]``
+    (default: data-relative ``100·max(m,n+1)·eps·max|[A|b]|``).
+    """
+    from .pallas.gj_kernel import gauss_jordan_tiled
+    from .select import take_rows_mxu
+
+    B, m, n = a.shape
+    s = max(m, n)
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    aug = jnp.zeros((B, s, s + 1), dtype)
+    aug = aug.at[:, :m, :n].set(a.astype(dtype))
+    aug = aug.at[:, :m, s].set(b.astype(dtype))
+    if tol is None:
+        eps = jnp.finfo(dtype).eps
+        tol = (
+            100 * max(m, n + 1) * eps
+            * jnp.max(jnp.abs(aug), axis=(1, 2))
+        )
+    tol = jnp.broadcast_to(jnp.asarray(tol, dtype), (B,))
+
+    res = gauss_jordan_tiled(aug, tol=tol, interpret=interpret)
+    R, perm, pivs = res.reduced, res.perm, res.pivots
+
+    col_mask = (pivs != 0).astype(dtype)             # [B, s] pivot cols
+    # Rows of R in pivot order: Rp[k] = R[perm[k]] (pivot col of step k
+    # is k, so no column one-hots are needed).
+    Rp = take_rows_mxu(R, perm)                      # [B, s, s+1]
+    particular = (Rp[:, :, s] * col_mask)[:, :n]
+
+    # Generators: g_j = e_j − Σ_k e_k · Rp[k, j] on free columns j < n.
+    correction = col_mask[:, :, None] * Rp[:, :, :s]
+    gen_all = jnp.eye(s, dtype=dtype)[None] - correction
+    free_mask_f = (1 - col_mask)[:, :n]
+    generators = gen_all[:, :n, :n] * free_mask_f[:, None, :]
+
+    # Consistency: a physical row with zero left side but nonzero RHS.
+    oh_perm = (
+        perm[:, :, None]
+        == jnp.arange(s, dtype=perm.dtype)[None, None, :]
+    ).astype(dtype)
+    pivot_row_mask = jnp.einsum(
+        "bks,bk->bs", oh_perm, col_mask
+    )                                                # [B, s] physical
+    left_zero = (
+        jnp.abs(R[:, :, :s]) <= tol[:, None, None]
+    ).all(axis=2)
+    inconsistent = (
+        (pivot_row_mask == 0)
+        & left_zero
+        & (jnp.abs(R[:, :, s]) > tol[:, None])
+    ).any(axis=1)
+
+    dim = free_mask_f.sum(axis=1).astype(jnp.int32)
+    return BatchedAffineSubspace(
+        particular=particular,
+        generators=generators,
+        gen_mask=free_mask_f > 0.5,
+        dim=dim,
+        is_consistent=~inconsistent,
+    )
+
+
+def solve_affine_gj_supported(m: int, n: int) -> bool:
+    """One VMEM lane tile must hold the square-padded augmented array."""
+    try:
+        from .pallas.gj_kernel import supported
+
+        s = max(m, n)
+        return supported(s, s + 1)
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("pivot_rule",))
 def nullspace(
     a: jax.Array, tol: Optional[float] = None, pivot_rule: str = "first"

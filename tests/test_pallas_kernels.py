@@ -108,3 +108,98 @@ class TestGJKernel:
         )
         loop_inv = np.asarray(gj_loop(jnp.asarray(A), tol=1e-30).inverse)
         np.testing.assert_allclose(pallas_inv, loop_inv, atol=1e-4)
+
+
+class TestAffineSolveGJ:
+    """The GJ-kernel affine solve must reproduce the loop path's affine
+    subspaces exactly in structure (RREF is unique for a pivot-column
+    set) and closely in values."""
+
+    def _compare(self, A, b, tol=None):
+        from linalg_solver_tpu.ops.solve import (
+            solve_affine_gj_batched,
+            solve_batched,
+        )
+
+        got = solve_affine_gj_batched(
+            jnp.asarray(A), jnp.asarray(b), tol=tol, interpret=True
+        )
+        want = solve_batched(
+            jnp.asarray(A), jnp.asarray(b), tol=tol, pivot_rule="partial"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.is_consistent), np.asarray(want.is_consistent)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.dim), np.asarray(want.dim)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.gen_mask), np.asarray(want.gen_mask)
+        )
+        consistent = np.asarray(want.is_consistent)
+        np.testing.assert_allclose(
+            np.asarray(got.particular)[consistent],
+            np.asarray(want.particular)[consistent],
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.generators), np.asarray(want.generators),
+            atol=1e-4,
+        )
+
+    def test_square_full_rank(self):
+        A = make_batch(4, 8, seed=21)
+        b = np.random.RandomState(22).randn(4, 8).astype(np.float32)
+        self._compare(A, b, tol=1e-5)
+
+    def test_square_rank_deficient_consistent(self):
+        rng = np.random.RandomState(23)
+        U = rng.randn(3, 8, 4).astype(np.float32)
+        V = rng.randn(3, 4, 8).astype(np.float32)
+        A = np.einsum("bik,bkj->bij", U, V)  # rank 4
+        x0 = rng.randn(3, 8).astype(np.float32)
+        b = np.einsum("bij,bj->bi", A, x0)   # consistent by construction
+        self._compare(A, b)
+
+    def test_inconsistent_flagged(self):
+        A = np.zeros((2, 4, 4), np.float32)
+        A[:, 0, 0] = 1.0
+        b = np.zeros((2, 4), np.float32)
+        b[1, 1] = 1.0  # zero row, nonzero rhs -> no solution
+        self._compare(A, b, tol=1e-6)
+
+    def test_rectangular_wide(self):
+        rng = np.random.RandomState(24)
+        A = rng.randn(3, 4, 8).astype(np.float32)
+        b = rng.randn(3, 4).astype(np.float32)
+        self._compare(A, b, tol=1e-5)
+
+    def test_rectangular_tall(self):
+        rng = np.random.RandomState(25)
+        A = rng.randn(3, 8, 4).astype(np.float32)
+        x0 = rng.randn(3, 4).astype(np.float32)
+        b = np.einsum("bij,bj->bi", A, x0)
+        self._compare(A, b, tol=1e-4)
+
+    def test_solutions_actually_solve(self):
+        from linalg_solver_tpu.ops.solve import solve_affine_gj_batched
+
+        rng = np.random.RandomState(26)
+        U = rng.randn(2, 8, 5).astype(np.float32)
+        V = rng.randn(2, 5, 8).astype(np.float32)
+        A = np.einsum("bik,bkj->bij", U, V)
+        x0 = rng.randn(2, 8).astype(np.float32)
+        b = np.einsum("bij,bj->bi", A, x0)
+        sub = solve_affine_gj_batched(
+            jnp.asarray(A), jnp.asarray(b), interpret=True
+        )
+        assert bool(np.asarray(sub.is_consistent).all())
+        Ad = A.astype(np.float64)
+        part = np.asarray(sub.particular, np.float64)
+        resid = np.einsum("bij,bj->bi", Ad, part) - b
+        assert np.abs(resid).max() < 1e-2
+        gens = np.asarray(sub.generators, np.float64)
+        mask = np.asarray(sub.gen_mask)
+        img = np.einsum("bij,bjk->bik", Ad, gens)
+        assert np.abs(img[:, :, :][mask[:, None, :].repeat(8, 1)]).max() < 1e-2
+        assert int(np.asarray(sub.dim)[0]) == 3  # n - rank = 8 - 5
