@@ -332,10 +332,12 @@ class _PallasLUPhases(NamedTuple):
     u11s_inv: list              # per phase: [B, nb, nb]
     u11_diags: list             # per phase: [B, nb] diag of U11
     ok: jax.Array               # [B]
+    ys: Optional[list] = None   # per phase: [B, nb, K] forward-subst. y
 
 
 def _pallas_lu_phases(
-    a: jax.Array, nb: int, interpret: bool, need_u11_inv: bool = True
+    a: jax.Array, nb: int, interpret: bool, need_u11_inv: bool = True,
+    rhs: Optional[jax.Array] = None,
 ) -> _PallasLUPhases:
     """Phase loop of the deferred-reordering blocked LU around the masked
     Pallas panel kernel.
@@ -348,6 +350,14 @@ def _pallas_lu_phases(
     triangular inversions.  Assembly of the packed L\\U (one big batched
     gather) is left to the caller — the fused solve/det paths skip it
     entirely.
+
+    When ``rhs [B, N, K]`` is given, forward substitution ``L y = P b``
+    rides the phase loop: each phase extracts its pivot rows of the
+    running RHS, applies ``L11⁻¹``, and folds the ``L21 @ y`` correction
+    into the same masked update step as the trailing GEMM — so the solve
+    needs no packed-L row gathers at all (the per-block ``L_ij`` one-hot
+    selects it replaces cost more device time than the whole backward
+    pass).
     """
     from .pallas.lu_panel_kernel import panel_factor_masked
 
@@ -358,6 +368,9 @@ def _pallas_lu_phases(
     pivoted = jnp.zeros((B, N), jnp.int32)
     ok = jnp.ones((B,), bool)
     piv_rows, u12s, l11s_inv, l11u11s = [], [], [], []
+    ys = [] if rhs is not None else None
+    if rhs is not None:
+        rhs = rhs.astype(A.dtype)
 
     for k0 in range(0, N, nb):
         panel = A[:, :, k0:k0 + nb]
@@ -375,15 +388,24 @@ def _pallas_lu_phases(
         l11s_inv.append(l11i)
         l11u11s.append(L11U11)
 
-        if k0 + nb < N:
+        last = k0 + nb >= N
+        if not last or ys is not None:
+            # Rows not yet pivoted (≡ below the diagonal in pivot order):
+            # exactly the L21 block, in unordered row space.
+            unpiv = (pivoted == 0).astype(A.dtype)
+            L21m = panel_u * unpiv[:, :, None]
+        if ys is not None:
+            y_i = l11i @ _take_rows_mxu(rhs, piv_rows[-1])
+            ys.append(y_i)
+            if not last:
+                rhs = rhs - L21m @ y_i
+        if not last:
             trail = A[:, :, k0 + nb:]
             A12 = _take_rows_mxu(trail, piv_rows[-1])
             U12 = l11i @ A12                     # [B, nb, W]
             u12s.append(U12)
             # Masked trailing GEMM: pivoted rows (finished U rows and
             # this phase's pivots) contribute zero and stay untouched.
-            unpiv = (pivoted == 0).astype(A.dtype)
-            L21m = panel_u * unpiv[:, :, None]
             A = A.at[:, :, k0 + nb:].set(trail - L21m @ U12)
 
     # U11 inverses are only consumed by the solve, never inside the
@@ -401,7 +423,7 @@ def _pallas_lu_phases(
         u11s_inv = [None] * len(l11u11s)
 
     return _PallasLUPhases(
-        A, piv_rows, u12s, l11s_inv, u11s_inv, u11_diags, ok
+        A, piv_rows, u12s, l11s_inv, u11s_inv, u11_diags, ok, ys
     )
 
 
@@ -432,48 +454,27 @@ def pallas_solve_batched(
     """Fused factor+solve on the Pallas phase loop, WITHOUT assembling the
     packed L\\U.
 
-    Block substitution runs in the unordered row space the phase loop
-    leaves behind: the RHS is gathered into pivot order per block
-    (``[B, nb, K]`` — N× cheaper than gathering the matrix), the
-    off-diagonal L blocks are gathered on demand (``Σ_{i>j} nb×nb`` ≈
-    half the full-matrix gather, and none at all for m=2's U side since
-    the ``U12`` slabs were kept aside by the phase loop), and the
+    Forward substitution rides the phase loop itself (``rhs=`` in
+    ``_pallas_lu_phases``): the ``L21 @ y`` corrections reuse the masked
+    panel already in registers for the trailing update, so no packed-L
+    blocks are ever gathered.  Only the backward pass remains here, and
+    its ``U_ij`` blocks are slices of the kept ``U12`` slabs while the
     diagonal blocks are applied via their cached inverses — zero
-    triangular inversions, zero full-matrix traffic.
+    triangular inversions, zero full-matrix gathers.
     """
     B, N, _ = a.shape
     nb = min(nb, N)
     assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
-    ph = _pallas_lu_phases(a, nb, interpret)
-    m = N // nb
-
     vector_input = b.ndim == 2
     if vector_input:
         b = b[:, :, None]
-    b = b.astype(ph.a_out.dtype)
-
-    def pb(i):
-        return _take_rows_mxu(b, ph.piv_rows[i])
-
-    def l_block(i, j):
-        """L_ij (i > j): phase-i pivot rows of phase j's panel — those
-        rows were unpivoted throughout phase j, so every column holds a
-        multiplier (the strict-L block of packed LU)."""
-        panel_j = ph.a_out[:, :, j * nb:(j + 1) * nb]
-        return _take_rows_mxu(panel_j, ph.piv_rows[i])
-
-    # Forward: L y = P b.
-    ys = []
-    for i in range(m):
-        rhs = pb(i)
-        for j in range(i):
-            rhs = rhs - l_block(i, j) @ ys[j]
-        ys.append(ph.l11s_inv[i] @ rhs)
+    ph = _pallas_lu_phases(a, nb, interpret, rhs=b)
+    m = N // nb
 
     # Backward: U x = y (U_ij for j > i is a slice of the kept U12 slab).
     xs: list = [None] * m
     for i in reversed(range(m)):
-        rhs = ys[i]
+        rhs = ph.ys[i]
         for j in range(i + 1, m):
             w0 = (j - i - 1) * nb
             rhs = rhs - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]

@@ -246,8 +246,11 @@ def inverse_batched(a: jax.Array, interpret: bool = False) -> jax.Array:
         jnp.concatenate([a, eye], axis=2), interpret=interpret
     )
     right = res.reduced[:, :, n:]
-    # Row j of A^{-1} lives in physical row perm[j].
-    return jnp.take_along_axis(right, res.perm[:, :, None], axis=1)
+    # Row j of A^{-1} lives in physical row perm[j] (one-hot GEMM: the
+    # TPU gather lowering runs ~14x slower — see ops.select).
+    from ..select import take_rows_mxu
+
+    return take_rows_mxu(right, res.perm)
 
 
 def solve_batched(
@@ -262,7 +265,9 @@ def solve_batched(
         interpret=interpret,
     )
     right = res.reduced[:, :, n:]
-    x = jnp.take_along_axis(right, res.perm[:, :, None], axis=1)
+    from ..select import take_rows_mxu
+
+    x = take_rows_mxu(right, res.perm)
     return x[:, :, 0] if vector_input else x
 
 
