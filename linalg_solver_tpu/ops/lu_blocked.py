@@ -411,16 +411,22 @@ def _pallas_lu_phases(
     # U11 inverses are only consumed by the solve, never inside the
     # phase loop — one STACKED Neumann/D&C chain over all m diagonal
     # blocks replaces m sequential chains (same flops, 1/m the ops).
-    stacked = jnp.stack(l11u11s, axis=1)         # [B, m, nb, nb]
+    # The stack is flattened to a 3D [B·m, nb, nb] batch: XLA's layout
+    # assignment ping-pongs 4D batched matmuls between {3,2,1,0} and
+    # {0,3,2,1} (measured ~0.45 ms/call of pure layout copies in the
+    # Neumann chain at B=N=256, nb=64); 3D batched dots stay put.
+    m_ph = len(l11u11s)
+    B_ = l11u11s[0].shape[0]
+    stacked = jnp.concatenate(l11u11s, axis=0)   # [m·B, nb, nb]
     u11_diags = list(
-        jnp.moveaxis(
-            jnp.sum(stacked * eye_nb, axis=-1), 1, 0
-        )
+        jnp.sum(stacked * eye_nb, axis=-1).reshape(m_ph, B_, nb)
     )
     if need_u11_inv:
-        u11s_inv = list(jnp.moveaxis(invert_upper(jnp.triu(stacked)), 1, 0))
+        u11s_inv = list(
+            invert_upper(jnp.triu(stacked)).reshape(m_ph, B_, nb, nb)
+        )
     else:
-        u11s_inv = [None] * len(l11u11s)
+        u11s_inv = [None] * m_ph
 
     return _PallasLUPhases(
         A, piv_rows, u12s, l11s_inv, u11s_inv, u11_diags, ok, ys
