@@ -99,75 +99,87 @@ def _panel_kernel(a_hbm, mask_ref, out_hbm, step_ref, row_ref, mask_out,
         factors = col * inv[None, :] * elim                 # [n, bt]
         return oh_p, p, has, factors, elim
 
+    #: steps folded into one live-block pass.  Rank-4 halves the
+    #: read-modify-write traffic of the dominant pass but measured
+    #: neutral-to-slower on v5e (solve 499 vs 506 GFLOP/s, det 4.69 vs
+    #: 4.56 ms at B=N=256): the pass is VPU-compute-bound, and the four
+    #: live extraction vectors raise register pressure.  Keep rank-2.
+    lookahead = 2
+
+    def one_step(c, pivoted, col_corrections):
+        """Pivot step ``c``: corrects column ``c`` by the earlier steps
+        of this lookahead window, picks its pivot, returns the window
+        state.  ``col_corrections`` = [(oh_i, f_i), ...]."""
+        col = work[pl.ds(c, 1)][0]                          # [n, bt]
+        for oh_i, f_i in col_corrections:
+            r_i = jnp.sum(col * oh_i, axis=0)               # [bt]
+            col = col - f_i * r_i[None, :]
+        oh, p, has, f, elim = pick_pivot(col, pivoted)
+        pivoted = jnp.maximum(pivoted, oh * has[None, :])
+        return col, oh, p, has, f, elim, pivoted
+
     for g0 in range(0, nb, GROUP):
         w = nb - g0                            # live columns
-        cols_g = lax.broadcasted_iota(jnp.int32, (w, 1, 1), 0)
 
-        def pair_step(kk, carry, g0=g0, w=w, cols_g=cols_g):
-            """Two pivot steps with ONE pass over the live columns
-            (lookahead): step c+1's pivot column is updated cheaply on
-            its own ([n, bt] ops), both pivot rows are extracted from
-            the SAME read of the live block (the second corrected by
-            the first's elimination), and both rank-1 updates land in
+        def la_step(kk, carry, g0=g0, w=w):
+            """``lookahead`` pivot steps with ONE pass over the live
+            columns: later pivot columns are corrected cheaply on their
+            own ([n, bt] ops), all pivot rows are extracted from the
+            SAME read of the live block (each corrected by its
+            predecessors' eliminations), and all rank-1 updates land in
             one fused read-modify-write."""
             pivoted, piv_step, ok, piv_row = carry
-            jj = 2 * kk
-            c = g0 + jj
+            c = g0 + lookahead * kk
 
-            # --- step c: pivot from column c as stored.
-            col1 = work[pl.ds(c, 1)][0]                     # [n, bt]
-            oh1, p1, has1, f1, elim1 = pick_pivot(col1, pivoted)
-            pivoted1 = jnp.maximum(pivoted, oh1 * has1[None, :])
+            steps = []                          # (col, oh, p, has, f, elim)
+            for s in range(lookahead):
+                corrections = [(st[1], st[4]) for st in steps]
+                col, oh, p, has, f, elim, pivoted = one_step(
+                    c + s, pivoted, corrections
+                )
+                steps.append((col, oh, p, has, f, elim))
 
-            # --- step c+1: its column after step c's elimination.
-            col2_raw = work[pl.ds(c + 1, 1)][0]             # [n, bt]
-            pr1_c2 = jnp.sum(col2_raw * oh1, axis=0)        # [bt]
-            col2 = col2_raw - f1 * pr1_c2[None, :]
-            oh2, p2, has2, f2, elim2 = pick_pivot(col2, pivoted1)
-
+            # Cross-terms f_i[p_j] for the in-pass row corrections.
+            f_at = {
+                (i, j): jnp.sum(steps[i][4] * steps[j][1], axis=0)
+                for j in range(1, lookahead) for i in range(j)
+            }
             # --- one pass over the live block (in static column chunks
-            # so the slab-sized temporaries stay within VMEM at large
-            # N): extract both pivot rows, apply both rank-1 updates.
-            f1_at_p2 = jnp.sum(f1 * oh2, axis=0)            # [bt]
+            # so the slab-sized temporaries stay within VMEM at large N).
             for h0 in range(g0, g0 + w, _UPDATE_CHUNK):
                 ch = min(_UPDATE_CHUNK, g0 + w - h0)
                 cols_h = h0 + lax.broadcasted_iota(
                     jnp.int32, (ch, 1, 1), 0
                 )
                 chunk = work[pl.ds(h0, ch)]                 # [ch, n, bt]
-                pr1 = jnp.sum(chunk * oh1[None, :, :], axis=1)
-                pr2_raw = jnp.sum(chunk * oh2[None, :, :], axis=1)
-                # Row p2 after step c's update: r2 = raw − f1[p2]·pr1.
-                pr2 = pr2_raw - f1_at_p2[None, :] * pr1
-                right1 = (cols_h > c).astype(dtype)         # [ch, 1, 1]
-                right2 = (cols_h > c + 1).astype(dtype)
-                work[pl.ds(h0, ch)] = (
-                    chunk
-                    - f1[None, :, :] * (pr1[:, None, :] * right1)
-                    - f2[None, :, :] * (pr2[:, None, :] * right2)
-                )
+                prs = []
+                for j in range(lookahead):
+                    pr = jnp.sum(chunk * steps[j][1][None, :, :], axis=1)
+                    for i in range(j):
+                        pr = pr - f_at[(i, j)][None, :] * prs[i]
+                    prs.append(pr)                          # [ch, bt]
+                upd = chunk
+                for j in range(lookahead):
+                    right = (cols_h > c + j).astype(dtype)  # [ch, 1, 1]
+                    upd = upd - steps[j][4][None, :, :] * (
+                        prs[j][:, None, :] * right
+                    )
+                work[pl.ds(h0, ch)] = upd
             # Multiplier columns (eliminated rows keep their factors).
-            work[pl.ds(c, 1)] = (
-                elim1 * f1 + (1.0 - elim1) * col1
-            )[None]
-            work[pl.ds(c + 1, 1)] = (
-                elim2 * f2 + (1.0 - elim2) * col2
-            )[None]
-
-            pivoted = jnp.maximum(pivoted1, oh2 * has2[None, :])
-            newly1 = (oh1 * has1[None, :]) > 0
-            newly2 = (oh2 * has2[None, :]) > 0
-            piv_step = jnp.where(newly1, c, piv_step)
-            piv_step = jnp.where(newly2, c + 1, piv_step)
-            piv_row = jnp.where(steps_nb == c, p1[None, :], piv_row)
-            piv_row = jnp.where(
-                steps_nb == c + 1, p2[None, :], piv_row
-            )
-            ok = ok * has1 * has2
+            for s, (col, oh, p, has, f, elim) in enumerate(steps):
+                work[pl.ds(c + s, 1)] = (
+                    elim * f + (1.0 - elim) * col
+                )[None]
+                newly = (oh * has[None, :]) > 0
+                piv_step = jnp.where(newly, c + s, piv_step)
+                piv_row = jnp.where(
+                    steps_nb == c + s, p[None, :], piv_row
+                )
+                ok = ok * has
             return pivoted, piv_step, ok, piv_row
 
         carry = lax.fori_loop(
-            0, max(min(GROUP, nb - g0) // 2, 1), pair_step, carry
+            0, max(min(GROUP, nb - g0) // lookahead, 1), la_step, carry
         )
 
     pivoted, piv_step, ok, piv_row = carry

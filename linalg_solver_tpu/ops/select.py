@@ -57,3 +57,19 @@ def take_rows_mxu(src: jax.Array, rows: jax.Array) -> jax.Array:
     """Batched row gather ``src[b, rows[b], :]`` for ``src [B, n, k]``,
     ``rows [B, m]`` → ``[B, m, k]``, as one exact one-hot GEMM."""
     return onehot_matmul(onehot_rows(rows, src.shape[1]), src)
+
+
+def take_cols_mxu(src: jax.Array, cols: jax.Array) -> jax.Array:
+    """Batched column gather ``src[b, :, cols[b]]`` for ``src [B, k, n]``,
+    ``cols [B, m]`` → ``[B, k, m]`` — the transposed-storage counterpart
+    of ``take_rows_mxu`` (same exact mixed-precision trick, one-hot on
+    the right)."""
+    oh = onehot_rows(cols, src.shape[2])
+    if src.dtype != jnp.float32:
+        return src @ oh.astype(src.dtype).swapaxes(1, 2)
+    return lax.dot_general(
+        src, oh,
+        (((2,), (2,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )

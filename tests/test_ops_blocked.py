@@ -236,3 +236,4 @@ class TestBlockedInverse:
         assert dispatch._resolve("auto", "inverse", 256) in (
             "blocked", "pallas",
         )
+
