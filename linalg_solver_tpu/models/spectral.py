@@ -24,13 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.eigen import (
-    EigvalsResult,
-    algebraic_multiplicities,
-    diagonalize,
-    eigvals_qr,
-    geometric_multiplicity,
-)
+from ..ops.eigen import eigvals_qr
 from ..ops.schur import eigvals_schur
 
 
@@ -45,39 +39,36 @@ class SpectralReport(NamedTuple):
     D: jax.Array              # [B, n, n]
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("max_distinct",))
 def _spectral_core(
-    a: jax.Array, ev_real: jax.Array, ev_imag: jax.Array, tol: float
+    a: jax.Array, ev_real: jax.Array, ev_imag: jax.Array, tol: float,
+    max_distinct=None,
 ) -> SpectralReport:
-    """Multiplicities + diagonalization given precomputed eigenvalues."""
+    """Multiplicities + diagonalization given precomputed eigenvalues.
 
-    def single(mat, ev_r, ev_i):
-        ev = EigvalsResult(ev_r, ev_i)
-        order = jnp.argsort(-ev.real)
-        lam, lam_im = ev.real[order], ev.imag[order]
-        alg = algebraic_multiplicities(lam, lam_im, tol=tol)
-        # Rank tolerance must absorb the eigensolver's λ error (≫ machine
-        # eps): use the cluster tolerance scaled by the matrix magnitude.
-        rank_tol = tol * jnp.maximum(jnp.max(jnp.abs(mat)), 1.0)
-        geom = jax.vmap(
-            lambda l: geometric_multiplicity(mat, l, tol=rank_tol)
-        )(lam)
-        diag = diagonalize(mat, tol=tol, eigvals=ev)
-        return lam, lam_im, alg, geom, diag
+    One call into ``ops.eigen.spectral_decompose_batched``: eigenvalues
+    are clustered and compacted to their DISTINCT values, and a single
+    batched VMEM Gauss–Jordan pass over the ``[B·K]`` shifted matrices
+    yields both the geometric multiplicities and the eigenvector bases —
+    replacing the per-slot rank + nullspace formulation (O(B·n) dense
+    eliminations; at 32×(256×256) that vmapped path is ~two orders
+    slower than the compacted kernel path)."""
+    from ..ops.eigen import spectral_decompose_batched
 
     with jax.default_matmul_precision("float32"):
-        lam, lam_im, alg, geom, diag = jax.vmap(single)(
-            a, ev_real, ev_imag
+        dec = spectral_decompose_batched(
+            a, ev_real, ev_imag, tol=tol, space_tol=tol,
+            max_distinct=max_distinct,
         )
     return SpectralReport(
-        lam, lam_im, alg, geom,
-        diag.success, diag.P, diag.P_inv, diag.D,
+        dec.eigenvalues, dec.eig_imag, dec.alg_mult, dec.geom_mult,
+        dec.success, dec.P, dec.P_inv, dec.D,
     )
 
 
 def spectral_pipeline(
     a: jax.Array, iters: int = 100, tol: float = 1e-3,
-    method: str = "schur",
+    method: str = "schur", max_distinct: int = None,
 ) -> SpectralReport:
     """Full spectral report for a batch ``[B, n, n]``.
 
@@ -85,10 +76,18 @@ def spectral_pipeline(
     host driver, then one jitted core for multiplicities/diagonalize.
     ``method="qr"``: the legacy fully-jitted unreduced QR iteration
     (``iters`` applies only here).
+
+    ``max_distinct`` bounds the number of distinct eigenvalues whose
+    eigenspaces are computed (default: ``n``, exact).  Workloads with a
+    known spectrum bound (generated batches usually have ~3 distinct
+    eigenvalues) should pass it — the eigenvector stage scales linearly
+    with it.
     """
     if method == "schur":
         ev = eigvals_schur(a)
-        return _spectral_core(a, ev.real, ev.imag, tol)
+        return _spectral_core(
+            a, ev.real, ev.imag, tol, max_distinct=max_distinct
+        )
     return _spectral_pipeline_qr(a, iters=iters, tol=tol)
 
 

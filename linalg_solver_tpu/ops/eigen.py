@@ -31,7 +31,7 @@ from jax import lax
 _HIGH = jax.lax.Precision.HIGHEST
 
 from .rref import rref
-from .solve import BatchedAffineSubspace, inverse, nullspace, rank
+from .solve import BatchedAffineSubspace, inverse, nullspace, rank, solve
 
 
 # ---------------------------------------------------------------------------
@@ -396,3 +396,193 @@ def diagonalize_batched(a, iters: int = 100, tol: float = 1e-4,
             diagonalize, iters=iters, tol=tol, space_tol=space_tol
         )
     )(a)
+
+
+# ---------------------------------------------------------------------------
+# Batched spectral decomposition (distinct-eigenvalue compaction)
+# ---------------------------------------------------------------------------
+
+class SpectralDecomposition(NamedTuple):
+    """Batched eigen-analysis: per-slot eigenvalues (sorted by descending
+    real part) with algebraic/geometric multiplicities, plus the
+    diagonalization ``A = P D P⁻¹`` where it exists."""
+
+    eigenvalues: jax.Array   # [B, n] real parts
+    eig_imag: jax.Array      # [B, n]
+    alg_mult: jax.Array      # [B, n]
+    geom_mult: jax.Array     # [B, n]
+    P: jax.Array             # [B, n, n]
+    P_inv: jax.Array         # [B, n, n]
+    D: jax.Array             # [B, n, n]
+    success: jax.Array       # [B]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_distinct", "interpret")
+)
+@f32_matmuls
+def spectral_decompose_batched(
+    a: jax.Array,
+    ev_real: jax.Array,
+    ev_imag: jax.Array,
+    tol: float = 1e-3,
+    space_tol: float = 1e-3,
+    max_distinct: Optional[int] = None,
+    interpret: bool = False,
+) -> SpectralDecomposition:
+    """Multiplicities + diagonalization for a batch, given precomputed
+    eigenvalues — the TPU-shaped replacement for vmapping the per-slot
+    path (reference ``diagonalize``, linalg.py:833-863).
+
+    The per-slot formulation computes ``rank(A − λI)`` and a nullspace
+    for EVERY eigenvalue slot — O(B·n) dense eliminations, O(B·n⁴) work
+    — although a spectrum has at most ``n`` (and a generated batch
+    typically ~3) DISTINCT eigenvalues.  This version clusters the
+    eigenvalues (radius ``tol``, refined to cluster means), compacts the
+    distinct values to ``K = max_distinct`` slots (default ``n`` —
+    exact), and runs ONE batched Gauss–Jordan nullspace over the
+    ``[B·K]`` shifted matrices through the VMEM kernel
+    (``solve_affine_gj_batched``, big-VMEM budget: n up to ~400).  Both
+    the geometric multiplicities and the eigenvector basis come from
+    that single pass.  Eigenvector columns are collected into ``P`` by a
+    scan over the K distinct slots with one-hot column compaction —
+    batched MXU work instead of per-column dynamic updates.
+
+    Clusters beyond ``max_distinct`` (when set below the true distinct
+    count) get no eigenspace: their ``geom_mult`` reads 0 and
+    ``success`` is False — set it only for workloads with a known bound
+    (e.g. generated spectra).
+    """
+    from .solve import solve_affine_gj_batched, solve_affine_gj_supported
+
+    B, n, _ = a.shape
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(dtype)
+    K = n if max_distinct is None else min(max_distinct, n)
+
+    # --- sort slots by descending real part.
+    order = jnp.argsort(-ev_real, axis=1)
+    lam = jnp.take_along_axis(ev_real.astype(dtype), order, axis=1)
+    lam_im = jnp.take_along_axis(ev_imag.astype(dtype), order, axis=1)
+    all_real = (jnp.abs(lam_im) <= tol).all(axis=1)
+
+    # --- cluster: algebraic multiplicities + refined cluster means.
+    dr = lam[:, :, None] - lam[:, None, :]
+    di = lam_im[:, :, None] - lam_im[:, None, :]
+    close = dr * dr + di * di <= tol * tol
+    alg = close.sum(axis=2).astype(jnp.int32)
+    closef = close.astype(dtype)
+    lam_ref = jnp.einsum("bst,bt->bs", closef, lam) / closef.sum(axis=2)
+
+    # --- distinct compaction: cluster index per slot, first-of-cluster.
+    same_prev = (
+        (jnp.abs(lam - jnp.roll(lam, 1, axis=1)) <= tol)
+        & (jnp.abs(lam_im - jnp.roll(lam_im, 1, axis=1)) <= tol)
+    )
+    first = jnp.ones((B, n), bool).at[:, 1:].set(~same_prev[:, 1:])
+    pos = jnp.cumsum(first, axis=1) - 1              # [B, n] cluster idx
+    kidx = jnp.arange(K)
+    dist_oh = (
+        first[:, :, None] & (pos[:, :, None] == kidx[None, None, :])
+    ).astype(dtype)                                   # [B, n, K]
+    dvals = jnp.einsum("bsk,bs->bk", dist_oh, lam_ref)
+    dmask = dist_oh.sum(axis=1) > 0.5                 # [B, K]
+
+    # --- one nullspace per distinct eigenvalue, chunked over the batch
+    # so the [chunk·K, n, n] shifted stack stays bounded.
+    eye = jnp.eye(n, dtype=dtype)
+    rank_tol = space_tol * jnp.maximum(
+        jnp.max(jnp.abs(a), axis=(1, 2)), 1.0
+    )                                                 # [B]
+    bchunk = max(1, (1 << 26) // max(K * n * n, 1))
+    from . import pallas as _pallas_pkg
+
+    use_kernel = solve_affine_gj_supported(n, n) and (
+        interpret or _pallas_pkg.is_supported()
+    )
+    tidx = jnp.arange(n)
+
+    P = jnp.zeros((B, n, n), dtype)
+    count = jnp.zeros((B,), jnp.int32)
+    dims_all = jnp.zeros((B, K), jnp.int32)
+
+    def collect_k(carry, inputs):
+        """Append one distinct slot's (normalized, compacted) generator
+        columns to P at the running column offset."""
+        P_c, cnt = carry
+        gens, gmask = inputs                       # [bc, n, n], [bc, n]
+        gm = gmask.astype(dtype)
+        posj = jnp.cumsum(gm, axis=1) - 1          # [bc, n]
+        t_oh = (
+            (posj[:, :, None] == tidx[None, None, :]) * gm[:, :, None]
+        )                                          # [bc, j, t]
+        norms = jnp.sqrt(jnp.sum(gens * gens, axis=1))
+        gn = gens / jnp.maximum(norms, 1e-30)[:, None, :]
+        C = jnp.einsum("bij,bjt->bit", gn * gm[:, None, :], t_oh)
+        g = gm.sum(axis=1).astype(jnp.int32)       # [bc]
+        c_oh = (
+            (tidx[None, :, None] + cnt[:, None, None]
+             == tidx[None, None, :])
+            & (tidx[None, :, None] < g[:, None, None])
+        ).astype(dtype)                            # [bc, t, c]
+        P_c = P_c + jnp.einsum("bit,btc->bic", C, c_oh)
+        return (P_c, cnt + g), None
+
+    for b0 in range(0, B, bchunk):
+        bc = min(bchunk, B - b0)
+        a_c = lax.slice_in_dim(a, b0, b0 + bc, axis=0)
+        vals_c = lax.slice_in_dim(dvals, b0, b0 + bc, axis=0)
+        mask_c = lax.slice_in_dim(dmask, b0, b0 + bc, axis=0)
+        shifted = (
+            jnp.repeat(a_c, K, axis=0)
+            - vals_c.reshape(bc * K)[:, None, None] * eye
+        )                                          # [bc·K, n, n]
+        tol_c = jnp.repeat(
+            lax.slice_in_dim(rank_tol, b0, b0 + bc, axis=0), K
+        )
+        zeros_rhs = jnp.zeros((bc * K, n), dtype)
+        if use_kernel:
+            sub = solve_affine_gj_batched(
+                shifted, zeros_rhs, tol=tol_c, interpret=interpret
+            )
+        else:
+            sub = jax.vmap(
+                lambda m, t: solve(m, jnp.zeros((n,), dtype), tol=t,
+                                   pivot_rule="partial")
+            )(shifted, tol_c)
+        gens = sub.generators.reshape(bc, K, n, n)
+        gmask = sub.gen_mask.reshape(bc, K, n) & mask_c[:, :, None]
+        dims_all = lax.dynamic_update_slice_in_dim(
+            dims_all,
+            (gmask.sum(axis=2)).astype(jnp.int32), b0, axis=0,
+        )
+        (P_c, cnt_c), _ = lax.scan(
+            collect_k,
+            (jnp.zeros((bc, n, n), dtype), jnp.zeros((bc,), jnp.int32)),
+            (jnp.moveaxis(gens, 1, 0), jnp.moveaxis(gmask, 1, 0)),
+        )
+        P = lax.dynamic_update_slice_in_dim(P, P_c, b0, axis=0)
+        count = lax.dynamic_update_slice_in_dim(count, cnt_c, b0, axis=0)
+
+    # --- per-slot geometric multiplicities: geom[b, s] = dim of the
+    # slot's cluster.
+    pos_oh = (pos[:, :, None] == kidx[None, None, :]).astype(dtype)
+    geom = jnp.einsum(
+        "bsk,bk->bs", pos_oh, dims_all.astype(dtype)
+    ).astype(jnp.int32)
+
+    success = all_real & (count == n)
+
+    # --- P_inv via the fast batched inverse; validate by residual.
+    from . import dispatch
+
+    P_safe = jnp.where(success[:, None, None], P, eye[None])
+    P_inv = dispatch.inverse_batched(P_safe, backend="auto")
+    resid = jnp.max(
+        jnp.abs(P_safe @ P_inv - eye[None]), axis=(1, 2)
+    )
+    success = success & jnp.isfinite(resid) & (resid < 1e-2)
+    D = P_inv @ a @ P_safe
+    return SpectralDecomposition(
+        lam, lam_im, alg, geom, P_safe, P_inv, D, success
+    )

@@ -39,8 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 #: lane width of the TPU vector unit — batch tiles are sized to this.
 LANES = 128
 
-#: VMEM budget for one working tile (bytes); conservative vs ~16MB/core.
+#: default VMEM budget for one working tile (bytes).  This is the
+#: DISPATCH-crossover budget, deliberately conservative: above it the
+#: blocked-LU path wins for solve/det/inverse, so ``supports()`` must
+#: keep routing those there.
 _VMEM_TILE_BUDGET = 8 * 2**20
+
+#: opt-in budget for callers with no blocked alternative (the affine
+#: solve / nullspace / eigenspace paths): one tile may use most of the
+#: ~128MB VMEM (the per-step temporaries are row-sized).  Reaches
+#: n ≈ 400 for [n, n+1] augmented systems.
+VMEM_TILE_BUDGET_BIG = 88 * 2**20
 
 
 def _gj_kernel(a_hbm, tol_ref, out_hbm, perm_ref, piv_ref, work, sems,
@@ -129,24 +138,30 @@ class GJResult(NamedTuple):
     pivots: jax.Array    # [B, N] pivot values in elimination order (0 if none)
 
 
-def tile_size(n: int, w: int) -> int:
+def tile_size(n: int, w: int, budget: Optional[int] = None) -> int:
     """Lane-aligned batch tile for an ``[n, w]`` working array, or 0 if one
     tile doesn't fit the VMEM budget."""
-    if n * w * LANES * 4 <= _VMEM_TILE_BUDGET:
+    budget = _VMEM_TILE_BUDGET if budget is None else budget
+    if n * w * LANES * 4 <= budget:
         return LANES
     return 0
 
 
-def supported(n: int, w: Optional[int] = None) -> bool:
+def supported(
+    n: int, w: Optional[int] = None, budget: Optional[int] = None
+) -> bool:
     w = w if w is not None else 2 * n
     w = ((w + 7) // 8) * 8  # the wrapper pads to the sublane tile
-    return tile_size(n, w) > 0
+    return tile_size(n, w, budget) > 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _gj_call(a_t: jax.Array, tol: jax.Array, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "budget"))
+def _gj_call(
+    a_t: jax.Array, tol: jax.Array, interpret: bool,
+    budget: Optional[int] = None,
+):
     n, w, B = a_t.shape
-    bt = tile_size(n, w)
+    bt = tile_size(n, w, budget)
     grid = (B // bt,)
     kernel = functools.partial(_gj_kernel, n=n, w=w, bt=bt)
     return pl.pallas_call(
@@ -173,6 +188,9 @@ def _gj_call(a_t: jax.Array, tol: jax.Array, interpret: bool):
             pltpu.VMEM((n, w, bt), a_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(a_t, tol)
 
@@ -181,10 +199,13 @@ def gauss_jordan_tiled(
     a: jax.Array,
     tol: Optional[jax.Array] = None,
     interpret: bool = False,
+    budget: Optional[int] = None,
 ) -> GJResult:
     """Run the kernel over a ``[B, N, W]`` batch (``W >= N``; columns past
     ``N`` are the augmented part, carried along).  ``tol`` is a per-matrix
-    pivot threshold ``[B]`` (default 0: any nonzero pivots)."""
+    pivot threshold ``[B]`` (default 0: any nonzero pivots).  ``budget``
+    overrides the VMEM tile budget (``VMEM_TILE_BUDGET_BIG`` for callers
+    with no blocked alternative)."""
     B, n, w_in = a.shape
     # The column dimension sits in the sublane axis of the [N, W, BT]
     # working tile: unaligned widths (e.g. [A|b] with w = n+1) fault the
@@ -195,7 +216,7 @@ def gauss_jordan_tiled(
         a = jnp.concatenate(
             [a, jnp.zeros((B, n, w - w_in), a.dtype)], axis=2
         )
-    bt = tile_size(n, w)
+    bt = tile_size(n, w, budget)
     if bt == 0:
         raise ValueError(
             f"Gauss–Jordan tile [{n}, {w}] exceeds the VMEM budget; "
@@ -217,7 +238,7 @@ def gauss_jordan_tiled(
 
     a_t = jnp.transpose(a, (1, 2, 0)).astype(dtype)  # [N, W, Bp]
     reduced, perm, pivs = _gj_call(
-        a_t, tol.astype(dtype)[None, :], interpret
+        a_t, tol.astype(dtype)[None, :], interpret, budget
     )
     out = GJResult(
         jnp.transpose(reduced, (2, 0, 1))[:B, :, :w_in],

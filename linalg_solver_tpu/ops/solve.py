@@ -152,7 +152,7 @@ def solve_affine_gj_batched(
     ``a: [B, m, n]``, ``b: [B, m]``; ``tol`` is per-matrix ``[B]``
     (default: data-relative ``100·max(m,n+1)·eps·max|[A|b]|``).
     """
-    from .pallas.gj_kernel import gauss_jordan_tiled
+    from .pallas.gj_kernel import VMEM_TILE_BUDGET_BIG, gauss_jordan_tiled
     from .select import take_rows_mxu
 
     B, m, n = a.shape
@@ -169,7 +169,9 @@ def solve_affine_gj_batched(
         )
     tol = jnp.broadcast_to(jnp.asarray(tol, dtype), (B,))
 
-    res = gauss_jordan_tiled(aug, tol=tol, interpret=interpret)
+    res = gauss_jordan_tiled(
+        aug, tol=tol, interpret=interpret, budget=VMEM_TILE_BUDGET_BIG
+    )
     R, perm, pivs = res.reduced, res.perm, res.pivots
 
     col_mask = (pivs != 0).astype(dtype)             # [B, s] pivot cols
@@ -212,12 +214,14 @@ def solve_affine_gj_batched(
 
 
 def solve_affine_gj_supported(m: int, n: int) -> bool:
-    """One VMEM lane tile must hold the square-padded augmented array."""
+    """One VMEM lane tile must hold the square-padded augmented array
+    (big budget: this path has no blocked alternative, so it may claim
+    most of VMEM — n up to ~400)."""
     try:
-        from .pallas.gj_kernel import supported
+        from .pallas.gj_kernel import VMEM_TILE_BUDGET_BIG, supported
 
         s = max(m, n)
-        return supported(s, s + 1)
+        return supported(s, s + 1, budget=VMEM_TILE_BUDGET_BIG)
     except Exception:
         return False
 

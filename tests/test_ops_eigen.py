@@ -207,3 +207,97 @@ class TestGenerators:
                 np.asarray(A[i]).astype(np.float64)
             ).real)
             np.testing.assert_allclose(got, [2.0, 2.0, 5.0], atol=1e-3)
+
+
+class TestSpectralDecomposeBatched:
+    """Distinct-compaction spectral decomposition: one batched nullspace
+    pass must reproduce the per-slot multiplicities and a valid P D P⁻¹."""
+
+    def _mk(self, vals, seed=0):
+        rng = np.random.RandomState(seed)
+        B, n = vals.shape
+        D = np.stack([np.diag(v) for v in vals])
+        P = rng.randn(B, n, n).astype(np.float32)
+        A = np.einsum("bij,bjk,bkl->bil", P, D, np.linalg.inv(P))
+        return A.astype(np.float32)
+
+    def test_multiplicities_and_reconstruction(self):
+        from linalg_solver_tpu.ops.eigen import spectral_decompose_batched
+
+        vals = np.array(
+            [[3, 3, 2, 2, 2, 1], [5, 4, 3, 2, 1, 0], [1, 1, 1, 1, 1, 1]],
+            np.float32,
+        )
+        A = self._mk(vals, seed=41)
+        res = spectral_decompose_batched(
+            jnp.asarray(A), jnp.asarray(vals),
+            jnp.zeros(vals.shape, jnp.float32),
+            tol=1e-3, space_tol=1e-3,
+        )
+        assert bool(np.asarray(res.success).all())
+        np.testing.assert_array_equal(
+            np.asarray(res.alg_mult[0]), [2, 2, 3, 3, 3, 1]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.geom_mult), np.asarray(res.alg_mult)
+        )
+        Arec = (
+            np.asarray(res.P, np.float64)
+            @ np.asarray(res.D, np.float64)
+            @ np.asarray(res.P_inv, np.float64)
+        )
+        assert np.abs(Arec - A).max() / np.abs(A).max() < 1e-4
+
+    def test_defective_flagged(self):
+        from linalg_solver_tpu.ops.eigen import spectral_decompose_batched
+
+        J = np.array(
+            [[[2, 1, 0], [0, 2, 0], [0, 0, 1]]], np.float32
+        )
+        res = spectral_decompose_batched(
+            jnp.asarray(J), jnp.asarray([[2, 2, 1]], np.float32),
+            jnp.zeros((1, 3), jnp.float32),
+        )
+        assert not bool(np.asarray(res.success)[0])
+        np.testing.assert_array_equal(
+            np.asarray(res.geom_mult[0]), [1, 1, 1]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.alg_mult[0]), [2, 2, 1]
+        )
+
+    def test_max_distinct_bound(self):
+        from linalg_solver_tpu.ops.eigen import spectral_decompose_batched
+
+        vals = np.array([[4, 4, 2, 2, 1, 1]], np.float32)
+        A = self._mk(vals, seed=42)
+        full = spectral_decompose_batched(
+            jnp.asarray(A), jnp.asarray(vals),
+            jnp.zeros(vals.shape, jnp.float32),
+        )
+        tight = spectral_decompose_batched(
+            jnp.asarray(A), jnp.asarray(vals),
+            jnp.zeros(vals.shape, jnp.float32), max_distinct=3,
+        )
+        assert bool(np.asarray(full.success).all())
+        assert bool(np.asarray(tight.success).all())
+        np.testing.assert_array_equal(
+            np.asarray(full.geom_mult), np.asarray(tight.geom_mult)
+        )
+        # Bound BELOW the true distinct count: cluster 3 gets no space.
+        starved = spectral_decompose_batched(
+            jnp.asarray(A), jnp.asarray(vals),
+            jnp.zeros(vals.shape, jnp.float32), max_distinct=2,
+        )
+        assert not bool(np.asarray(starved.success).any())
+
+    def test_complex_pair_fails_gracefully(self):
+        from linalg_solver_tpu.ops.eigen import spectral_decompose_batched
+
+        rot = np.array([[[0, -1], [1, 0]]], np.float32)  # eigs ±i
+        res = spectral_decompose_batched(
+            jnp.asarray(rot),
+            jnp.asarray([[0.0, 0.0]], np.float32),
+            jnp.asarray([[1.0, -1.0]], np.float32),
+        )
+        assert not bool(np.asarray(res.success)[0])
