@@ -56,8 +56,11 @@ def _spectral_core(
     from ..ops.eigen import spectral_decompose_batched
 
     with jax.default_matmul_precision("float32"):
+        # space_tol stays at its auto default (tol/10): the eigenspace
+        # shifts are cluster MEANS, accurate well below the clustering
+        # radius — see spectral_decompose_batched.
         dec = spectral_decompose_batched(
-            a, ev_real, ev_imag, tol=tol, space_tol=tol,
+            a, ev_real, ev_imag, tol=tol,
             max_distinct=max_distinct,
         )
     return SpectralReport(

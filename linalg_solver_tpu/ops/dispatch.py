@@ -153,6 +153,13 @@ def affine_solve_batched(
         and solve_affine_gj_supported(m, n)
     ):
         return solve_affine_gj_batched(a, b, tol=tol)
+    if tol is not None and getattr(tol, "ndim", 0) == 1:
+        # Per-matrix tolerances: the loop path's tol is per-call scalar.
+        from .solve import solve as _solve1
+
+        return jax.vmap(
+            lambda a1, b1, t: _solve1(a1, b1, tol=t, pivot_rule="partial")
+        )(a, b, tol)
     return _loop_affine(a, b, tol=tol, pivot_rule="partial")
 
 

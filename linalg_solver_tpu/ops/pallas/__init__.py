@@ -37,13 +37,19 @@ _WIDTH = {
     "rank": lambda n: n,
 }
 
+#: per-op VMEM tile budget.  solve/det/inverse keep the conservative
+#: dispatch-crossover budget (the blocked-LU path wins above it); rank
+#: has NO rank-revealing blocked alternative (LU-diagonal counting breaks
+#: on zero pivots mid-factorization), so it may claim the big budget.
+_BUDGET = {"rank": gj_kernel.VMEM_TILE_BUDGET_BIG}
+
 
 def supports(op: str, n: int | None = None) -> bool:
     if op not in _OPS:
         return False
     if n is None:
         return True
-    return gj_kernel.supported(n, _WIDTH[op](n))
+    return gj_kernel.supported(n, _WIDTH[op](n), budget=_BUDGET.get(op))
 
 
 def inverse_batched(a: jax.Array) -> jax.Array:

@@ -315,5 +315,7 @@ def rank_batched(
         tol = (
             max(m, n) * 100 * eps * jnp.max(jnp.abs(a), axis=(1, 2))
         )
-    res = gauss_jordan_tiled(a, tol=tol, interpret=interpret)
+    res = gauss_jordan_tiled(
+        a, tol=tol, interpret=interpret, budget=VMEM_TILE_BUDGET_BIG
+    )
     return jnp.sum(jnp.abs(res.pivots) > 0, axis=-1).astype(jnp.int32)

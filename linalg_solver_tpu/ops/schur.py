@@ -129,6 +129,23 @@ def _deflate(H, hi, stagnant, anorm):
     nbr = nbr.at[:, :-1].add(jnp.abs(sub[:, 1:]))
     tst = jnp.where(tst <= eps * anorm[:, None], tst + nbr, tst)
     tol_local = eps * tst + tiny
+    # Second criterion (Ahues–Tisseur, as in dlahqr): deflate when the
+    # off-diagonal PRODUCT is negligible against the local diagonal
+    # structure even though |h21| alone is not.  Without it, clustered
+    # spectra stall: mid-window subdiagonals bottom out a small factor
+    # above ulp·|diag| (each sweep's bulge re-pollutes them), the bulge
+    # is then chased through a near-zero entry and washes out the shift
+    # (vanishing-bulge phenomenon), and the window never splits —
+    # measured: multiplicity-85 symmetric spectra at n=256 never
+    # converge, eigenvalue errors O(1).
+    ab = jnp.maximum(jnp.abs(sub), jnp.abs(sup))
+    ba = jnp.minimum(jnp.abs(sub), jnp.abs(sup))
+    aa = jnp.maximum(jnp.abs(h22), jnp.abs(h11 - h22))
+    bb = jnp.minimum(jnp.abs(h22), jnp.abs(h11 - h22))
+    s_at = jnp.maximum(aa + ab, tiny)
+    small_at = ba * (ab / s_at) <= jnp.maximum(
+        tiny / eps, eps * (bb * (aa / s_at))
+    )
     # Stall breaker (after 20 deflation-free sweeps), perturbation-
     # ordered: zeroing sub_i moves the adjacent eigenvalues by
     # ~|h21·h12| / max(gap, √(h21·h12)); break the stall with the LEAST
@@ -143,9 +160,13 @@ def _deflate(H, hi, stagnant, anorm):
     stalled = stagnant >= 20
     small = (
         (jnp.abs(sub) <= tol_local)
+        | small_at
         | (
             stalled[:, None]
-            & (jnp.abs(sub) <= eps * anorm[:, None])
+            # The magnitude gate must escalate along with the
+            # perturbation gate: a window bouncing above eps·‖A‖ would
+            # otherwise stall forever.
+            & (jnp.abs(sub) <= (eps * anorm * escal)[:, None])
             & (pert <= (eps * anorm * escal)[:, None])
         )
     )

@@ -259,3 +259,41 @@ class TestJordanAnalysis:
             np.asarray(gj_rep.weyr), np.asarray(svd_rep.weyr)
         )
         assert list(np.asarray(gj_rep.weyr[0, 0])) == [1, 1, 1, 0]
+
+
+class TestWeyrStability:
+    """Regression: Weyr via raw rank((A−λI)^k) corrupts multiplicities
+    when spectrum-spread^k reaches the rank tolerance (signal decays as
+    gap^k, threshold rides ‖M^k‖).  The deflated iteration
+    ker M^{k+1} = ker((I−QQᵀ)M) keeps every measured matrix at ‖M‖."""
+
+    BLOCKS = tuple(
+        [(2.0, 3)] * 3 + [(2.0, 2)] * 3 + [(5.0, 2)] * 5 + [(1.0, 1)] * 9
+    )
+
+    @pytest.mark.parametrize("method", ["svd", "gj"])
+    def test_gap4_spectrum_kmax4_exact(self, method):
+        from linalg_solver_tpu.models.jordan import jordan_analysis
+        from linalg_solver_tpu.ops.generate import jordan_batch
+
+        A = jordan_batch(
+            jax.random.PRNGKey(1), 6, self.BLOCKS, transform="orthogonal"
+        )
+        rep = jordan_analysis(
+            A, jnp.array([2.0, 5.0, 1.0]), k_max=4, method=method
+        )
+        assert (np.asarray(rep.alg_mult) == [15, 10, 9]).all()
+        assert (np.asarray(rep.geom_mult) == [6, 5, 9]).all()
+        bc = np.asarray(rep.block_counts)
+        assert (bc[:, 0] == [0, 3, 3, 0]).all()
+        assert (bc[:, 1] == [0, 5, 0, 0]).all()
+        assert (bc[:, 2] == [9, 0, 0, 0]).all()
+
+    def test_non_eigenvalue_slot_zero(self):
+        from linalg_solver_tpu.models.jordan import jordan_analysis
+        from linalg_solver_tpu.ops.generate import jordan_batch
+
+        A = jordan_batch(jax.random.PRNGKey(2), 3, ((3.0, 2), (1.0, 1)))
+        rep = jordan_analysis(A, jnp.array([3.0, 9.0]), k_max=3)
+        assert (np.asarray(rep.alg_mult)[:, 1] == 0).all()
+        assert (np.asarray(rep.geom_mult)[:, 1] == 0).all()

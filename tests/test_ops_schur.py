@@ -173,3 +173,52 @@ class TestSpectralPipelineSchur:
             )
         )
         np.testing.assert_allclose(recon, A, atol=5e-2)
+
+
+class TestClusteredSpectra:
+    """Regression: high-multiplicity clustered spectra used to stall the
+    Francis iteration — mid-window subdiagonals bottom out just above the
+    strict ulp·|diag| threshold, the bulge is chased through the
+    near-zero entry and washes out (vanishing bulge), and the window
+    never splits.  The Ahues–Tisseur product criterion (dlahqr's second
+    deflation test) deflates those entries."""
+
+    def test_symmetric_multiplicity_clusters_converge(self):
+        from linalg_solver_tpu.ops.generate import diagonalizable_batch
+
+        eigs = [1.0] * 11 + [2.0] * 11 + [5.0] * 10
+        A = diagonalizable_batch(
+            jax.random.PRNGKey(0), 4, eigs, transform="orthogonal"
+        )
+        res = schur.real_schur(A)
+        assert bool(np.asarray(res.converged).all())
+        # well under the 8n budget now that windows split
+        assert int(res.sweeps) < 64
+        ev = schur.eigvals_schur(A)
+        true = np.sort(np.array(eigs))
+        got = np.sort(np.asarray(ev.real), axis=1)
+        np.testing.assert_allclose(
+            got, np.broadcast_to(true, got.shape), atol=1e-3
+        )
+        assert np.abs(np.asarray(ev.imag)).max() < 1e-4
+
+    def test_nonsymmetric_multiplicity_clusters_converge(self):
+        from linalg_solver_tpu.ops.generate import diagonalizable_batch
+
+        # A well-conditioned NON-NORMAL similarity (κ(P) ~ tens; the
+        # unimodular generator's κ grows exponentially with n and puts
+        # the spectrum beyond ANY f32 solver's reach at this size).
+        del diagonalizable_batch
+        rng = np.random.RandomState(7)
+        eigs = [1.0] * 8 + [2.0] * 8 + [5.0] * 8
+        n = len(eigs)
+        D = np.diag(np.array(eigs, np.float64))
+        P = np.eye(n) + 0.3 * rng.randn(4, n, n)
+        A = (np.linalg.inv(P) @ D[None] @ P).astype(np.float32)
+        res = schur.eigvals_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        got = np.sort(np.asarray(res.real), axis=1)
+        want = np.sort(
+            np.linalg.eigvals(A.astype(np.float64)).real, axis=1
+        )
+        np.testing.assert_allclose(got, want, atol=5e-2)
