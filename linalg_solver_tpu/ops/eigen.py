@@ -532,18 +532,10 @@ def spectral_decompose_batched(
     dims_all = jnp.zeros((B, K), jnp.int32)
 
     def collect_k(carry, inputs):
-        """Append one distinct slot's ORTHONORMALIZED generator columns
-        to P at the running column offset.  Orthonormalizing each
-        eigenspace basis (CholeskyQR2) matters at large multiplicity:
-        raw RREF generators give κ(P) high enough that the f32 P·P⁻¹
-        validation residual fails at n=256 (measured 1-2e-2 vs the 1e-2
-        gate on multiplicity-85 symmetric spectra; orthonormal bases
-        bring it to the n·eps floor)."""
-        from .orth import orthonormal_columns
-
+        """Append one distinct slot's orthonormal basis columns to P at
+        the running column offset (one-hot shift, MXU matmul)."""
         P_c, cnt = carry
-        gens, gmask = inputs                       # [bc, n, n], [bc, n]
-        Q, g = orthonormal_columns(gens, gmask)    # front-compacted
+        Q, g = inputs                              # [bc, n, n], [bc]
         c_oh = (
             (tidx[None, :, None] + cnt[:, None, None]
              == tidx[None, None, :])
@@ -592,10 +584,22 @@ def spectral_decompose_batched(
             dims_all,
             (gmask.sum(axis=2)).astype(jnp.int32), b0, axis=0,
         )
+        # Orthonormalize EVERY cluster basis in one [bc·K] batch
+        # (CholeskyQR2, ops/orth.py).  This matters twice: raw RREF
+        # generators give κ(P) high enough that the f32 P·P⁻¹ validation
+        # fails at multiplicity ~85, and batching the cholesky/solves
+        # over bc·K beats running them K-sequentially inside the scan.
+        from .orth import orthonormal_columns
+
+        Qall, gall = orthonormal_columns(
+            gens.reshape(bc * K, n, n), gmask.reshape(bc * K, n)
+        )
+        Qall = Qall.reshape(bc, K, n, n)
+        gall = gall.reshape(bc, K)
         (P_c, cnt_c), _ = lax.scan(
             collect_k,
             (jnp.zeros((bc, n, n), dtype), jnp.zeros((bc,), jnp.int32)),
-            (jnp.moveaxis(gens, 1, 0), jnp.moveaxis(gmask, 1, 0)),
+            (jnp.moveaxis(Qall, 1, 0), jnp.moveaxis(gall, 1, 0)),
         )
         P = lax.dynamic_update_slice_in_dim(P, P_c, b0, axis=0)
         count = lax.dynamic_update_slice_in_dim(count, cnt_c, b0, axis=0)
