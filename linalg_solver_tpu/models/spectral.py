@@ -105,3 +105,52 @@ def _spectral_pipeline_qr(
     with jax.default_matmul_precision("float32"):
         evr, evi = jax.vmap(single)(a)
     return _spectral_core(a, evr, evi, tol)
+
+
+def spectral_pipeline_sharded(
+    a: jax.Array,
+    mesh,
+    tol: float = 1e-3,
+    max_distinct: int = None,
+) -> SpectralReport:
+    """``spectral_pipeline`` over a ``("dp", "tp")`` device mesh with the
+    batch sharded over ``dp`` (SURVEY.md §2.3: batch data-parallelism —
+    the core kernels need no cross-chip communication).
+
+    The Schur sweeps run on the dp-sharded state via jit sharding
+    propagation (every op is batch-elementwise, so XLA partitions them
+    without collectives); the multiplicities/diagonalize core runs under
+    ``shard_map`` so the Pallas Gauss–Jordan kernel executes per-device
+    on its local batch slice.  ``B`` must divide by the dp axis.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import shard_batch
+
+    B = a.shape[0]
+    dp = mesh.shape["dp"]
+    if B % dp:
+        raise ValueError(f"batch {B} not divisible by dp={dp}")
+
+    a = shard_batch(a, mesh)
+    ev = eigvals_schur(a)
+
+    mat = P("dp", None, None)
+    vec = P("dp", None)
+    out_specs = SpectralReport(
+        vec, vec, vec, vec, P("dp"), mat, mat, mat
+    )
+    core = shard_map(
+        functools.partial(
+            _spectral_core, tol=tol, max_distinct=max_distinct
+        ),
+        mesh=mesh,
+        in_specs=(mat, vec, vec),
+        out_specs=out_specs,
+        # The rref fallback's fori_loop seeds its carries from literals,
+        # which the varying-manual-axes checker rejects under shard_map;
+        # the computation is per-device batch-local either way.
+        check_vma=False,
+    )
+    return core(a, ev.real, ev.imag)

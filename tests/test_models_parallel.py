@@ -297,3 +297,93 @@ class TestWeyrStability:
         rep = jordan_analysis(A, jnp.array([3.0, 9.0]), k_max=3)
         assert (np.asarray(rep.alg_mult)[:, 1] == 0).all()
         assert (np.asarray(rep.geom_mult)[:, 1] == 0).all()
+
+
+class TestShardedSpectral:
+    def test_matches_replicated(self):
+        from linalg_solver_tpu.models.spectral import (
+            spectral_pipeline,
+            spectral_pipeline_sharded,
+        )
+
+        mesh = make_mesh(dp=4, tp=2)
+        A = diagonalizable_batch(
+            jax.random.PRNGKey(0), 8, [4.0, 1.0, 1.0, -2.0],
+            transform="orthogonal",
+        )
+        rep_s = spectral_pipeline_sharded(A, mesh, tol=1e-2)
+        rep_r = spectral_pipeline(A, tol=1e-2)
+        assert np.asarray(rep_s.diagonalizable).all()
+        np.testing.assert_allclose(
+            np.asarray(rep_s.eig_real), np.asarray(rep_r.eig_real),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rep_s.alg_mult), np.asarray(rep_r.alg_mult)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rep_s.geom_mult), np.asarray(rep_r.geom_mult)
+        )
+        rec = (
+            np.asarray(rep_s.P, np.float64)
+            @ np.asarray(rep_s.D, np.float64)
+            @ np.asarray(rep_s.P_inv, np.float64)
+        )
+        assert np.abs(rec - np.asarray(A, np.float64)).max() < 1e-3
+
+    def test_indivisible_batch_raises(self):
+        from linalg_solver_tpu.models.spectral import (
+            spectral_pipeline_sharded,
+        )
+
+        mesh = make_mesh(dp=4, tp=2)
+        A = jnp.zeros((6, 3, 3))
+        with pytest.raises(ValueError, match="not divisible"):
+            spectral_pipeline_sharded(A, mesh)
+
+
+class TestSpectralFuzz:
+    """Randomized differential test: spectral reports vs a float64 numpy
+    oracle on random diagonalizable batches (random spectra with repeats,
+    well-conditioned random similarity)."""
+
+    def test_random_spectra_vs_numpy(self):
+        from linalg_solver_tpu.models.spectral import spectral_pipeline
+
+        rng = np.random.RandomState(11)
+        for trial in range(3):
+            n = int(rng.randint(6, 14))
+            B = 4
+            pool = rng.choice([-3.0, -1.0, 0.5, 2.0, 4.0], size=3,
+                              replace=False)
+            vals = rng.choice(pool, size=(B, n)).astype(np.float64)
+            P = np.eye(n) + 0.25 * rng.randn(B, n, n)
+            A = (
+                np.linalg.inv(P)
+                @ np.stack([np.diag(v) for v in vals])
+                @ P
+            ).astype(np.float32)
+            rep = spectral_pipeline(jnp.asarray(A), tol=5e-2)
+            assert np.asarray(rep.diagonalizable).all(), trial
+            for b in range(B):
+                got = np.sort(np.asarray(rep.eig_real[b]))
+                want = np.sort(
+                    np.linalg.eigvals(A[b].astype(np.float64)).real
+                )
+                np.testing.assert_allclose(got, want, atol=5e-2)
+                # multiplicities must match the prescription
+                w_sorted = np.sort(vals[b])
+                uniq, counts = np.unique(w_sorted, return_counts=True)
+                alg = np.asarray(rep.alg_mult[b])
+                lam = np.asarray(rep.eig_real[b])
+                for u, c in zip(uniq, counts):
+                    sel = np.abs(lam - u) < 5e-2
+                    assert sel.sum() == c, (trial, b, u, c, lam)
+                    assert (alg[sel] == c).all(), (trial, b, u, alg)
+            rec = (
+                np.asarray(rep.P, np.float64)
+                @ np.asarray(rep.D, np.float64)
+                @ np.asarray(rep.P_inv, np.float64)
+            )
+            rel = np.abs(rec - A).max() / np.abs(A).max()
+            assert rel < 1e-2, (trial, rel)
