@@ -199,23 +199,74 @@ def _deflate(H, hi, stagnant, anorm):
     return H, hi, stagnant
 
 
-def _shifts(H, hi, stagnant):
-    """Per-lane double-shift (sum s, product p) from the trailing
-    2×2 of the active window; dlahqr's exceptional shift after 10
-    stagnant sweeps."""
-    h00 = _take1(H, hi - 1, hi - 1)
-    h01 = _take1(H, hi - 1, hi)
-    h10 = _take1(H, hi, hi - 1)
-    h11 = _take1(H, hi, hi)
+def _block_bounds(H, hi):
+    """Per-position unreduced-block bounds from the subdiagonal zero
+    pattern: ``start[k]``/``end[k]`` delimit the block containing row k
+    (capped at the global window ``hi``; rows beyond it are converged).
+
+    This is what makes the sweep MULTIBULGE: the matrix splits into
+    independent unreduced diagonal blocks as mid-window subdiagonals
+    deflate, and a per-position map lets one scan chase a bulge in EVERY
+    block simultaneously instead of only the bottom window (on clustered
+    spectra the blocks are many and small — sequential processing pays
+    a full n-step sweep per block-sweep)."""
+    B, npad, _ = H.shape
+    idx = jnp.arange(npad)
+    sub = jnp.diagonal(H, offset=-1, axis1=1, axis2=2)   # [B, npad-1]
+    z = sub == 0                   # boundary between rows j and j+1
+    # start[k] = 1 + last boundary j ≤ k−1 (0 if none): shifted max-scan.
+    run = jnp.where(z, idx[None, :-1] + 1, 0)
+    smax = lax.associative_scan(jnp.maximum, run, axis=1)
+    start = jnp.concatenate(
+        [jnp.zeros((B, 1), smax.dtype), smax], axis=1
+    )
+    # end[k] = first boundary j ≥ k (npad if none): reverse min-scan.
+    cand = jnp.where(z, idx[None, :-1], npad)
+    emin = lax.associative_scan(
+        jnp.minimum, cand, axis=1, reverse=True
+    )
+    end = jnp.concatenate(
+        [emin, jnp.full((B, 1), npad, emin.dtype)], axis=1
+    )
+    end = jnp.minimum(end, hi[:, None])
+    start = jnp.minimum(start, jnp.maximum(end, 0))
+    return start, end
+
+
+def _shifts_per_block(H, end, hi, stagnant):
+    """Double-shift (sum s, product p) per POSITION, from the trailing
+    2×2 of each position's own block; dlahqr's exceptional shift after
+    10 stagnant sweeps (bottom block only — stagnation is tracked on the
+    global window)."""
+    B, npad, _ = H.shape
+    diag = jnp.diagonal(H, axis1=1, axis2=2)             # [B, npad]
+    sub = jnp.concatenate(
+        [jnp.diagonal(H, offset=-1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), H.dtype)], axis=1,
+    )                                                    # sub[j] = H[j+1, j]
+    sup = jnp.concatenate(
+        [jnp.diagonal(H, offset=1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), H.dtype)], axis=1,
+    )                                                    # sup[j] = H[j, j+1]
+
+    e = jnp.clip(end, 1, npad - 1)
+
+    def take(v, i):
+        return jnp.take_along_axis(v, i, axis=1)
+
+    h00 = take(diag, e - 1)
+    h01 = take(sup, e - 1)
+    h10 = take(sub, e - 1)
+    h11 = take(diag, e)
     s = h00 + h11
     p = h00 * h11 - h01 * h10
-    # dlahqr-style exceptional shift, anchored at the trailing diagonal
-    # entry: eigenvalues of [[0.75·t + h11, −0.4375·t], [t, 0.75·t + h11]]
-    # with t = |H[hi,hi−1]| + |H[hi−1,hi−2]|.
-    exc = (stagnant > 0) & (stagnant % 10 == 0)
-    h21 = jnp.abs(_take1(H, hi, hi - 1))
-    h32 = jnp.abs(_take1(H, hi - 1, hi - 2))
-    t_exc = h21 + h32
+    # Exceptional shift, eigenvalues of [[0.75·t + h11, −0.4375·t],
+    # [t, 0.75·t + h11]] with t = |H[e,e−1]| + |H[e−1,e−2]|.
+    exc = (
+        ((stagnant > 0) & (stagnant % 10 == 0))[:, None]
+        & (end == hi[:, None])
+    )
+    t_exc = jnp.abs(h10) + jnp.abs(take(sub, jnp.maximum(e - 2, 0)))
     d_exc = 0.75 * t_exc + h11
     s = jnp.where(exc, 2.0 * d_exc, s)
     p = jnp.where(exc, d_exc * d_exc + 0.4375 * t_exc * t_exc, p)
@@ -223,37 +274,37 @@ def _shifts(H, hi, stagnant):
 
 
 def _one_sweep(H, hi, stagnant, anorm):
-    """Deflate, pick shifts, run one full Francis bulge-chase sweep."""
+    """Deflate, pick per-block shifts, run one multibulge Francis sweep
+    (one bulge per unreduced diagonal block, all chased in one scan)."""
     B, npad, _ = H.shape
     n = npad - 1
-    idx = jnp.arange(npad)
 
     H, hi, stagnant = _deflate(H, hi, stagnant, anorm)
-    live = hi >= 1
-    s, p = _shifts(H, jnp.maximum(hi, 1), stagnant)
-    # Window start: the first nonzero subdiagonal run ending at hi.
-    sub = jnp.diagonal(H, offset=-1, axis1=1, axis2=2)
-    # lo = 1 + max{ i < hi : sub[i] == 0 }, or 0 if none.
-    zero_before = (sub == 0) & (idx[None, :-1] < hi[:, None])
-    lo = jnp.max(
-        jnp.where(zero_before, idx[None, :-1] + 1, 0), axis=1
-    )
-    lo = jnp.where(live, lo, n)          # park finished lanes
+    start, end = _block_bounds(H, hi)
+    s_arr, p_arr = _shifts_per_block(H, end, hi, stagnant)
     # NB: lax.scan, NOT lax.fori_loop — on the TPU backend the
     # fori_loop lowering of this body miscompiles (the loop produces
     # O(1)-different results from the identical body run stepwise or
     # under scan; observed on v5e, jax 0.8 era).  Scan is bit-correct.
     (H, *_), _ = lax.scan(
         lambda c, k: (_chase_step(k, c), None),
-        (H, lo, jnp.maximum(hi, 1), s, p),
+        (H, start, end, s_arr, p_arr),
         jnp.arange(max(n - 1, 1)),
     )
     return H, hi, stagnant
 
 
 def _chase_step(k, carry):
-        H, lo, hi, s, p = carry
+        H, start, end, s_arr, p_arr = carry
         B, npad, _ = H.shape
+
+        def col_at(v):  # v[:, k] with traced k
+            return lax.dynamic_slice_in_dim(v, k, 1, axis=1)[:, 0]
+
+        lo = col_at(start)
+        hi = col_at(end)
+        s = col_at(s_arr)
+        p = col_at(p_arr)
         active = (k >= lo) & (k <= hi - 1) & (hi >= 2)   # [B]
         create = active & (k == lo)
 
@@ -322,7 +373,7 @@ def _chase_step(k, carry):
         # second fori iteration reads pre-update values — results
         # diverge O(1) from the interpreted semantics).
         H = lax.optimization_barrier(H)
-        return H, lo, hi, s, p
+        return H, start, end, s_arr, p_arr
 
 
 @jax.jit

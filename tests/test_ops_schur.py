@@ -138,14 +138,12 @@ class TestRealSchur:
 
         # replicate the sweep stepwise
         Hs, his, sts = jax.jit(schur._deflate)(H, hi, stag, anorm)
-        s, p = jax.jit(schur._shifts)(Hs, jnp.maximum(his, 1), sts)
+        start, end = jax.jit(schur._block_bounds)(Hs, his)
+        s_arr, p_arr = jax.jit(schur._shifts_per_block)(
+            Hs, end, his, sts
+        )
         npad = Hs.shape[1]
-        idx = jnp.arange(npad)
-        sub = jnp.diagonal(Hs, offset=-1, axis1=1, axis2=2)
-        zb = (sub == 0) & (idx[None, :-1] < his[:, None])
-        lo = jnp.max(jnp.where(zb, idx[None, :-1] + 1, 0), axis=1)
-        lo = jnp.where(his >= 1, lo, npad - 1)
-        carry = (Hs, lo, jnp.maximum(his, 1), s, p)
+        carry = (Hs, start, end, s_arr, p_arr)
         step = jax.jit(schur._chase_step)
         for k in range(npad - 2):
             carry = step(k, carry)
