@@ -153,6 +153,12 @@ def affine_solve_batched(
         and solve_affine_gj_supported(m, n)
     ):
         return solve_affine_gj_batched(a, b, tol=tol)
+    if backend in ("auto", "blocked") and max(m, n) >= 256:
+        # Large N (beyond the VMEM kernel tile): blocked rank-revealing
+        # Gauss-Jordan — panel elimination + MXU trailing updates.
+        from .rref_blocked import solve_affine_blocked_batched
+
+        return solve_affine_blocked_batched(a, b, tol=tol)
     if tol is not None and getattr(tol, "ndim", 0) == 1:
         # Per-matrix tolerances: the loop path's tol is per-call scalar.
         from .solve import solve as _solve1
@@ -177,6 +183,10 @@ def rank_batched(a: jax.Array, backend: str = "auto", tol=None):
         from . import pallas
 
         return pallas.rank_batched(a, tol=tol)
+    if backend in ("auto", "blocked") and max(a.shape[-2:]) >= 256:
+        from .rref_blocked import rank_blocked_batched
+
+        return rank_blocked_batched(a, tol=tol)
     from .solve import rank_batched as _loop_rank
 
     return _loop_rank(a, tol=tol)

@@ -172,7 +172,22 @@ def solve_affine_gj_batched(
     res = gauss_jordan_tiled(
         aug, tol=tol, interpret=interpret, budget=VMEM_TILE_BUDGET_BIG
     )
-    R, perm, pivs = res.reduced, res.perm, res.pivots
+    return _extract_from_rref(
+        res.reduced, res.perm, res.pivots, n, tol
+    )
+
+
+def _extract_from_rref(R, perm, pivs, n: int, tol):
+    """Affine-subspace extraction from a square-padded RREF triple:
+    ``R [B, s, s+1]`` reduced (last column = RHS), ``perm [B, s]`` pivot
+    row per column-step, ``pivs [B, s]`` pre-normalization pivot value
+    (0 = column skipped).  Shared by the VMEM kernel path and the
+    blocked large-N path — both emit this contract."""
+    from .select import take_rows_mxu
+
+    B, s, _ = R.shape
+    dtype = R.dtype
+    tol = jnp.broadcast_to(jnp.asarray(tol, dtype), (B,))
 
     col_mask = (pivs != 0).astype(dtype)             # [B, s] pivot cols
     # Rows of R in pivot order: Rp[k] = R[perm[k]] (pivot col of step k
