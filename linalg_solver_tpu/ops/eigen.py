@@ -561,6 +561,14 @@ def spectral_decompose_batched(
                 sub = solve_affine_gj_batched(
                     shifted, zeros_rhs, tol=tol_v, interpret=interpret
                 )
+            elif n >= 256:
+                # Beyond the VMEM kernel tile: blocked rank-revealing
+                # Gauss–Jordan (panel + MXU trailing updates).
+                from .rref_blocked import solve_affine_blocked_batched
+
+                sub = solve_affine_blocked_batched(
+                    shifted, zeros_rhs, tol=tol_v
+                )
             else:
                 sub = jax.vmap(
                     lambda m, t: solve(m, jnp.zeros((n,), dtype), tol=t,

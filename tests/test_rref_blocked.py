@@ -106,3 +106,31 @@ class TestBlockedRREF:
         np.testing.assert_array_equal(np.asarray(sub.dim), n - r)
         rk = dispatch.rank_batched(jnp.asarray(A))
         np.testing.assert_array_equal(np.asarray(rk), r)
+
+
+class TestLargeNSpectral:
+    def test_spectral_decompose_blocked_route(self):
+        """n ≥ 256 off-TPU routes the eigenspace nullspaces through the
+        blocked RREF; the decomposition must survive intact."""
+        from linalg_solver_tpu.ops.eigen import spectral_decompose_batched
+
+        rng = np.random.RandomState(1)
+        B, n = 2, 288
+        vals = np.concatenate(
+            [np.full(144, 2.0), np.full(144, 5.0)]
+        ).astype(np.float32)
+        Q, _ = np.linalg.qr(rng.randn(B, n, n))
+        A = ((Q * vals[None, None, :]) @ np.swapaxes(Q, 1, 2)).astype(
+            np.float32
+        )
+        res = spectral_decompose_batched(
+            jnp.asarray(A), jnp.asarray(np.tile(vals, (B, 1))),
+            jnp.zeros((B, n), jnp.float32), tol=1e-2, max_distinct=2,
+        )
+        assert np.asarray(res.success).all()
+        rec = (
+            np.asarray(res.P, np.float64)
+            @ np.asarray(res.D, np.float64)
+            @ np.asarray(res.P_inv, np.float64)
+        )
+        assert np.abs(rec - A).max() / np.abs(A).max() < 1e-3
