@@ -127,8 +127,10 @@ def jordan_analysis(
         QtM = jnp.einsum("bji,bjk->bik", Q, M, precision=_HIGH)
         Bk = M - jnp.einsum("bij,bjk->bik", Q, QtM, precision=_HIGH)
         Qn, d = null_fn(Bk, tol)
-        # Deflation must never shrink the kernel: carry the larger.
-        keep = d_prev >= d
+        # Deflation must never shrink the kernel, and a numerically
+        # failed orthonormalization (non-finite Q) must not poison later
+        # steps: carry the previous basis in either case.
+        keep = (d_prev >= d) | ~jnp.isfinite(Qn).all(axis=(1, 2))
         d = jnp.where(keep, d_prev, d)
         Qn = jnp.where(keep[:, None, None], Q, Qn)
         return (Qn, d), d

@@ -43,11 +43,19 @@ def _right_tri_solve(g: jax.Array, L: jax.Array) -> jax.Array:
     return jnp.swapaxes(qt, -1, -2)
 
 
-def _chol_qr(g: jax.Array, colmask: jax.Array) -> jax.Array:
+def _chol_qr(g: jax.Array, colmask: jax.Array, shift: float = 0.0):
     """One CholeskyQR pass on front-compacted columns; masked-out columns
-    stay exactly zero (their Gram diagonal is patched to 1)."""
+    stay exactly zero (their Gram diagonal is patched to 1).  ``shift``
+    adds a relative diagonal regularization (shifted CholeskyQR): the
+    Gram matrix of a numerically rank-deficient column set is otherwise
+    indefinite under roundoff, cholesky returns NaN, and the NaN
+    propagates silently."""
+    nc = g.shape[-1]
     gram = jnp.einsum("bji,bjk->bik", g, g, precision=_HIGH)
-    eye = jnp.eye(g.shape[-1], dtype=g.dtype)
+    eye = jnp.eye(nc, dtype=g.dtype)
+    if shift:
+        scale = jnp.trace(gram, axis1=1, axis2=2)[:, None, None]
+        gram = gram + shift * scale * eye[None]
     gram = gram + (1.0 - colmask[:, None, :]) * eye[None]
     L = jnp.linalg.cholesky(gram)
     Q = _right_tri_solve(g, L)
@@ -57,8 +65,13 @@ def _chol_qr(g: jax.Array, colmask: jax.Array) -> jax.Array:
 def orthonormal_columns(gens: jax.Array, gmask: jax.Array):
     """Orthonormal basis of span(masked columns of gens), front-compacted:
     returns ``(Q [B, n, n], d [B])`` with the first ``d`` columns
-    orthonormal and the rest exactly zero.  Columns are pre-normalized so
-    the Gram matrix is well-scaled; CholeskyQR2 handles moderate κ."""
+    orthonormal and the rest exactly zero.
+
+    Shifted CholeskyQR3: columns are pre-normalized, the FIRST pass
+    carries a diagonal shift that keeps the Gram factorization positive
+    definite even when the normalized set is ill-conditioned past
+    1/√eps (plain CholeskyQR2 returns all-NaN there), and two unshifted
+    refinement passes restore orthonormality to working precision."""
     B, n, _ = gens.shape
     d = gmask.sum(axis=1).astype(jnp.int32)            # [B]
     colmask = (
@@ -67,6 +80,8 @@ def orthonormal_columns(gens: jax.Array, gmask: jax.Array):
     C = compact_columns(gens, gmask)
     norms = jnp.sqrt(jnp.sum(C * C, axis=1))
     C = C / jnp.maximum(norms, 1e-30)[:, None, :]
-    Q = _chol_qr(C, colmask)
+    eps = float(jnp.finfo(C.dtype).eps)
+    Q = _chol_qr(C, colmask, shift=16.0 * n * eps)
+    Q = _chol_qr(Q, colmask)
     Q = _chol_qr(Q, colmask)
     return Q, d

@@ -206,22 +206,11 @@ def solve_affine_blocked_batched(
     kernel path's extraction.  Semantics match
     ``solve_batched(pivot_rule="partial")`` (unique RREF for a given
     pivot-column set)."""
-    from .solve import _extract_from_rref
+    from .solve import _extract_from_rref, augment_square_padded
 
-    B, m, n = a.shape
-    s = max(m, n)
-    dtype = jnp.result_type(a.dtype, jnp.float32)
-    aug = jnp.zeros((B, s, s + 1), dtype)
-    aug = aug.at[:, :m, :n].set(a.astype(dtype))
-    aug = aug.at[:, :m, s].set(b.astype(dtype))
-    if tol is None:
-        eps = jnp.finfo(dtype).eps
-        tol = (
-            100 * max(m, n + 1) * eps
-            * jnp.max(jnp.abs(aug), axis=(1, 2))
-        )
-    tol = jnp.broadcast_to(jnp.asarray(tol, dtype), (B,))
-    res = rref_blocked(aug, tol=tol, nb=min(nb, s))
+    n = a.shape[2]
+    aug, tol = augment_square_padded(a, b, tol)
+    res = rref_blocked(aug, tol=tol, nb=min(nb, aug.shape[1]))
     return _extract_from_rref(res.reduced, res.perm, res.pivots, n, tol)
 
 

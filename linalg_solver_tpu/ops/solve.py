@@ -153,8 +153,23 @@ def solve_affine_gj_batched(
     (default: data-relative ``100·max(m,n+1)·eps·max|[A|b]|``).
     """
     from .pallas.gj_kernel import VMEM_TILE_BUDGET_BIG, gauss_jordan_tiled
-    from .select import take_rows_mxu
 
+    n = a.shape[2]
+    aug, tol = augment_square_padded(a, b, tol)
+    res = gauss_jordan_tiled(
+        aug, tol=tol, interpret=interpret, budget=VMEM_TILE_BUDGET_BIG
+    )
+    return _extract_from_rref(
+        res.reduced, res.perm, res.pivots, n, tol
+    )
+
+
+def augment_square_padded(a, b, tol):
+    """Square-padded augmented system ``[A | b]`` with the shared
+    data-relative default tolerance (``100·max(m,n+1)·eps·max|[A|b]|``).
+    The VMEM-kernel and blocked-RREF paths MUST build identical systems
+    and tolerances — dispatch routes between them purely by size, and a
+    divergence would change rank decisions across that boundary."""
     B, m, n = a.shape
     s = max(m, n)
     dtype = jnp.result_type(a.dtype, jnp.float32)
@@ -167,14 +182,7 @@ def solve_affine_gj_batched(
             100 * max(m, n + 1) * eps
             * jnp.max(jnp.abs(aug), axis=(1, 2))
         )
-    tol = jnp.broadcast_to(jnp.asarray(tol, dtype), (B,))
-
-    res = gauss_jordan_tiled(
-        aug, tol=tol, interpret=interpret, budget=VMEM_TILE_BUDGET_BIG
-    )
-    return _extract_from_rref(
-        res.reduced, res.perm, res.pivots, n, tol
-    )
+    return aug, jnp.broadcast_to(jnp.asarray(tol, dtype), (B,))
 
 
 def _extract_from_rref(R, perm, pivs, n: int, tol):

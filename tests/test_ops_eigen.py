@@ -301,3 +301,47 @@ class TestSpectralDecomposeBatched:
             jnp.asarray([[1.0, -1.0]], np.float32),
         )
         assert not bool(np.asarray(res.success)[0])
+
+
+class TestOrthonormalColumns:
+    def test_ill_conditioned_generators_stay_finite(self):
+        """Regression: plain CholeskyQR2 returns all-NaN for independent
+        but ill-conditioned column sets (normalized Gram κ past 1/eps);
+        the shifted first pass must keep the factorization PD."""
+        from linalg_solver_tpu.ops.orth import orthonormal_columns
+
+        rng = np.random.RandomState(0)
+        n, d = 32, 3
+        base = rng.randn(n)
+        # near-parallel huge columns + tiny independent perturbations
+        gens = np.zeros((1, n, n), np.float32)
+        for j in range(d):
+            gens[0, :, j] = 4e3 * base + 1e-2 * rng.randn(n)
+        gmask = np.zeros((1, n), bool)
+        gmask[0, :d] = True
+        Q, dd = orthonormal_columns(
+            jnp.asarray(gens), jnp.asarray(gmask)
+        )
+        Qn = np.asarray(Q)
+        assert np.isfinite(Qn).all()
+        assert int(dd[0]) == d
+        # the span is preserved: projecting the generators onto Q's
+        # column space must reproduce them (up to f32 conditioning)
+        G = gens[0, :, :d].astype(np.float64)
+        Qd = Qn[0, :, :d].astype(np.float64)
+        proj = Qd @ (Qd.T @ G)
+        assert np.abs(proj - G).max() / np.abs(G).max() < 1e-2
+
+    def test_well_conditioned_orthonormal(self):
+        from linalg_solver_tpu.ops.orth import orthonormal_columns
+
+        rng = np.random.RandomState(1)
+        gens = rng.randn(2, 24, 24).astype(np.float32)
+        gmask = np.zeros((2, 24), bool)
+        gmask[:, :10] = True
+        Q, d = orthonormal_columns(jnp.asarray(gens), jnp.asarray(gmask))
+        Qn = np.asarray(Q, np.float64)
+        for b in range(2):
+            QtQ = Qn[b, :, :10].T @ Qn[b, :, :10]
+            np.testing.assert_allclose(QtQ, np.eye(10), atol=1e-4)
+            assert np.abs(Qn[b, :, 10:]).max() == 0.0
