@@ -134,3 +134,46 @@ class TestLargeNSpectral:
             @ np.asarray(res.P_inv, np.float64)
         )
         assert np.abs(rec - A).max() / np.abs(A).max() < 1e-3
+
+
+class TestBlockedRREFFuzz:
+    """Randomized property sweep: random shapes, ranks, panel widths and
+    per-matrix tolerances vs the loop oracle (RREF uniqueness makes the
+    structural outputs comparable exactly)."""
+
+    def test_random_sweep(self):
+        rng = np.random.RandomState(99)
+        for trial in range(8):
+            m = int(rng.randint(8, 40))
+            n = int(rng.randint(8, 40))
+            r = int(rng.randint(1, min(m, n) + 1))
+            nb = int(rng.choice([4, 8, 16, 32]))
+            B = 4
+            A = (
+                rng.randn(B, m, r) @ rng.randn(B, r, n)
+            ).astype(np.float32)
+            # mix of exactly-zero rows/columns to stress skipping
+            if trial % 2:
+                A[:, rng.randint(m), :] = 0.0
+                A[:, :, rng.randint(n)] = 0.0
+            b = np.einsum(
+                "bij,bj->bi", A, rng.randn(B, n)
+            ).astype(np.float32)
+            b[B // 2:] = rng.randn(B - B // 2, m).astype(np.float32)
+            sub_b = solve_affine_blocked_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=nb
+            )
+            sub_l = solve_batched(
+                jnp.asarray(A), jnp.asarray(b), pivot_rule="partial"
+            )
+            for field in ("dim", "is_consistent", "gen_mask"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sub_b, field)),
+                    np.asarray(getattr(sub_l, field)),
+                    err_msg=f"trial {trial} field {field}",
+                )
+            np.testing.assert_array_equal(
+                np.asarray(rank_blocked_batched(jnp.asarray(A), nb=nb)),
+                np.asarray(rank_batched(jnp.asarray(A))),
+                err_msg=f"trial {trial} rank",
+            )
