@@ -26,7 +26,7 @@ from .exact.random_matrix import (
     gen_regular_matrix,
 )
 from .utils.fmt import cformat
-from .utils.trace import global_logger, log
+from .utils.trace import global_logger, log, raw_log
 
 
 def rationalize_matrix(mat: Matrix) -> Matrix:
@@ -129,6 +129,50 @@ def device_section() -> None:
 
     log(r"\section{Dávkový TPU řešič}")
     replay_solve_trace()
+    _device_spectral_subsection()
+
+
+def _device_spectral_subsection() -> None:
+    """Batched spectral report (eigenvalues, multiplicities,
+    diagonalizability) for a generated device batch, summarized as a
+    LaTeX table — the device-scale counterpart of the eigenvalue and
+    diagonalization sections (reference main.py:78-94)."""
+    import jax
+    import numpy as np
+
+    from .models.spectral import spectral_pipeline
+    from .ops.generate import diagonalizable_batch
+
+    log(r"\subsection*{Spektrální rozklad dávky}")
+    eigs = [4.0, 1.0, 1.0, -2.0]
+    batch = diagonalizable_batch(
+        jax.random.PRNGKey(2026), 4, eigs, transform="orthogonal"
+    )
+    rep = spectral_pipeline(batch, tol=1e-2)
+    lam = np.asarray(rep.eig_real)
+    alg = np.asarray(rep.alg_mult)
+    geom = np.asarray(rep.geom_mult)
+    ok = np.asarray(rep.diagonalizable)
+    raw_log(r"\begin{tabular}{c|c|c|c|c}")
+    raw_log(
+        r"matice & $\lambda$ & alg.~n\'asobnost & geom.~n\'asobnost"
+        r" & diagonalizovateln\'a \\ \hline"
+    )
+    for b in range(lam.shape[0]):
+        # distinct eigenvalues in descending order
+        firsts = np.concatenate(
+            [[True], np.abs(np.diff(lam[b])) > 1e-2]
+        )
+        lam_s = ", ".join(f"{v:.4g}" for v in lam[b][firsts])
+        alg_s = ", ".join(str(int(v)) for v in alg[b][firsts])
+        geom_s = ", ".join(str(int(v)) for v in geom[b][firsts])
+        flag = r"ano" if bool(ok[b]) else r"ne"
+        raw_log(
+            f"$A_{{{b + 1}}}$ & ${lam_s}$ & {alg_s} & {geom_s}"
+            f" & {flag} \\\\"
+        )
+    raw_log(r"\end{tabular}")
+    raw_log("")
 
 
 SECTIONS = [

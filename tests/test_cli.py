@@ -53,3 +53,15 @@ def test_cli_deterministic(tmp_path):
     out2 = tmp_path / "b.tex"
     main(["-o", str(out2), "--seed", "7", "--quiet"])
     assert first == out2.read_text(encoding="utf-8")
+
+
+def test_cli_device_section(tmp_path):
+    out = tmp_path / "dev.tex"
+    global_logger.accum.clear()
+    main(["-o", str(out), "--seed", "2026", "--device", "--quiet"])
+    text = out.read_text(encoding="utf-8")
+    assert r"\section{Dávkový TPU řešič}" in text
+    assert r"\subsection*{Spektrální rozklad dávky}" in text
+    # one summary row per batch element, all diagonalizable on this seed
+    assert text.count("& ano") == 4
+    assert text.count(r"\begin{tabular}") == text.count(r"\end{tabular}")
