@@ -46,11 +46,25 @@ _HIGH = jax.lax.Precision.HIGHEST
 def hessenberg(a: jax.Array) -> jax.Array:
     """Reduce a batched ``[B, n, n]`` real matrix to upper Hessenberg form
     by Householder similarity transforms (same eigenvalues)."""
+    H, _ = _hessenberg_impl(a, with_q=False)
+    return H
+
+
+@functools.partial(jax.jit, static_argnames=("with_q",))
+@f32_matmuls
+def _hessenberg_impl(a: jax.Array, with_q: bool = False):
+    """Hessenberg reduction; with ``with_q`` also accumulates the
+    orthogonal similarity ``Q`` with ``A = Q H Qᵀ``."""
     B, n, _ = a.shape
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
     idx = jnp.arange(n)
+    Q0 = (
+        jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), (B, n, n))
+        if with_q else jnp.zeros((B, 1, 1), a.dtype)
+    )
 
-    def body(k, H):
+    def body(k, carry):
+        H, Q = carry
         x = H[:, :, k]                              # [B, n]
         mask = (idx[None, :] > k).astype(H.dtype)
         xm = x * mask
@@ -67,9 +81,12 @@ def hessenberg(a: jax.Array) -> jax.Array:
         H = H - beta[:, None, None] * v[:, :, None] * vH[:, None, :]
         Hv = jnp.einsum("bnm,bm->bn", H, v, precision=_HIGH)
         H = H - beta[:, None, None] * Hv[:, :, None] * v[:, None, :]
-        return H
+        if with_q:
+            Qv = jnp.einsum("bnm,bm->bn", Q, v, precision=_HIGH)
+            Q = Q - beta[:, None, None] * Qv[:, :, None] * v[:, None, :]
+        return H, Q
 
-    return lax.fori_loop(0, max(n - 2, 0), body, a)
+    return lax.fori_loop(0, max(n - 2, 0), body, (a, Q0))
 
 
 class SchurResult(NamedTuple):
@@ -273,11 +290,17 @@ def _shifts_per_block(H, end, hi, stagnant):
     return s, p
 
 
-def _one_sweep(H, hi, stagnant, anorm):
+def _one_sweep(H, hi, stagnant, anorm, Q=None):
     """Deflate, pick per-block shifts, run one multibulge Francis sweep
-    (one bulge per unreduced diagonal block, all chased in one scan)."""
+    (one bulge per unreduced diagonal block, all chased in one scan).
+    With ``Q`` (a ``[B, n, npad]`` accumulator) every reflector is also
+    applied on the right of Q, so ``H_in = Q_rel H_out Q_relᵀ`` composes
+    into the Schur-vector basis."""
     B, npad, _ = H.shape
     n = npad - 1
+    with_q = Q is not None
+    if not with_q:
+        Q = jnp.zeros((B, 1, 1), H.dtype)
 
     H, hi, stagnant = _deflate(H, hi, stagnant, anorm)
     start, end = _block_bounds(H, hi)
@@ -286,16 +309,18 @@ def _one_sweep(H, hi, stagnant, anorm):
     # fori_loop lowering of this body miscompiles (the loop produces
     # O(1)-different results from the identical body run stepwise or
     # under scan; observed on v5e, jax 0.8 era).  Scan is bit-correct.
-    (H, *_), _ = lax.scan(
-        lambda c, k: (_chase_step(k, c), None),
-        (H, start, end, s_arr, p_arr),
+    (H, Q, *_), _ = lax.scan(
+        lambda c, k: (_chase_step(k, c, with_q=with_q), None),
+        (H, Q, start, end, s_arr, p_arr),
         jnp.arange(max(n - 1, 1)),
     )
+    if with_q:
+        return H, hi, stagnant, Q
     return H, hi, stagnant
 
 
-def _chase_step(k, carry):
-        H, start, end, s_arr, p_arr = carry
+def _chase_step(k, carry, with_q: bool = False):
+        H, Q, start, end, s_arr, p_arr = carry
         B, npad, _ = H.shape
 
         def col_at(v):  # v[:, k] with traced k
@@ -368,12 +393,17 @@ def _chase_step(k, carry):
         cv = jnp.einsum("bni,bi->bn", cols, v, precision=_HIGH)
         cols = cols - beta[:, None, None] * cv[:, :, None] * v[:, None, :]
         H = lax.dynamic_update_slice(H, cols, (0, 0, k))
+        if with_q:
+            qc = lax.dynamic_slice(Q, (0, 0, k), (B, Q.shape[1], 3))
+            qv = jnp.einsum("bni,bi->bn", qc, v, precision=_HIGH)
+            qc = qc - beta[:, None, None] * qv[:, :, None] * v[:, None, :]
+            Q = lax.dynamic_update_slice(Q, qc, (0, 0, k))
         # XLA TPU reorders the unaligned in-place row/column updates
         # across loop iterations without this fence (observed: the
         # second fori iteration reads pre-update values — results
         # diverge O(1) from the interpreted semantics).
         H = lax.optimization_barrier(H)
-        return H, start, end, s_arr, p_arr
+        return H, Q, start, end, s_arr, p_arr
 
 
 @jax.jit
@@ -388,11 +418,21 @@ def balance_batched(a: jax.Array, iters: int = 6) -> jax.Array:
     it — the step that lets sgeev reach ~eps·ρ(A) eigenvalue accuracy
     instead of eps·‖A‖.
     """
+    A, _ = _balance_impl(a, iters)
+    return A
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _balance_impl(a: jax.Array, iters: int = 6):
+    """Balancing plus the accumulated diagonal ``f`` with
+    ``A_balanced = D A D⁻¹``, ``D = diag(f)`` (eigenvectors of A are
+    ``D⁻¹ ·`` eigenvectors of the balanced matrix)."""
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
-    n = a.shape[-1]
+    B, n, _ = a.shape
     eye = jnp.eye(n, dtype=bool)
 
-    def pass_(_, A):
+    def pass_(_, carry):
+        A, ftot = carry
         off = jnp.where(eye, 0.0, jnp.abs(A))
         r = jnp.sum(off, axis=2)                  # row sums  [B, n]
         c = jnp.sum(off, axis=1)                  # col sums  [B, n]
@@ -405,50 +445,63 @@ def balance_batched(a: jax.Array, iters: int = 6) -> jax.Array:
         # (unconditional rounding oscillates on already-balanced input).
         improves = (r * f + c / f) < 0.95 * (r + c)
         f = jnp.where(safe & improves, f, 1.0)
-        return A * (f[:, :, None] / f[:, None, :])
+        return A * (f[:, :, None] / f[:, None, :]), ftot * f
 
-    return lax.fori_loop(0, iters, pass_, a)
+    return lax.fori_loop(
+        0, iters, pass_, (a, jnp.ones((B, n), a.dtype))
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("balance",))
+@functools.partial(jax.jit, static_argnames=("balance", "with_q"))
 @f32_matmuls
-def _schur_init(a: jax.Array, balance: bool = True):
+def _schur_init(a: jax.Array, balance: bool = True, with_q: bool = False):
     """Balance + Hessenberg + one-row/column zero pad (so the 3-wide
-    dynamic slices of the bulge chase never clamp at the bottom edge)."""
-    B = a.shape[0]
+    dynamic slices of the bulge chase never clamp at the bottom edge).
+    With ``with_q`` also returns the Hessenberg Q (padded by one zero
+    column for the chase) and the balance scale."""
+    B, n = a.shape[0], a.shape[1]
+    scale = jnp.ones((B, n), jnp.result_type(a.dtype, jnp.float32))
     if balance:
-        a = balance_batched(a)
-    H = jnp.pad(hessenberg(a), ((0, 0), (0, 1), (0, 1)))
-    hi0 = jnp.full((B,), a.shape[1] - 1, jnp.int32)
+        a, scale = _balance_impl(a)
+    Hh, Qh = _hessenberg_impl(a, with_q=with_q)
+    H = jnp.pad(Hh, ((0, 0), (0, 1), (0, 1)))
+    Q = (
+        jnp.pad(Qh, ((0, 0), (0, 0), (0, 1)))
+        if with_q else jnp.zeros((B, 1, 1), H.dtype)
+    )
+    hi0 = jnp.full((B,), n - 1, jnp.int32)
     anorm = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)  # ‖·‖_inf
-    return H, hi0, jnp.zeros((B,), jnp.int32), anorm
+    return H, Q, hi0, jnp.zeros((B,), jnp.int32), anorm, scale
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "with_q"))
 @f32_matmuls
-def _schur_sweeps(state, chunk: int):
+def _schur_sweeps(state, chunk: int, with_q: bool = False):
     """Up to ``chunk`` Francis sweeps (stops early when every lane has
     deflated).  Kept bounded because the tunnel-attached TPU runtime
     kills single programs that execute for too long."""
     def cond(st):
-        H, hi, stagnant, anorm, it = st
+        H, Q, hi, stagnant, anorm, it = st
         return (it < chunk) & jnp.any(hi >= 1)
 
     def body(st):
-        H, hi, stagnant, anorm, it = st
-        H, hi, stagnant = _one_sweep(H, hi, stagnant, anorm)
-        return H, hi, stagnant, anorm, it + 1
+        H, Q, hi, stagnant, anorm, it = st
+        if with_q:
+            H, hi, stagnant, Q = _one_sweep(H, hi, stagnant, anorm, Q)
+        else:
+            H, hi, stagnant = _one_sweep(H, hi, stagnant, anorm)
+        return H, Q, hi, stagnant, anorm, it + 1
 
-    H, hi, stagnant, anorm = state
-    H, hi, stagnant, anorm, it = lax.while_loop(
-        cond, body, (H, hi, stagnant, anorm, jnp.zeros((), jnp.int32))
+    H, Q, hi, stagnant, anorm = state
+    H, Q, hi, stagnant, anorm, it = lax.while_loop(
+        cond, body, (H, Q, hi, stagnant, anorm, jnp.zeros((), jnp.int32))
     )
-    return (H, hi, stagnant, anorm), it
+    return (H, Q, hi, stagnant, anorm), it
 
 
 @jax.jit
 def _schur_finalize(state):
-    H, hi, stagnant, anorm = state
+    H, Q, hi, stagnant, anorm = state
     H, hi, _ = _deflate(H, hi, stagnant, anorm)
     n = H.shape[1] - 1
     T = H[:, :n, :n]
@@ -456,6 +509,27 @@ def _schur_finalize(state):
     # wipe the bulge-chase roundoff residue (~ulp·‖A‖).
     T = jnp.where(jnp.tril(jnp.ones((n, n), bool), -2)[None], 0.0, T)
     return SchurResult(T, hi < 1, jnp.zeros((), jnp.int32))
+
+
+def _run_schur(a, max_sweeps, chunk, balance, with_q):
+    B, n, _ = a.shape
+    if max_sweeps == 0:
+        max_sweeps = 8 * n
+    H, Q, hi, stag, anorm, scale = _schur_init(
+        a, balance=balance, with_q=with_q
+    )
+    state = (H, Q, hi, stag, anorm)
+    done = 0
+    while done < max_sweeps:
+        state, it = _schur_sweeps(
+            state, min(chunk, max_sweeps - done), with_q=with_q
+        )
+        done += int(it)
+        if int(it) < chunk or not bool((state[2] >= 1).any()):
+            break
+    res = _schur_finalize(state)
+    Qout = state[1][:, :, :n] if with_q else None
+    return res, done, Qout, scale
 
 
 def real_schur(
@@ -477,18 +551,46 @@ def real_schur(
         return SchurResult(
             H, jnp.ones((B,), bool), jnp.zeros((), jnp.int32)
         )
-    if max_sweeps == 0:
-        max_sweeps = 8 * n
-    state = _schur_init(a, balance=balance)
-    done = 0
-    while done < max_sweeps:
-        state, it = _schur_sweeps(state, min(chunk, max_sweeps - done))
-        done += int(it)
-        if int(it) < chunk or not bool((state[1] >= 1).any()):
-            break
-    res = _schur_finalize(state)
+    res, done, _, _ = _run_schur(a, max_sweeps, chunk, balance, False)
     return SchurResult(
         res.T, res.converged, jnp.asarray(done, jnp.int32)
+    )
+
+
+class SchurVectors(NamedTuple):
+    """Full real Schur decomposition of the BALANCED matrix:
+    ``D A D⁻¹ = Q T Qᵀ`` with ``D = diag(scale)`` — so
+    ``A = D⁻¹ Q T Qᵀ D`` and eigenvectors of A are ``D⁻¹ Q y`` for
+    eigenvectors ``y`` of T."""
+
+    T: jax.Array          # [B, n, n]
+    Q: jax.Array          # [B, n, n] orthogonal
+    scale: jax.Array      # [B, n] balance diagonal
+    converged: jax.Array  # [B]
+    sweeps: jax.Array     # [] i32
+
+
+def real_schur_vectors(
+    a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
+    balance: bool = True,
+) -> SchurVectors:
+    """``real_schur`` with the orthogonal similarity accumulated
+    (reflectors applied on the right of Q through Hessenberg and every
+    bulge-chase step — ~1.4× the eigvals-only sweep cost)."""
+    B, n, _ = a.shape
+    if n <= 2:
+        Hh, Qh = _hessenberg_impl(a, with_q=True)
+        return SchurVectors(
+            Hh, Qh, jnp.ones((B, n), Hh.dtype),
+            jnp.ones((B,), bool), jnp.zeros((), jnp.int32),
+        )
+    res, done, Q, scale = _run_schur(a, max_sweeps, chunk, balance, True)
+    # The Francis iteration deflates real-eigenvalue 2×2 blocks without
+    # splitting them (fine for eigenvalues); eigenvector extraction
+    # needs them triangular.
+    T, Q = _standardize_real_blocks(res.T, Q)
+    return SchurVectors(
+        T, Q, scale, res.converged, jnp.asarray(done, jnp.int32)
     )
 
 
@@ -554,3 +656,243 @@ def _eigvals_from_T(T: jax.Array):
         imag,
     )
     return real, imag
+
+
+@jax.jit
+@f32_matmuls
+def _trevc_real(T: jax.Array):
+    """Eigenvectors of a quasi-upper-triangular ``T`` for its REAL 1×1
+    blocks, by back-substitution (LAPACK strevc scheme): for eigenvalue
+    λᵢ = T[i,i], solve the upper-triangular system rows i−1..0 of
+    ``(T − λᵢ I) y = 0`` with ``y[i] = 1``, safeguarding small
+    denominators at ``smin = eps·‖T‖`` (repeated eigenvalues give
+    near-dependent columns — callers wanting eigenspaces of clustered
+    spectra should use the nullspace path instead).
+
+    All n columns are solved simultaneously: one scan over rows j from
+    the bottom, each step a [B, n] masked matvec — O(n³) total.
+
+    Returns ``(Y [B, n, n], valid [B, n])``; invalid columns (members of
+    2×2 complex blocks) are zero."""
+    B, n, _ = T.shape
+    dtype = T.dtype
+    eps = jnp.finfo(dtype).eps
+    idx = jnp.arange(n)
+
+    diag = jnp.diagonal(T, axis1=1, axis2=2)                # [B, n]
+    sub = jnp.concatenate(
+        [jnp.diagonal(T, offset=-1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )                                                       # sub[i] = T[i+1,i]
+    sub_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), sub[:, :-1]], axis=1
+    )
+    valid = (sub == 0) & (sub_prev == 0)                    # 1×1 real blocks
+    smin = eps * jnp.max(jnp.abs(T), axis=(1, 2))           # [B]
+    lam = diag
+
+    Y0 = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))
+
+    def take_j(v, j):
+        return jnp.take_along_axis(
+            v, jnp.full((B, 1), 0, jnp.int32) + j, axis=1
+        )[:, 0]
+
+    def safeguard(x, floor):
+        return jnp.where(
+            jnp.abs(x) < floor,
+            jnp.where(x < 0, -floor, floor),
+            x,
+        )
+
+    def row_step(Y, j):
+        j = n - 2 - j                                       # descending
+        # Block structure at row j: T[j+1, j] ≠ 0 makes rows (j, j+1) a
+        # 2×2 diagonal block — their equations couple and must be
+        # solved JOINTLY (strevc); the scalar recurrence silently drops
+        # the subdiagonal term and produces O(1)-wrong vectors whenever
+        # a complex pair sits above the eigenvalue's row.
+        is_top = take_j(sub, j) != 0                        # [B]
+        is_bottom = jnp.where(
+            j >= 1, take_j(sub, jnp.maximum(j - 1, 0)) != 0, False
+        )
+
+        trow_j = lax.dynamic_slice(T, (0, j, 0), (B, 1, n))[:, 0, :]
+        jp1 = jnp.minimum(j + 1, n - 1)
+        trow_j1 = lax.dynamic_slice(T, (0, 0, 0), (B, n, n))
+        trow_j1 = jnp.take_along_axis(
+            trow_j1, jnp.full((B, 1, 1), 0, jnp.int32) + jp1, axis=1
+        )[:, 0, :]
+        # Residuals against rows strictly right of the (1×1 or 2×2)
+        # block.  For the scalar case Y[j+1] of valid columns is final;
+        # for the 2×2 case Y[j+1] is still zero there (the bottom step
+        # skipped), so masking k>j is correct for BOTH.
+        r1 = jnp.einsum(
+            "bk,bki->bi", trow_j * (idx[None, :] > j), Y,
+            precision=_HIGH,
+        )
+        r2 = jnp.einsum(
+            "bk,bki->bi", trow_j1 * (idx[None, :] > jp1), Y,
+            precision=_HIGH,
+        )
+
+        a11 = take_j(diag, j)[:, None] - lam                # [B, n]
+        # Scalar (1×1) update.
+        denom = safeguard(a11, smin[:, None])
+        yrow_scalar = -r1 / denom
+
+        # Joint (2×2) update via Cramer with a safeguarded determinant.
+        a12 = take_j(trow_j, jp1)[:, None]                  # T[j, j+1]
+        a21 = take_j(sub, j)[:, None]                       # T[j+1, j]
+        a22 = take_j(diag, jp1)[:, None] - lam
+        det = safeguard(
+            a11 * a22 - a12 * a21, (smin * smin)[:, None]
+        )
+        y_top = (-r1 * a22 + r2 * a12) / det
+        y_bot = (-r2 * a11 + r1 * a21) / det
+
+        right_of = (idx[None, :] > jp1) | (
+            (idx[None, :] > j) & ~is_top[:, None]
+        )
+        new_j = jnp.where(
+            right_of,
+            jnp.where(is_top[:, None], y_top, yrow_scalar),
+            0.0,
+        ) + (idx[None, :] == j).astype(dtype)
+        old_j = lax.dynamic_slice(Y, (0, j, 0), (B, 1, n))[:, 0, :]
+        new_j = jnp.where(is_bottom[:, None], old_j, new_j)
+        Y = lax.dynamic_update_slice(Y, new_j[:, None, :], (0, j, 0))
+
+        old_j1 = lax.dynamic_slice(Y, (0, jp1, 0), (B, 1, n))[:, 0, :]
+        new_j1 = jnp.where(
+            is_top[:, None] & (idx[None, :] > jp1), y_bot, old_j1
+        )
+        Y = lax.dynamic_update_slice(Y, new_j1[:, None, :], (0, jp1, 0))
+        return Y, None
+
+    Y, _ = lax.scan(row_step, Y0, jnp.arange(max(n - 1, 1)))
+    Y = Y * valid[:, None, :]
+    norms = jnp.sqrt(jnp.sum(Y * Y, axis=1))
+    Y = Y / jnp.maximum(norms, 1e-30)[:, None, :]
+    return Y, valid
+
+
+class EigResult(NamedTuple):
+    """Eigenvalues (in Schur diagonal order, NOT sorted) and right
+    eigenvectors for the real part of the spectrum."""
+
+    real: jax.Array       # [B, n]
+    imag: jax.Array       # [B, n]
+    vectors: jax.Array    # [B, n, n] — column i pairs with eigenvalue i
+    valid: jax.Array      # [B, n] — True where a real eigenvector exists
+    converged: jax.Array  # [B]
+
+
+def eig_real_batched(
+    a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
+    balance: bool = True,
+) -> EigResult:
+    """Right eigenvectors of a general real batch at O(n³) per matrix:
+    real Schur with accumulated Q, then strevc-style back-substitution
+    (``V = D⁻¹ Q Y`` undoes the balance similarity).  Covers the real
+    1×1 blocks of the spectrum; complex pairs get ``valid=False``
+    columns.  For clustered/repeated eigenvalues prefer the nullspace
+    path (``ops.eigen.spectral_decompose_batched``) — back-substituted
+    columns of a multiple eigenvalue are near-dependent."""
+    sv = real_schur_vectors(
+        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance
+    )
+    Y, valid = _trevc_real(sv.T)
+    re, im = _eigvals_from_T(sv.T)
+    with jax.default_matmul_precision("float32"):
+        V = jnp.einsum("bij,bjk->bik", sv.Q, Y, precision=_HIGH)
+    V = V / sv.scale[:, :, None]
+    norms = jnp.sqrt(jnp.sum(V * V, axis=1))
+    V = V / jnp.maximum(norms, 1e-30)[:, None, :]
+    V = V * valid[:, None, :]
+    return EigResult(re, im, V, valid, sv.converged)
+
+
+@jax.jit
+@f32_matmuls
+def _standardize_real_blocks(T: jax.Array, Q: jax.Array):
+    """Split 2×2 diagonal blocks whose eigenvalues are REAL into 1×1
+    blocks by an orthogonal rotation per block (dlanv2's job): the
+    Francis iteration deflates any trailing 2×2 as converged — correct
+    for eigenvalues (the block quadratic) but eigenvector extraction
+    needs those columns triangular.  Complex-pair blocks are left
+    untouched.  All blocks rotate in ONE similarity (disjoint 2×2
+    supports commute): T ← Gᵀ T G, Q ← Q G."""
+    B, n, _ = T.shape
+    dtype = T.dtype
+    idx = jnp.arange(n)
+
+    diag = jnp.diagonal(T, axis1=1, axis2=2)
+    sub = jnp.concatenate(
+        [jnp.diagonal(T, offset=-1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    sup = jnp.concatenate(
+        [jnp.diagonal(T, offset=1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    sub_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), sub[:, :-1]], axis=1
+    )
+    a = diag
+    d = jnp.concatenate([diag[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)
+    b_ = sup
+    c = sub
+    half = (a - d) / 2
+    disc = half * half + b_ * c
+    top = (sub != 0) & (sub_prev == 0) & (disc >= 0)        # [B, n]
+
+    s = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sgn = jnp.where(half < 0, -1.0, 1.0)
+    lam1 = (a + d) / 2 + sgn * s
+    lam2 = (a + d) / 2 - sgn * s
+    # eigenvector of the block for lam1: [lam1 − d, c] (c ≠ 0 on blocks)
+    v0 = half + sgn * s
+    v1 = c
+    nrm = jnp.sqrt(v0 * v0 + v1 * v1)
+    nrm = jnp.where(nrm > 0, nrm, 1.0)
+    cs = v0 / nrm
+    sn = v1 / nrm
+
+    bottom = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), top[:, :-1]], axis=1
+    )
+    cs_sh = jnp.concatenate([jnp.ones((B, 1), dtype), cs[:, :-1]], axis=1)
+    sn_sh = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), sn[:, :-1]], axis=1
+    )
+    dvec = jnp.where(top, cs, jnp.where(bottom, cs_sh, 1.0))
+    eye_m = (idx[:, None] == idx[None, :]).astype(dtype)
+    up_m = (idx[:, None] + 1 == idx[None, :]).astype(dtype)
+    lo_m = (idx[:, None] == idx[None, :] + 1).astype(dtype)
+    G = (
+        eye_m[None] * dvec[:, :, None]
+        - up_m[None] * (jnp.where(top, sn, 0.0))[:, :, None]
+        + lo_m[None] * (jnp.where(top, sn, 0.0))[:, None, :]
+    )
+    T2 = jnp.einsum(
+        "bji,bjk,bkl->bil", G, T, G, precision=_HIGH
+    )
+    Q2 = jnp.einsum("bij,bjk->bik", Q, G, precision=_HIGH)
+    # Force the exact structure on rotated blocks.
+    topf = top.astype(dtype)
+    botf = bottom.astype(dtype)
+    lam1_sh = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), lam2[:, :-1]], axis=1
+    )
+    newdiag = jnp.where(top, lam1, jnp.where(bottom, lam1_sh, diag))
+    T2 = jnp.where(eye_m[None] > 0, newdiag[:, :, None] * eye_m[None]
+                   + (1 - eye_m[None]) * T2, T2)
+    # zero the rotated subdiagonal entries
+    subz = (lo_m[None] * topf[:, None, :]) > 0
+    T2 = jnp.where(subz, 0.0, T2)
+    # rows below the first subdiagonal stay zero
+    T2 = jnp.where(
+        jnp.tril(jnp.ones((n, n), bool), -2)[None], 0.0, T2
+    )
+    return T2, Q2

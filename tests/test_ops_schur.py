@@ -132,8 +132,9 @@ class TestRealSchur:
         the TPU backend.  Stepwise single-step calls are the ground
         truth the loop must reproduce."""
         A = gaussian(2, 10, seed=6)
-        state = schur._schur_init(jnp.asarray(A))
-        H, hi, stag, anorm = state
+        H, _Q, hi, stag, anorm, _scale = schur._schur_init(
+            jnp.asarray(A)
+        )
         H2, hi2, st2 = jax.jit(schur._one_sweep)(H, hi, stag, anorm)
 
         # replicate the sweep stepwise
@@ -143,7 +144,8 @@ class TestRealSchur:
             Hs, end, his, sts
         )
         npad = Hs.shape[1]
-        carry = (Hs, start, end, s_arr, p_arr)
+        Qd = jnp.zeros((Hs.shape[0], 1, 1), Hs.dtype)
+        carry = (Hs, Qd, start, end, s_arr, p_arr)
         step = jax.jit(schur._chase_step)
         for k in range(npad - 2):
             carry = step(k, carry)
@@ -220,3 +222,75 @@ class TestClusteredSpectra:
             np.linalg.eigvals(A.astype(np.float64)).real, axis=1
         )
         np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+class TestSchurVectors:
+    def test_orthogonal_similarity(self):
+        rng = np.random.RandomState(0)
+        A = rng.randn(3, 24, 24).astype(np.float32)
+        sv = schur.real_schur_vectors(jnp.asarray(A))
+        assert bool(np.asarray(sv.converged).all())
+        T = np.asarray(sv.T, np.float64)
+        Q = np.asarray(sv.Q, np.float64)
+        f = np.asarray(sv.scale, np.float64)
+        for b in range(3):
+            assert np.abs(Q[b].T @ Q[b] - np.eye(24)).max() < 1e-4
+            D = np.diag(f[b])
+            Arec = np.linalg.inv(D) @ Q[b] @ T[b] @ Q[b].T @ D
+            err = np.abs(Arec - A[b]).max() / np.abs(A[b]).max()
+            assert err < 1e-4, (b, err)
+
+    def test_real_blocks_standardized(self):
+        """Real-eigenvalue 2×2 blocks must be split so their columns
+        admit eigenvectors (the iteration deflates them unsplit)."""
+        rng = np.random.RandomState(5)
+        n = 32
+        lam = rng.permutation(np.linspace(-5, 5, n)).astype(np.float32)
+        P = np.eye(n) + 0.3 * rng.randn(n, n)
+        A = (np.linalg.inv(P) @ np.diag(lam) @ P)[None].astype(
+            np.float32
+        )
+        res = schur.eig_real_batched(jnp.asarray(A))
+        assert int(np.asarray(res.valid).sum()) == n
+
+
+class TestEigRealBatched:
+    def _check(self, A, res):
+        valid = np.asarray(res.valid)
+        V = np.asarray(res.vectors, np.float64)
+        re = np.asarray(res.real)
+        worst = 0.0
+        for b in range(A.shape[0]):
+            true = np.linalg.eigvals(A[b].astype(np.float64))
+            nreal = (np.abs(true.imag) < 1e-3).sum()
+            assert valid[b].sum() == nreal, (b, valid[b].sum(), nreal)
+            for i in np.nonzero(valid[b])[0]:
+                v = V[b][:, i]
+                r = np.abs(
+                    A[b].astype(np.float64) @ v - re[b][i] * v
+                ).max()
+                worst = max(worst, r / np.abs(A[b]).max())
+        return worst
+
+    def test_gaussian_real_columns(self):
+        A = gaussian(4, 24, seed=0)
+        res = schur.eig_real_batched(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        assert self._check(A, res) < 1e-4
+
+    def test_complex_pairs_flagged_invalid(self):
+        rng = np.random.RandomState(5)
+        S = rng.randn(1, 12, 12).astype(np.float32)
+        A = S - np.transpose(S, (0, 2, 1))   # pure imaginary spectrum
+        res = schur.eig_real_batched(jnp.asarray(A))
+        # skew: all eigenvalues imaginary (n even ⇒ no real ones beyond
+        # numerical zeros); nearly every column must be invalid
+        assert int(np.asarray(res.valid).sum()) <= 2
+
+    def test_balance_undone_in_vectors(self):
+        rng = np.random.RandomState(3)
+        A = gaussian(1, 24, seed=0)[0].astype(np.float64)
+        D = np.diag(2.0 ** rng.randint(-8, 9, 24))
+        A2 = (np.linalg.inv(D) @ A @ D)[None].astype(np.float32)
+        res = schur.eig_real_batched(jnp.asarray(A2))
+        assert self._check(A2, res) < 1e-3
