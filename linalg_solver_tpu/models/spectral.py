@@ -77,6 +77,13 @@ def spectral_pipeline(
 
     ``method="schur"`` (default): Francis-QR eigenvalues via the chunked
     host driver, then one jitted core for multiplicities/diagonalize.
+    ``method="eig"``: Schur with accumulated vectors + strevc-style
+    back-substitution — O(n³) eigenvectors, the fast path for spectra
+    with (mostly) DISTINCT real eigenvalues; repeated eigenvalues make
+    its P near-singular, which the validation flags (``diagonalizable``
+    False) — use the default method for clustered spectra.  On success
+    the geometric multiplicities are reported equal to the algebraic
+    ones (diagonalizability).
     ``method="qr"``: the legacy fully-jitted unreduced QR iteration
     (``iters`` applies only here).
 
@@ -91,7 +98,56 @@ def spectral_pipeline(
         return _spectral_core(
             a, ev.real, ev.imag, tol, max_distinct=max_distinct
         )
+    if method == "eig":
+        from ..ops.schur import eig_real_batched
+
+        res = eig_real_batched(a)
+        return _report_from_eig(a, res, tol)
     return _spectral_pipeline_qr(a, iters=iters, tol=tol)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _report_from_eig(a: jax.Array, res, tol: float) -> SpectralReport:
+    """SpectralReport from an O(n³) eigendecomposition: sort eigenvalue
+    slots by descending real part (columns of V permuted along via a
+    one-hot matmul), validate P by its inverse residual."""
+    from ..ops import dispatch
+
+    B, n, _ = a.shape
+    dtype = res.vectors.dtype
+    with jax.default_matmul_precision("float32"):
+        order = jnp.argsort(-res.real, axis=1)
+        lam = jnp.take_along_axis(res.real.astype(dtype), order, axis=1)
+        lam_im = jnp.take_along_axis(
+            res.imag.astype(dtype), order, axis=1
+        )
+        perm_oh = (
+            order[:, :, None] == jnp.arange(n)[None, None, :]
+        ).astype(dtype)                                # [B, slot, col]
+        P = jnp.einsum(
+            "bij,bsj->bis", res.vectors, perm_oh,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        valid_s = jnp.take_along_axis(res.valid, order, axis=1)
+
+        dr = lam[:, :, None] - lam[:, None, :]
+        di = lam_im[:, :, None] - lam_im[:, None, :]
+        close = dr * dr + di * di <= tol * tol
+        alg = close.sum(axis=2).astype(jnp.int32)
+
+        ok = res.converged & valid_s.all(axis=1)
+        eye = jnp.eye(n, dtype=dtype)
+        P_safe = jnp.where(ok[:, None, None], P, eye[None])
+        P_inv = dispatch.inverse_batched(P_safe, backend="auto")
+        resid = jnp.max(jnp.abs(P_safe @ P_inv - eye[None]), axis=(1, 2))
+        ok = ok & jnp.isfinite(resid) & (
+            resid < jnp.maximum(jnp.asarray(1e-2, dtype), 3.0 * tol)
+        )
+        D = P_inv @ a.astype(dtype) @ P_safe
+    geom = jnp.where(ok[:, None], alg, 0)
+    return SpectralReport(
+        lam, lam_im, alg, geom, ok, P_safe, P_inv, D
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))

@@ -387,3 +387,56 @@ class TestSpectralFuzz:
             )
             rel = np.abs(rec - A).max() / np.abs(A).max()
             assert rel < 1e-2, (trial, rel)
+
+
+class TestSpectralEigMethod:
+    """method="eig": O(n³) eigenvectors via Schur vectors + strevc."""
+
+    def test_distinct_spectrum(self):
+        rng = np.random.RandomState(5)
+        B, n = 3, 24
+        lam_true = np.stack(
+            [rng.permutation(np.linspace(-5, 5, n)) for _ in range(B)]
+        ).astype(np.float32)
+        P = np.eye(n) + 0.3 * rng.randn(B, n, n)
+        A = (
+            np.linalg.inv(P)
+            @ np.stack([np.diag(v) for v in lam_true]) @ P
+        ).astype(np.float32)
+        rep = spectral_pipeline(jnp.asarray(A), method="eig", tol=1e-2)
+        assert np.asarray(rep.diagonalizable).all()
+        np.testing.assert_allclose(
+            np.sort(np.asarray(rep.eig_real), axis=1),
+            np.sort(lam_true, axis=1), atol=1e-3,
+        )
+        assert (np.asarray(rep.alg_mult) == 1).all()
+        assert (np.asarray(rep.geom_mult) == 1).all()
+        rec = (
+            np.asarray(rep.P, np.float64)
+            @ np.asarray(rep.D, np.float64)
+            @ np.asarray(rep.P_inv, np.float64)
+        )
+        assert np.abs(rec - A).max() / np.abs(A).max() < 1e-4
+
+    def test_normal_repeated_eigenvalues_still_work(self):
+        # T is diagonal at repeated eigenvalues of a NORMAL matrix, so
+        # strevc columns stay orthogonal and the result is valid.
+        A = diagonalizable_batch(
+            jax.random.PRNGKey(0), 2, [2.0, 2.0, 5.0, 1.0],
+            transform="orthogonal",
+        )
+        rep = spectral_pipeline(A, method="eig", tol=1e-2)
+        assert np.asarray(rep.diagonalizable).all()
+        alg = np.asarray(rep.alg_mult)
+        assert (np.sort(alg, axis=1) == [[1, 1, 2, 2]]).all()
+
+    def test_defective_flagged(self):
+        J = np.zeros((4, 4), np.float32)
+        J[0, 0] = J[1, 1] = 2.0
+        J[0, 1] = 1.0
+        J[2, 2], J[3, 3] = 5.0, 1.0
+        rng = np.random.RandomState(1)
+        P = np.eye(4) + 0.2 * rng.randn(4, 4)
+        A = (P @ J @ np.linalg.inv(P))[None].astype(np.float32)
+        rep = spectral_pipeline(jnp.asarray(A), method="eig", tol=1e-2)
+        assert not np.asarray(rep.diagonalizable).any()
