@@ -178,6 +178,16 @@ def _deflate(H, hi, stagnant, anorm):
     small = (
         (jnp.abs(sub) <= tol_local)
         | small_at
+        # Unconditional backward-stable deflation: when BOTH the entry
+        # and its eigenvalue-perturbation cost sit at the eps·‖A‖
+        # roundoff floor, zeroing is free (the Hessenberg reduction
+        # already carries that backward error).  Entries this small but
+        # above the strict local threshold starve the bulge (reflector
+        # degenerates to a sign flip) and stall their block — measured:
+        # a 3e-7 connector at ‖A‖≈5 left a 3×3 tail block unconverged
+        # until the escalating breaker force-split it at 1e-3 cost.
+        | ((jnp.abs(sub) <= eps * anorm[:, None])
+           & (pert <= eps * anorm[:, None]))
         | (
             stalled[:, None]
             # The magnitude gate must escalate along with the
@@ -290,6 +300,71 @@ def _shifts_per_block(H, end, hi, stagnant):
     return s, p
 
 
+def _bulge_starts(H, start, end, s_arr, p_arr):
+    """Deepest safe bulge-start per position (dlahqr's 'two consecutive
+    small subdiagonals' test, Wilkinson's trick): starting the chase at
+    ``l > start`` is loss-free when the bulge column it would create
+    dominates what leaks through H[l, l−1],
+
+        |H[l,l−1]|·(|y|+|z|) ≤ eps·|x|·(|H[l−1,l−1]|+|H[l,l]|+|H[l+1,l+1]|).
+
+    Without it, windows whose interior has near-converged (small but
+    not deflatable) subdiagonals wash out the shift as the bulge passes
+    through — spectra symmetric about zero settle into alternating ±λ
+    2×2 blocks with 1e-4-ish connectors and converge only linearly
+    (measured: 47 stagnant sweeps at n=128, after which the escalating
+    stall-breaker force-zeroed unconverged entries: eigenvalue errors
+    1e-2 on a well-conditioned distinct spectrum)."""
+    B, npad, _ = H.shape
+    dtype = H.dtype
+    eps = jnp.finfo(dtype).eps
+    idx = jnp.arange(npad)
+
+    diag = jnp.diagonal(H, axis1=1, axis2=2)
+    sub = jnp.concatenate(
+        [jnp.diagonal(H, offset=-1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    sup = jnp.concatenate(
+        [jnp.diagonal(H, offset=1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    a00 = diag
+    a10 = sub
+    a01 = sup
+    a11 = jnp.concatenate(
+        [diag[:, 1:], jnp.zeros((B, 1), dtype)], axis=1
+    )
+    a21 = jnp.concatenate(
+        [sub[:, 1:], jnp.zeros((B, 1), dtype)], axis=1
+    )
+    x = a00 * a00 + a01 * a10 - s_arr * a00 + p_arr
+    y = a10 * (a00 + a11 - s_arr)
+    z = a10 * a21
+    sub_m1 = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), sub[:, :-1]], axis=1
+    )                                         # H[l, l−1]
+    diag_m1 = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype), diag[:, :-1]], axis=1
+    )
+    ok = (
+        jnp.abs(sub_m1) * (jnp.abs(y) + jnp.abs(z))
+        <= eps * jnp.abs(x)
+        * (jnp.abs(diag_m1) + jnp.abs(a00) + jnp.abs(a11))
+    )
+    valid = ok & (idx[None, :] >= start + 1) & (idx[None, :] <= end - 2)
+    cand = jnp.where(valid, idx[None, :], 0)
+    runmax = lax.associative_scan(jnp.maximum, cand, axis=1)
+    # The start must be CONSTANT per block (one bulge per block): take
+    # the deepest candidate over the WHOLE block — the prefix max read
+    # at the block's last interior position.  A per-position prefix max
+    # would make every candidate satisfy k == start[k] and spawn a new
+    # bulge mid-chase, clobbering the one in flight.
+    at_end = jnp.clip(end - 2, 0, npad - 1)
+    blockmax = jnp.take_along_axis(runmax, at_end, axis=1)
+    return jnp.maximum(start, blockmax)
+
+
 def _one_sweep(H, hi, stagnant, anorm, Q=None):
     """Deflate, pick per-block shifts, run one multibulge Francis sweep
     (one bulge per unreduced diagonal block, all chased in one scan).
@@ -305,6 +380,7 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None):
     H, hi, stagnant = _deflate(H, hi, stagnant, anorm)
     start, end = _block_bounds(H, hi)
     s_arr, p_arr = _shifts_per_block(H, end, hi, stagnant)
+    start = _bulge_starts(H, start, end, s_arr, p_arr)
     # NB: lax.scan, NOT lax.fori_loop — on the TPU backend the
     # fori_loop lowering of this body miscompiles (the loop produces
     # O(1)-different results from the identical body run stepwise or

@@ -143,6 +143,9 @@ class TestRealSchur:
         s_arr, p_arr = jax.jit(schur._shifts_per_block)(
             Hs, end, his, sts
         )
+        start = jax.jit(schur._bulge_starts)(
+            Hs, start, end, s_arr, p_arr
+        )
         npad = Hs.shape[1]
         Qd = jnp.zeros((Hs.shape[0], 1, 1), Hs.dtype)
         carry = (Hs, Qd, start, end, s_arr, p_arr)
