@@ -116,7 +116,7 @@ def kernel_section() -> None:
     log(r"\textbf{Báze jádra:}    $%s$", ker)
 
 
-def device_section() -> None:
+def device_section(seed: int = 2026) -> None:
     """Run the TPU numeric pipeline on a small batch and replay its
     device-recorded elimination events into the document."""
     try:
@@ -129,10 +129,10 @@ def device_section() -> None:
 
     log(r"\section{Dávkový TPU řešič}")
     replay_solve_trace()
-    _device_spectral_subsection()
+    _device_spectral_subsection(seed)
 
 
-def _device_spectral_subsection() -> None:
+def _device_spectral_subsection(seed: int) -> None:
     """Batched spectral report (eigenvalues, multiplicities,
     diagonalizability) for a generated device batch, summarized as a
     LaTeX table — the device-scale counterpart of the eigenvalue and
@@ -146,7 +146,7 @@ def _device_spectral_subsection() -> None:
     log(r"\subsection*{Spektrální rozklad dávky}")
     eigs = [4.0, 1.0, 1.0, -2.0]
     batch = diagonalizable_batch(
-        jax.random.PRNGKey(2026), 4, eigs, transform="orthogonal"
+        jax.random.PRNGKey(seed), 4, eigs, transform="orthogonal"
     )
     rep = spectral_pipeline(batch, tol=1e-2)
     lam = np.asarray(rep.eig_real)
@@ -215,7 +215,7 @@ def main(argv=None) -> None:
     for section in SECTIONS:
         section()
     if args.device:
-        device_section()
+        device_section(args.seed)
 
     with open(args.output, "w", encoding="utf-8") as f:
         f.write("\n".join(global_logger.accum))

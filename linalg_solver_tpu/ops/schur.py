@@ -455,7 +455,15 @@ def _chase_step(k, carry, with_q: bool = False):
         rows = lax.dynamic_slice(H, (0, k, 0), (B, 3, npad))
         vr = jnp.einsum("bi,bin->bn", v, rows, precision=_HIGH)
         rows = rows - beta[:, None, None] * v[:, :, None] * vr[:, None, :]
-        chasing = active & (k > lo)
+        # Zero the bulge tail / start leak in column k−1 on EVERY active
+        # step (not just chasing): a create at a DEEPENED bulge start
+        # (k > the block's true start) leaks −β·v·(v₀·H[k, k−1]) into
+        # rows k+1, k+2 of column k−1 — dlahqr discards exactly this by
+        # starting the left update at column k.  At a true block start
+        # H[k, k−1] = 0 so the zeroing is a no-op; k = 0 is excluded
+        # because the column slice clamps (km1 = 0 = column k itself,
+        # whose subdiagonal must survive).
+        chasing = active & (k > 0)
         colpos = lax.broadcasted_iota(jnp.int32, (1, 1, npad), 2)
         tailmask = (
             chasing[:, None, None]
@@ -482,7 +490,7 @@ def _chase_step(k, carry, with_q: bool = False):
         return H, Q, start, end, s_arr, p_arr
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("iters",))
 def balance_batched(a: jax.Array, iters: int = 6) -> jax.Array:
     """Osborne/gebal-style balancing: diagonal similarity D⁻¹AD with
     power-of-two factors equalizing row/column 1-norms.
@@ -656,6 +664,10 @@ def real_schur_vectors(
     B, n, _ = a.shape
     if n <= 2:
         Hh, Qh = _hessenberg_impl(a, with_q=True)
+        # A 2×2 with real eigenvalues is one unsplit block — it still
+        # needs the dlanv2-style standardization or eigenvector
+        # extraction marks both columns invalid.
+        Hh, Qh = _standardize_real_blocks(Hh, Qh)
         return SchurVectors(
             Hh, Qh, jnp.ones((B, n), Hh.dtype),
             jnp.ones((B,), bool), jnp.zeros((), jnp.int32),
@@ -795,10 +807,7 @@ def _trevc_real(T: jax.Array):
 
         trow_j = lax.dynamic_slice(T, (0, j, 0), (B, 1, n))[:, 0, :]
         jp1 = jnp.minimum(j + 1, n - 1)
-        trow_j1 = lax.dynamic_slice(T, (0, 0, 0), (B, n, n))
-        trow_j1 = jnp.take_along_axis(
-            trow_j1, jnp.full((B, 1, 1), 0, jnp.int32) + jp1, axis=1
-        )[:, 0, :]
+        trow_j1 = lax.dynamic_slice(T, (0, jp1, 0), (B, 1, n))[:, 0, :]
         # Residuals against rows strictly right of the (1×1 or 2×2)
         # block.  For the scalar case Y[j+1] of valid columns is final;
         # for the 2×2 case Y[j+1] is still zero there (the bottom step
@@ -846,7 +855,13 @@ def _trevc_real(T: jax.Array):
         Y = lax.dynamic_update_slice(Y, new_j1[:, None, :], (0, jp1, 0))
         return Y, None
 
-    Y, _ = lax.scan(row_step, Y0, jnp.arange(max(n - 1, 1)))
+    # n = 1 has no rows to substitute; running the scan anyway executes
+    # row_step at j = −1 whose clamped writes corrupt Y[0, 0] (a 1×1
+    # zero matrix then yields a NaN "eigenvector" with valid=True).
+    if n > 1:
+        Y, _ = lax.scan(row_step, Y0, jnp.arange(n - 1))
+    else:
+        Y = Y0
     Y = Y * valid[:, None, :]
     norms = jnp.sqrt(jnp.sum(Y * Y, axis=1))
     Y = Y / jnp.maximum(norms, 1e-30)[:, None, :]

@@ -297,3 +297,48 @@ class TestEigRealBatched:
         A2 = (np.linalg.inv(D) @ A @ D)[None].astype(np.float32)
         res = schur.eig_real_batched(jnp.asarray(A2))
         assert self._check(A2, res) < 1e-3
+
+
+class TestSmallSizesAndKwargs:
+    """Review regressions: tiny sizes and keyword calls."""
+
+    def test_eig_2x2_real(self):
+        A = np.array([[[0.0, 1.0], [1.0, 0.0]]], np.float32)
+        res = schur.eig_real_batched(jnp.asarray(A))
+        assert np.asarray(res.valid).sum() == 2
+        V = np.asarray(res.vectors, np.float64)[0]
+        re = np.asarray(res.real)[0]
+        for i in range(2):
+            r = np.abs(A[0].astype(np.float64) @ V[:, i] - re[i] * V[:, i])
+            assert r.max() < 1e-5
+
+    def test_eig_1x1_zero(self):
+        res = schur.eig_real_batched(jnp.zeros((1, 1, 1), jnp.float32))
+        assert bool(np.asarray(res.valid)[0, 0])
+        assert np.isfinite(np.asarray(res.vectors)).all()
+        np.testing.assert_allclose(np.asarray(res.vectors)[0], [[1.0]])
+
+    def test_balance_kwarg(self):
+        A = jnp.asarray(gaussian(2, 8, seed=1))
+        out = schur.balance_batched(A, iters=8)
+        assert out.shape == A.shape
+
+    def test_T_stays_hessenberg_with_deep_starts(self):
+        """The deepened bulge start must not leave fill-in below the
+        first subdiagonal (the create-step leak through H[l, l-1])."""
+        rng = np.random.RandomState(0)
+        n = 64
+        lam = np.stack([
+            rng.permutation(np.linspace(-8, 8, n)) for _ in range(3)
+        ]).astype(np.float32)
+        P = np.eye(n) + (0.15 / np.sqrt(n)) * rng.randn(3, n, n).astype(
+            np.float32
+        )
+        A = (
+            np.linalg.inv(P.astype(np.float64))
+            @ np.stack([np.diag(v) for v in lam])
+            @ P.astype(np.float64)
+        ).astype(np.float32)
+        res = schur.real_schur(jnp.asarray(A))
+        T = np.asarray(res.T)
+        assert np.abs(np.tril(T, -2)).max() == 0.0
