@@ -6,8 +6,12 @@
 - ``pallas`` — blocked high-throughput kernels (LU, Gauss–Jordan)
 - ``eigen`` — characteristic polynomial (Faddeev–LeVerrier), QR-iteration
   eigenvalues, eigenspaces, diagonalization
-- ``schur`` — Hessenberg + Francis double-shift QR real Schur form (the
-  production eigensolver: deflating, convergence-flagged)
+- ``schur`` — Hessenberg + multibulge Francis QR real Schur form (the
+  production eigensolver: deflating, convergence-flagged), Schur
+  vectors, and strevc-style O(n³) eigenvectors
+- ``rref_blocked`` — rank-revealing blocked Gauss–Jordan for N beyond
+  the VMEM kernel tile
+- ``orth`` — batched masked CholeskyQR orthonormalization
 - ``generate`` — structured random batch generation on device
 """
 
@@ -47,16 +51,29 @@ from .lu import (
     solve_lu_batched,
 )
 from .schur import (
+    EigResult,
     SchurEigvals,
     SchurResult,
+    SchurVectors,
+    eig_real_batched,
     eigvals_schur,
     hessenberg,
     real_schur,
+    real_schur_vectors,
+)
+from .rref_blocked import (
+    BlockedRREF,
+    rank_blocked_batched,
+    rref_blocked,
+    solve_affine_blocked_batched,
 )
 
 __all__ = [
-    "SchurResult", "SchurEigvals",
+    "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
     "hessenberg", "real_schur", "eigvals_schur",
+    "real_schur_vectors", "eig_real_batched",
+    "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
+    "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
     "EV_SWAP", "EV_NORM", "EV_ELIM_BELOW", "EV_ELIM_ABOVE", "EVENT_NAMES",
     "BatchedAffineSubspace", "InverseResult",
