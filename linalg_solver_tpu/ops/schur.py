@@ -95,6 +95,25 @@ class SchurResult(NamedTuple):
     sweeps: jax.Array     # [] i32 — sweeps actually executed
 
 
+def _tridiag_parts(M: jax.Array):
+    """``(diag, sub, sup)`` of a batched square matrix, with ``sub`` and
+    ``sup`` zero-padded to the diagonal's length (``sub[j] = M[j+1, j]``,
+    ``sup[j] = M[j, j+1]``) — the access pattern every stage of the
+    sweep shares."""
+    B = M.shape[0]
+    dtype = M.dtype
+    diag = jnp.diagonal(M, axis1=1, axis2=2)
+    sub = jnp.concatenate(
+        [jnp.diagonal(M, offset=-1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    sup = jnp.concatenate(
+        [jnp.diagonal(M, offset=1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    return diag, sub, sup
+
+
 def _take1(M: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
     """``M[b, i[b], j[b]]`` for batched indices (clamped)."""
     n = M.shape[-1]
@@ -266,15 +285,7 @@ def _shifts_per_block(H, end, hi, stagnant):
     10 stagnant sweeps (bottom block only — stagnation is tracked on the
     global window)."""
     B, npad, _ = H.shape
-    diag = jnp.diagonal(H, axis1=1, axis2=2)             # [B, npad]
-    sub = jnp.concatenate(
-        [jnp.diagonal(H, offset=-1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), H.dtype)], axis=1,
-    )                                                    # sub[j] = H[j+1, j]
-    sup = jnp.concatenate(
-        [jnp.diagonal(H, offset=1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), H.dtype)], axis=1,
-    )                                                    # sup[j] = H[j, j+1]
+    diag, sub, sup = _tridiag_parts(H)
 
     e = jnp.clip(end, 1, npad - 1)
 
@@ -320,15 +331,7 @@ def _bulge_starts(H, start, end, s_arr, p_arr):
     eps = jnp.finfo(dtype).eps
     idx = jnp.arange(npad)
 
-    diag = jnp.diagonal(H, axis1=1, axis2=2)
-    sub = jnp.concatenate(
-        [jnp.diagonal(H, offset=-1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), dtype)], axis=1,
-    )
-    sup = jnp.concatenate(
-        [jnp.diagonal(H, offset=1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), dtype)], axis=1,
-    )
+    diag, sub, sup = _tridiag_parts(H)
     a00 = diag
     a10 = sub
     a01 = sup
@@ -390,9 +393,7 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None):
         (H, Q, start, end, s_arr, p_arr),
         jnp.arange(max(n - 1, 1)),
     )
-    if with_q:
-        return H, hi, stagnant, Q
-    return H, hi, stagnant
+    return H, hi, stagnant, Q
 
 
 def _chase_step(k, carry, with_q: bool = False):
@@ -570,10 +571,9 @@ def _schur_sweeps(state, chunk: int, with_q: bool = False):
 
     def body(st):
         H, Q, hi, stagnant, anorm, it = st
-        if with_q:
-            H, hi, stagnant, Q = _one_sweep(H, hi, stagnant, anorm, Q)
-        else:
-            H, hi, stagnant = _one_sweep(H, hi, stagnant, anorm)
+        H, hi, stagnant, Q = _one_sweep(
+            H, hi, stagnant, anorm, Q if with_q else None
+        )
         return H, Q, hi, stagnant, anorm, it + 1
 
     H, Q, hi, stagnant, anorm = state
@@ -767,11 +767,7 @@ def _trevc_real(T: jax.Array):
     eps = jnp.finfo(dtype).eps
     idx = jnp.arange(n)
 
-    diag = jnp.diagonal(T, axis1=1, axis2=2)                # [B, n]
-    sub = jnp.concatenate(
-        [jnp.diagonal(T, offset=-1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), dtype)], axis=1,
-    )                                                       # sub[i] = T[i+1,i]
+    diag, sub, _ = _tridiag_parts(T)
     sub_prev = jnp.concatenate(
         [jnp.zeros((B, 1), dtype), sub[:, :-1]], axis=1
     )
@@ -918,15 +914,7 @@ def _standardize_real_blocks(T: jax.Array, Q: jax.Array):
     dtype = T.dtype
     idx = jnp.arange(n)
 
-    diag = jnp.diagonal(T, axis1=1, axis2=2)
-    sub = jnp.concatenate(
-        [jnp.diagonal(T, offset=-1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), dtype)], axis=1,
-    )
-    sup = jnp.concatenate(
-        [jnp.diagonal(T, offset=1, axis1=1, axis2=2),
-         jnp.zeros((B, 1), dtype)], axis=1,
-    )
+    diag, sub, sup = _tridiag_parts(T)
     sub_prev = jnp.concatenate(
         [jnp.zeros((B, 1), dtype), sub[:, :-1]], axis=1
     )

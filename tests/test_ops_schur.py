@@ -135,7 +135,7 @@ class TestRealSchur:
         H, _Q, hi, stag, anorm, _scale = schur._schur_init(
             jnp.asarray(A)
         )
-        H2, hi2, st2 = jax.jit(schur._one_sweep)(H, hi, stag, anorm)
+        H2, hi2, st2, _ = jax.jit(schur._one_sweep)(H, hi, stag, anorm)
 
         # replicate the sweep stepwise
         Hs, his, sts = jax.jit(schur._deflate)(H, hi, stag, anorm)
