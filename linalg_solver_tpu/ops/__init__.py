@@ -51,10 +51,12 @@ from .lu import (
     solve_lu_batched,
 )
 from .schur import (
+    EigFullResult,
     EigResult,
     SchurEigvals,
     SchurResult,
     SchurVectors,
+    eig_batched,
     eig_real_batched,
     eigvals_schur,
     hessenberg,
@@ -72,6 +74,7 @@ __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
     "hessenberg", "real_schur", "eigvals_schur",
     "real_schur_vectors", "eig_real_batched",
+    "EigFullResult", "eig_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",

@@ -748,48 +748,68 @@ def _eigvals_from_T(T: jax.Array):
 
 @jax.jit
 @f32_matmuls
-def _trevc_real(T: jax.Array):
-    """Eigenvectors of a quasi-upper-triangular ``T`` for its REAL 1×1
-    blocks, by back-substitution (LAPACK strevc scheme): for eigenvalue
-    λᵢ = T[i,i], solve the upper-triangular system rows i−1..0 of
-    ``(T − λᵢ I) y = 0`` with ``y[i] = 1``, safeguarding small
-    denominators at ``smin = eps·‖T‖`` (repeated eigenvalues give
-    near-dependent columns — callers wanting eigenspaces of clustered
-    spectra should use the nullspace path instead).
+def _trevc_full(T: jax.Array):
+    """Eigenvectors of a quasi-upper-triangular ``T`` for the FULL
+    spectrum, by back-substitution in re/im arithmetic (LAPACK strevc):
+    for eigenvalue λᵢ (T[i,i] for 1×1 blocks; m ± b·i from 2×2 block
+    quadratics), solve ``(T − λᵢ I) y = 0`` rows bottom-up with small
+    denominators safeguarded at ``smin = eps·‖T‖``.  A complex pair's
+    FIRST column carries the eigenvector of λ = m + b·i (b > 0); the
+    second column is its conjugate, filled at the end.  Repeated
+    eigenvalues give near-dependent columns — eigenspaces of clustered
+    spectra belong to the nullspace path.
 
     All n columns are solved simultaneously: one scan over rows j from
-    the bottom, each step a [B, n] masked matvec — O(n³) total.
+    the bottom, each step a few [B, n] masked matvecs — O(n³) total.
 
-    Returns ``(Y [B, n, n], valid [B, n])``; invalid columns (members of
-    2×2 complex blocks) are zero."""
+    Returns ``(Y_re, Y_im [B, n, n], valid [B, n])``; columns of
+    improper structure (consecutive nonzero subdiagonals) are zeroed
+    and flagged invalid."""
     B, n, _ = T.shape
     dtype = T.dtype
     eps = jnp.finfo(dtype).eps
     idx = jnp.arange(n)
 
-    diag, sub, _ = _tridiag_parts(T)
+    diag, sub, sup = _tridiag_parts(T)
     sub_prev = jnp.concatenate(
         [jnp.zeros((B, 1), dtype), sub[:, :-1]], axis=1
     )
-    valid = (sub == 0) & (sub_prev == 0)                    # 1×1 real blocks
+    sub_next = jnp.concatenate(
+        [sub[:, 1:], jnp.zeros((B, 1), dtype)], axis=1
+    )
+    lam_re, lam_im = _eigvals_from_T(T)
+    cfirst = lam_im > 0                         # top column of a pair
+    csecond = lam_im < 0
+    # Valid: isolated 1×1 real blocks, or isolated 2×2 complex blocks.
+    valid_real = (lam_im == 0) & (sub == 0) & (sub_prev == 0)
+    valid_first = cfirst & (sub != 0) & (sub_prev == 0) & (sub_next == 0)
+    valid_second = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), valid_first[:, :-1]], axis=1
+    ) & csecond
+    valid = valid_real | valid_first | valid_second
     smin = eps * jnp.max(jnp.abs(T), axis=(1, 2))           # [B]
-    lam = diag
 
-    Y0 = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))
+    # Init: identity columns for 1×1 blocks; for a pair's first column
+    # p the in-block eigenvector [t12, (m − t11) + b·i] at rows (p, p+1)
+    # (t12 ≠ 0 whenever the block is complex: b² = −¼(t11−t22)² − t12t21
+    # > 0 forces t12·t21 < 0).
+    eyeM = jnp.eye(n, dtype=dtype)
+    submask = (idx[:, None] == idx[None, :] + 1).astype(dtype)
+    cf = cfirst.astype(dtype)
+    diag_vals = jnp.where(cfirst, sup, 1.0)                  # t12 or 1
+    Y0_re = (
+        eyeM[None] * diag_vals[:, None, :]
+        + submask[None] * (cf * (lam_re - diag))[:, None, :]
+    )
+    Y0_im = submask[None] * (cf * lam_im)[:, None, :]
 
     def take_j(v, j):
         return jnp.take_along_axis(
             v, jnp.full((B, 1), 0, jnp.int32) + j, axis=1
         )[:, 0]
 
-    def safeguard(x, floor):
-        return jnp.where(
-            jnp.abs(x) < floor,
-            jnp.where(x < 0, -floor, floor),
-            x,
-        )
-
-    def row_step(Y, j):
+    def row_step(carry, j):
+        Y_re, Y_im = carry
         j = n - 2 - j                                       # descending
         # Block structure at row j: T[j+1, j] ≠ 0 makes rows (j, j+1) a
         # 2×2 diagonal block — their equations couple and must be
@@ -805,63 +825,114 @@ def _trevc_real(T: jax.Array):
         jp1 = jnp.minimum(j + 1, n - 1)
         trow_j1 = lax.dynamic_slice(T, (0, jp1, 0), (B, 1, n))[:, 0, :]
         # Residuals against rows strictly right of the (1×1 or 2×2)
-        # block.  For the scalar case Y[j+1] of valid columns is final;
-        # for the 2×2 case Y[j+1] is still zero there (the bottom step
-        # skipped), so masking k>j is correct for BOTH.
-        r1 = jnp.einsum(
-            "bk,bki->bi", trow_j * (idx[None, :] > j), Y,
-            precision=_HIGH,
-        )
-        r2 = jnp.einsum(
-            "bk,bki->bi", trow_j1 * (idx[None, :] > jp1), Y,
-            precision=_HIGH,
-        )
+        # block (the pair-init rows (p, p+1) of column p sit at k ≤ p+1
+        # of rows j < p, so they are correctly included).
+        tj = trow_j * (idx[None, :] > j)
+        tj1 = trow_j1 * (idx[None, :] > jp1)
+        r1_re = jnp.einsum("bk,bki->bi", tj, Y_re, precision=_HIGH)
+        r1_im = jnp.einsum("bk,bki->bi", tj, Y_im, precision=_HIGH)
+        r2_re = jnp.einsum("bk,bki->bi", tj1, Y_re, precision=_HIGH)
+        r2_im = jnp.einsum("bk,bki->bi", tj1, Y_im, precision=_HIGH)
 
-        a11 = take_j(diag, j)[:, None] - lam                # [B, n]
-        # Scalar (1×1) update.
-        denom = safeguard(a11, smin[:, None])
-        yrow_scalar = -r1 / denom
+        # Scalar (1×1) update: y = −r / d with d = (T[j,j] − λ).  Small
+        # denominators are REPLACED by ±smin (not merely magnitude-
+        # floored in the divisor: −r·d/max(|d|², smin²) collapses to 0
+        # at d = 0, where a repeated eigenvalue wants a large component
+        # that normalization absorbs).
+        d_re = take_j(diag, j)[:, None] - lam_re            # [B, n]
+        d_im = -lam_im
+        sm = smin[:, None]
+        dsmall = d_re * d_re + d_im * d_im < sm * sm
+        d_re = jnp.where(
+            dsmall, jnp.where(d_re < 0, -sm, sm), d_re
+        )
+        d_im = jnp.where(dsmall, 0.0, d_im)
+        den2 = d_re * d_re + d_im * d_im
+        ys_re = -(r1_re * d_re + r1_im * d_im) / den2
+        ys_im = -(r1_im * d_re - r1_re * d_im) / den2
 
-        # Joint (2×2) update via Cramer with a safeguarded determinant.
+        # Joint (2×2) update via Cramer (complex): the block solves
+        #   [a11 a12; a21 a22] [y_top; y_bot] = [−r1; −r2]
+        # with a12, a21 real and a11, a22 complex.
         a12 = take_j(trow_j, jp1)[:, None]                  # T[j, j+1]
         a21 = take_j(sub, j)[:, None]                       # T[j+1, j]
-        a22 = take_j(diag, jp1)[:, None] - lam
-        det = safeguard(
-            a11 * a22 - a12 * a21, (smin * smin)[:, None]
+        e_re = take_j(diag, jp1)[:, None] - lam_re
+        e_im = -lam_im
+        det_re = d_re * e_re - d_im * e_im - a12 * a21
+        det_im = d_re * e_im + d_im * e_re
+        cmax = jnp.maximum(
+            jnp.maximum(jnp.abs(d_re) + jnp.abs(d_im),
+                        jnp.abs(e_re) + jnp.abs(e_im)),
+            jnp.maximum(jnp.abs(a12), jnp.abs(a21)),
         )
-        y_top = (-r1 * a22 + r2 * a12) / det
-        y_bot = (-r2 * a11 + r1 * a21) / det
+        dfloor = sm * jnp.maximum(cmax, sm)
+        det_small = (
+            det_re * det_re + det_im * det_im < dfloor * dfloor
+        )
+        det_re = jnp.where(
+            det_small, jnp.where(det_re < 0, -dfloor, dfloor), det_re
+        )
+        det_im = jnp.where(det_small, 0.0, det_im)
+        det2 = det_re * det_re + det_im * det_im
+        # num_top = −r1·a22 + a12·r2 ; num_bot = −r2·a11 + a21·r1
+        nt_re = -(r1_re * e_re - r1_im * e_im) + a12 * r2_re
+        nt_im = -(r1_re * e_im + r1_im * e_re) + a12 * r2_im
+        nb_re = -(r2_re * d_re - r2_im * d_im) + a21 * r1_re
+        nb_im = -(r2_re * d_im + r2_im * d_re) + a21 * r1_im
+        yt_re = (nt_re * det_re + nt_im * det_im) / det2
+        yt_im = (nt_im * det_re - nt_re * det_im) / det2
+        yb_re = (nb_re * det_re + nb_im * det_im) / det2
+        yb_im = (nb_im * det_re - nb_re * det_im) / det2
 
         right_of = (idx[None, :] > jp1) | (
             (idx[None, :] > j) & ~is_top[:, None]
         )
-        new_j = jnp.where(
-            right_of,
-            jnp.where(is_top[:, None], y_top, yrow_scalar),
-            0.0,
-        ) + (idx[None, :] == j).astype(dtype)
-        old_j = lax.dynamic_slice(Y, (0, j, 0), (B, 1, n))[:, 0, :]
-        new_j = jnp.where(is_bottom[:, None], old_j, new_j)
-        Y = lax.dynamic_update_slice(Y, new_j[:, None, :], (0, j, 0))
 
-        old_j1 = lax.dynamic_slice(Y, (0, jp1, 0), (B, 1, n))[:, 0, :]
-        new_j1 = jnp.where(
-            is_top[:, None] & (idx[None, :] > jp1), y_bot, old_j1
-        )
-        Y = lax.dynamic_update_slice(Y, new_j1[:, None, :], (0, jp1, 0))
-        return Y, None
+        def put(Y, row, new_vals, mask, skip):
+            old = lax.dynamic_slice(Y, (0, row, 0), (B, 1, n))[:, 0, :]
+            new = jnp.where(mask & ~skip[:, None], new_vals, old)
+            return lax.dynamic_update_slice(
+                Y, new[:, None, :], (0, row, 0)
+            )
+
+        top_re = jnp.where(is_top[:, None], yt_re, ys_re)
+        top_im = jnp.where(is_top[:, None], yt_im, ys_im)
+        Y_re = put(Y_re, j, top_re, right_of, is_bottom)
+        Y_im = put(Y_im, j, top_im, right_of, is_bottom)
+        bot_mask = is_top[:, None] & (idx[None, :] > jp1)
+        never = jnp.zeros((B,), bool)
+        Y_re = put(Y_re, jp1, yb_re, bot_mask, never)
+        Y_im = put(Y_im, jp1, yb_im, bot_mask, never)
+        return (Y_re, Y_im), None
 
     # n = 1 has no rows to substitute; running the scan anyway executes
     # row_step at j = −1 whose clamped writes corrupt Y[0, 0] (a 1×1
     # zero matrix then yields a NaN "eigenvector" with valid=True).
     if n > 1:
-        Y, _ = lax.scan(row_step, Y0, jnp.arange(n - 1))
+        (Y_re, Y_im), _ = lax.scan(
+            row_step, (Y0_re, Y0_im), jnp.arange(n - 1)
+        )
     else:
-        Y = Y0
-    Y = Y * valid[:, None, :]
-    norms = jnp.sqrt(jnp.sum(Y * Y, axis=1))
-    Y = Y / jnp.maximum(norms, 1e-30)[:, None, :]
-    return Y, valid
+        Y_re, Y_im = Y0_re, Y0_im
+    # Second pair columns = conjugate of the first.
+    cs = csecond[:, None, :]
+    Y_re = jnp.where(cs, jnp.roll(Y_re, 1, axis=2), Y_re)
+    Y_im = jnp.where(cs, -jnp.roll(Y_im, 1, axis=2), Y_im)
+    Y_re = Y_re * valid[:, None, :]
+    Y_im = Y_im * valid[:, None, :]
+    norms = jnp.sqrt(jnp.sum(Y_re * Y_re + Y_im * Y_im, axis=1))
+    norms = jnp.maximum(norms, 1e-30)[:, None, :]
+    return Y_re / norms, Y_im / norms, valid
+
+
+@jax.jit
+def _trevc_real(T: jax.Array):
+    """Real-spectrum view of ``_trevc_full``: eigenvectors for the 1×1
+    real blocks only, complex-pair columns zeroed and flagged invalid."""
+    Y_re, _, valid = _trevc_full(T)
+    lam_re, lam_im = _eigvals_from_T(T)
+    valid_real = valid & (lam_im == 0)
+    return Y_re * valid_real[:, None, :], valid_real
 
 
 class EigResult(NamedTuple):
@@ -975,3 +1046,49 @@ def _standardize_real_blocks(T: jax.Array, Q: jax.Array):
         jnp.tril(jnp.ones((n, n), bool), -2)[None], 0.0, T2
     )
     return T2, Q2
+
+
+class EigFullResult(NamedTuple):
+    """Full eigendecomposition (eigenvalues in Schur diagonal order, NOT
+    sorted): complex right eigenvectors as (re, im) pairs.  A conjugate
+    pair's second column holds the conjugate eigenvector."""
+
+    real: jax.Array          # [B, n]
+    imag: jax.Array          # [B, n]
+    vectors_real: jax.Array  # [B, n, n]
+    vectors_imag: jax.Array  # [B, n, n]
+    valid: jax.Array         # [B, n]
+    converged: jax.Array     # [B]
+
+
+def eig_batched(
+    a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
+    balance: bool = True,
+) -> EigFullResult:
+    """Complete right eigendecomposition of a general real batch at
+    O(n³) per matrix: real Schur with accumulated Q, then full strevc
+    back-substitution in re/im arithmetic (``V = D⁻¹ Q Y`` undoes the
+    balance similarity).  Complex-conjugate pairs get proper complex
+    eigenvectors.  For clustered/repeated eigenvalues prefer the
+    nullspace path (``ops.eigen.spectral_decompose_batched``)."""
+    sv = real_schur_vectors(
+        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance
+    )
+    Y_re, Y_im, valid = _trevc_full(sv.T)
+    re, im = _eigvals_from_T(sv.T)
+    with jax.default_matmul_precision("float32"):
+        V_re = jnp.einsum(
+            "bij,bjk->bik", sv.Q, Y_re, precision=_HIGH
+        )
+        V_im = jnp.einsum(
+            "bij,bjk->bik", sv.Q, Y_im, precision=_HIGH
+        )
+    V_re = V_re / sv.scale[:, :, None]
+    V_im = V_im / sv.scale[:, :, None]
+    norms = jnp.sqrt(jnp.sum(V_re * V_re + V_im * V_im, axis=1))
+    norms = jnp.maximum(norms, 1e-30)[:, None, :]
+    vmask = valid[:, None, :]
+    return EigFullResult(
+        re, im, V_re / norms * vmask, V_im / norms * vmask,
+        valid, sv.converged,
+    )

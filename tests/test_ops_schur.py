@@ -342,3 +342,61 @@ class TestSmallSizesAndKwargs:
         res = schur.real_schur(jnp.asarray(A))
         T = np.asarray(res.T)
         assert np.abs(np.tril(T, -2)).max() == 0.0
+
+
+class TestEigBatchedComplex:
+    """Full complex eigendecomposition via strevc in re/im arithmetic."""
+
+    def _check_full(self, A):
+        res = schur.eig_batched(jnp.asarray(A))
+        vd = np.asarray(res.valid)
+        V = (
+            np.asarray(res.vectors_real, np.float64)
+            + 1j * np.asarray(res.vectors_imag, np.float64)
+        )
+        lam = (
+            np.asarray(res.real, np.float64)
+            + 1j * np.asarray(res.imag, np.float64)
+        )
+        worst = 0.0
+        for b in range(A.shape[0]):
+            for i in np.nonzero(vd[b])[0]:
+                v = V[b][:, i]
+                r = np.abs(
+                    A[b].astype(np.float64) @ v - lam[b][i] * v
+                ).max()
+                worst = max(worst, r / np.abs(A[b]).max())
+            # Nearest-neighbor spectrum match (lexicographic complex
+            # sorting scrambles order among eigenvalues whose real
+            # parts differ only by roundoff).
+            want = np.linalg.eigvals(A[b].astype(np.float64))
+            for lv in lam[b]:
+                assert np.abs(want - lv).min() < 2e-3, (b, lv)
+        return vd, worst
+
+    def test_gaussian_full_spectrum(self):
+        A = gaussian(4, 24, seed=0)
+        vd, worst = self._check_full(A)
+        assert (vd.sum(axis=1) == 24).all()
+        assert worst < 1e-4, worst
+
+    def test_skew_all_complex(self):
+        rng = np.random.RandomState(5)
+        S = rng.randn(2, 12, 12).astype(np.float32)
+        A = S - np.transpose(S, (0, 2, 1))
+        vd, worst = self._check_full(A)
+        # all eigenvalues imaginary → every column from a complex pair
+        assert (vd.sum(axis=1) >= 10).all()
+        assert worst < 1e-4, worst
+
+    def test_conjugate_pair_columns(self):
+        A = np.array([[[0.0, -2.0], [2.0, 0.0]]], np.float32)
+        res = schur.eig_batched(jnp.asarray(A))
+        assert np.asarray(res.valid).all()
+        im = np.asarray(res.imag)[0]
+        np.testing.assert_allclose(np.sort(im), [-2.0, 2.0], atol=1e-5)
+        Vr = np.asarray(res.vectors_real)[0]
+        Vi = np.asarray(res.vectors_imag)[0]
+        # second column is the conjugate of the first
+        np.testing.assert_allclose(Vr[:, 1], Vr[:, 0], atol=1e-6)
+        np.testing.assert_allclose(Vi[:, 1], -Vi[:, 0], atol=1e-6)
