@@ -400,3 +400,46 @@ class TestEigBatchedComplex:
         # second column is the conjugate of the first
         np.testing.assert_allclose(Vr[:, 1], Vr[:, 0], atol=1e-6)
         np.testing.assert_allclose(Vi[:, 1], -Vi[:, 0], atol=1e-6)
+
+
+class TestShiftedBacksolve:
+    def test_solves_shifted_system(self):
+        rng = np.random.RandomState(0)
+        A = rng.randn(2, 12, 12).astype(np.float32)
+        sv = schur.real_schur_vectors(jnp.asarray(A))
+        T = np.asarray(sv.T, np.float64)
+        lam_re = np.full((2, 12), 0.123, np.float32)
+        lam_im = np.full((2, 12), 0.456, np.float32)
+        R_re = rng.randn(2, 12, 12).astype(np.float32)
+        R_im = rng.randn(2, 12, 12).astype(np.float32)
+        Wr, Wi = schur._shifted_backsolve(
+            sv.T, jnp.asarray(lam_re), jnp.asarray(lam_im),
+            jnp.asarray(R_re), jnp.asarray(R_im),
+        )
+        W = np.asarray(Wr, np.float64) + 1j * np.asarray(Wi, np.float64)
+        R = R_re.astype(np.float64) + 1j * R_im.astype(np.float64)
+        for b in range(2):
+            M = T[b] - (0.123 + 0.456j) * np.eye(12)
+            assert np.abs(M @ W[b] - R[b]).max() < 1e-4
+
+    def test_refine_keeps_results_valid(self):
+        A = gaussian(2, 16, seed=9)
+        r0 = schur.eig_batched(jnp.asarray(A), refine_steps=0)
+        r1 = schur.eig_batched(jnp.asarray(A), refine_steps=1)
+        for res in (r0, r1):
+            vd = np.asarray(res.valid)
+            V = (
+                np.asarray(res.vectors_real, np.float64)
+                + 1j * np.asarray(res.vectors_imag, np.float64)
+            )
+            lam = (
+                np.asarray(res.real, np.float64)
+                + 1j * np.asarray(res.imag, np.float64)
+            )
+            for b in range(2):
+                for i in np.nonzero(vd[b])[0]:
+                    v = V[b][:, i]
+                    r = np.abs(
+                        A[b].astype(np.float64) @ v - lam[b][i] * v
+                    ).max()
+                    assert r / np.abs(A[b]).max() < 1e-4
