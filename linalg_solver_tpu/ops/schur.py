@@ -368,9 +368,116 @@ def _bulge_starts(H, start, end, s_arr, p_arr):
     return jnp.maximum(start, blockmax)
 
 
-def _one_sweep(H, hi, stagnant, anorm, Q=None):
+def _window_shift_pairs(H, hi, start_raw, npairs: int):
+    """Shift pairs for the bottom-block multishift chain (the shift
+    source of LAPACK dlaqr0's small-bulge multishift QR): Ritz values of
+    the trailing ``w×w`` (``w = 2·npairs``) of each lane's active
+    window, from a bounded inner Francis iteration on the gathered
+    ``[B, w, w]`` batch (the windows are already Hessenberg).
+
+    Returns ``(s [B, npairs], p [B, npairs], ok [B, npairs])`` — slot 0
+    is the bottom-most pair.  A slot is ``ok`` only when both of its
+    window positions lie inside the lane's bottom unreduced block
+    (Francis sweeps never move eigenvalues across a zero subdiagonal,
+    so window-diagonal positions outside the block hold eigenvalues of
+    OTHER blocks — dead shifts).  Slot alignment uses dlaqr0's shift
+    shuffle (reference: LAPACK dlaqr0 'shuffle shifts into pairs'):
+    a lone real eigenvalue sitting between conjugate pairs is rotated
+    past the pair below it, so every even-aligned slot is either two
+    reals or one conjugate pair — never a mixed (complex-bulge) slot.
+    Naive positional pairing without the shuffle duplicates straddling
+    pairs and DROPS real eigenvalues (measured: half the shifts dead,
+    stagnation, and the escalating stall-breaker degrading eigenvalue
+    accuracy 60× at n=128)."""
+    B, npad, _ = H.shape
+    n = npad - 1
+    w = 2 * npairs
+    dtype = H.dtype
+    ws = jnp.clip(hi - w + 1, 0, max(n - w, 0))            # [B]
+    Hw = jax.vmap(
+        lambda h, s0: lax.dynamic_slice(h, (s0, s0), (w, w))
+    )(H[:, :n, :n], ws)
+    Hw = jnp.pad(Hw, ((0, 0), (0, 1), (0, 1)))
+    hi_w = jnp.clip(hi - ws, -1, w - 1)
+    anorm_w = jnp.max(jnp.sum(jnp.abs(Hw), axis=2), axis=1)
+    state0 = (
+        Hw, hi_w, jnp.zeros((B,), jnp.int32), jnp.zeros((), jnp.int32)
+    )
+
+    def cond(st):
+        _, hw, _, it = st
+        return (it < 3 * w) & jnp.any(hw >= 1)
+
+    def body(st):
+        Hw, hw, stag, it = st
+        Hw, hw, stag, _ = _one_sweep(Hw, hw, stag, anorm_w)
+        return Hw, hw, stag, it + 1
+
+    Hw, _, _, _ = lax.while_loop(cond, body, state0)
+    re, im = _eigvals_from_T(Hw[:, :w, :w])
+    # First window row that belongs to the lane's bottom block.
+    bs = jnp.take_along_axis(
+        start_raw, jnp.clip(hi, 0, npad - 1)[:, None], axis=1
+    )[:, 0]
+    rel = bs - ws
+    hi_rel = hi - ws                                        # [B]
+    pos = jnp.arange(w)
+    valid = (
+        (pos[None, :] >= rel[:, None])
+        & (pos[None, :] <= hi_rel[:, None])
+    )
+
+    # dlaqr0's shuffle, bottom-up: whenever positions (I, I−1) are not
+    # a conjugate pair (a lone real at I, a pair at I−1, I−2), rotate
+    # the three so the pair lands even-aligned and the real moves up.
+    # Conjugate pairs arrive adjacent (2×2 T blocks), so this single
+    # pass aligns every slot.  Validity flags travel with the entries.
+    for I in range(w - 1, 1, -2):
+        mis = im[:, I] != -im[:, I - 1]
+
+        def rot3(v, mis=mis, I=I):
+            a, b, c = v[:, I], v[:, I - 1], v[:, I - 2]
+            v = v.at[:, I].set(jnp.where(mis, b, a))
+            v = v.at[:, I - 1].set(jnp.where(mis, c, b))
+            return v.at[:, I - 2].set(jnp.where(mis, a, c))
+
+        re, im, valid = rot3(re), rot3(im), rot3(valid)
+
+    blk = hi - bs + 1                                       # [B]
+    s_slots, p_slots, ok_slots = [], [], []
+    for i in range(npairs):
+        a, b = w - 1 - 2 * i, w - 2 - 2 * i
+        ra, ia = re[:, a], im[:, a]
+        rb, ib = re[:, b], im[:, b]
+        s_slots.append(ra + rb)
+        p_slots.append(ra * rb - ia * ib)
+        # Conjugacy guard: a slot the shuffle could not align (possible
+        # only in degenerate tie layouts) is dead, not mixed.  The
+        # block-size gate keeps the total shift count ≤ half the block:
+        # with shifts = ALL of a block's eigenvalues the sweep
+        # polynomial Π(A−σᵢ) vanishes by Cayley–Hamilton, the bulge
+        # direction is roundoff noise, and the block never converges
+        # (measured: a 4×4 tail block frozen for 80+ sweeps until the
+        # stall-breaker force-split it at 0.36 eigenvalue error).
+        ok_slots.append(
+            valid[:, a] & valid[:, b] & (ia == -ib)
+            & (blk >= 4 * (i + 1))
+        )
+    return (
+        jnp.stack(s_slots, axis=1).astype(dtype),
+        jnp.stack(p_slots, axis=1).astype(dtype),
+        jnp.stack(ok_slots, axis=1),
+    )
+
+
+def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1):
     """Deflate, pick per-block shifts, run one multibulge Francis sweep
     (one bulge per unreduced diagonal block, all chased in one scan).
+    With ``npairs > 1`` the BOTTOM block additionally chases a chain of
+    ``npairs`` bulges spaced 3 apart (small-bulge multishift, LAPACK
+    dlaqr5's shape), with shift pairs harvested from the trailing
+    ``2·npairs`` window's Ritz values — each sweep then retires up to
+    ``2·npairs`` eigenvalues of the dominant block instead of 2.
     With ``Q`` (a ``[B, n, npad]`` accumulator) every reflector is also
     applied on the right of Q, so ``H_in = Q_rel H_out Q_relᵀ`` composes
     into the Schur-vector basis."""
@@ -381,33 +488,119 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None):
         Q = jnp.zeros((B, 1, 1), H.dtype)
 
     H, hi, stagnant = _deflate(H, hi, stagnant, anorm)
-    start, end = _block_bounds(H, hi)
+    start_raw, end = _block_bounds(H, hi)
     s_arr, p_arr = _shifts_per_block(H, end, hi, stagnant)
-    start = _bulge_starts(H, start, end, s_arr, p_arr)
+
+    n_chain = max(npairs - 1, 0)
+    chain = (
+        jnp.zeros((B, 1), H.dtype), jnp.zeros((B, 1), H.dtype),
+        jnp.zeros((B, 1), H.dtype), jnp.zeros((B, 1), bool),
+    )
+    if npairs > 1:
+        s_ch, p_ch, ok_ch = _window_shift_pairs(H, hi, start_raw, npairs)
+        # On exceptional-shift sweeps let the exceptional shift act
+        # alone (its whole point is to break the pattern the converged
+        # window shifts keep reproducing).
+        exc = (stagnant > 0) & (stagnant % 10 == 0)
+        ok_ch = ok_ch & ~exc[:, None]
+        # Bulge 0 of the bottom block upgrades to the window's bottom
+        # pair (a Ritz pair of the trailing window ≥ the trailing-2×2
+        # eigenvalues the per-block machinery uses).
+        is_bottom = end == hi[:, None]
+        use0 = is_bottom & ok_ch[:, :1]
+        s_arr = jnp.where(use0, s_ch[:, :1], s_arr)
+        p_arr = jnp.where(use0, p_ch[:, :1], p_arr)
+        # Per-slot deepened starts for the chain (the two-consecutive-
+        # small-subdiagonals test depends on the shift), clamped so the
+        # creation positions are NON-INCREASING in bulge order.  The
+        # deepened-start discard test is evaluated pre-sweep; a bulge
+        # that starts ABOVE a later bulge's deepened start refills the
+        # small subdiagonal there to O(1) as it passes (the left
+        # reflector at position lo−1 mixes the big diagonal into row
+        # lo), so creating at that stale position discards O(1)
+        # coupling and breaks the similarity (measured: 0.13 eigenvalue
+        # corruption).  A violating slot falls back to the raw block
+        # start, which no bulge ever crosses.
+        start = _bulge_starts(H, start_raw, end, s_arr, p_arr)
+        hi_clip = jnp.clip(hi, 0, npad - 1)[:, None]
+        bs_raw = jnp.take_along_axis(start_raw, hi_clip, axis=1)[:, 0]
+        lo_prev = jnp.take_along_axis(start, hi_clip, axis=1)[:, 0]
+        lo_list, s_list, p_list, ok_list = [], [], [], []
+        for i in range(1, npairs):
+            si = jnp.broadcast_to(s_ch[:, i:i + 1], (B, npad))
+            pi = jnp.broadcast_to(p_ch[:, i:i + 1], (B, npad))
+            st_i = _bulge_starts(H, start_raw, end, si, pi)
+            lo_i = jnp.take_along_axis(st_i, hi_clip, axis=1)[:, 0]
+            lo_i = jnp.where(lo_i <= lo_prev, lo_i, bs_raw)
+            lo_prev = jnp.minimum(lo_prev, lo_i)
+            lo_list.append(lo_i)
+            s_list.append(s_ch[:, i])
+            p_list.append(p_ch[:, i])
+            ok_list.append(ok_ch[:, i])
+        chain = (
+            jnp.stack(lo_list, 1).astype(H.dtype),
+            jnp.stack(s_list, 1), jnp.stack(p_list, 1),
+            jnp.stack(ok_list, 1),
+        )
+    else:
+        start = _bulge_starts(H, start_raw, end, s_arr, p_arr)
     # NB: lax.scan, NOT lax.fori_loop — on the TPU backend the
     # fori_loop lowering of this body miscompiles (the loop produces
     # O(1)-different results from the identical body run stepwise or
     # under scan; observed on v5e, jax 0.8 era).  Scan is bit-correct.
     (H, Q, *_), _ = lax.scan(
-        lambda c, k: (_chase_step(k, c, with_q=with_q), None),
-        (H, Q, start, end, s_arr, p_arr),
-        jnp.arange(max(n - 1, 1)),
+        lambda c, k: (
+            _chase_step(k, c, with_q=with_q, n_chain=n_chain), None
+        ),
+        (H, Q, start, end, s_arr, p_arr, hi, chain),
+        jnp.arange(max(n - 1 + 3 * n_chain, 1)),
     )
     return H, hi, stagnant, Q
 
 
-def _chase_step(k, carry, with_q: bool = False):
-        H, Q, start, end, s_arr, p_arr = carry
+def _chase_step(k, carry, with_q: bool = False, n_chain: int = 0):
+    H, Q, start, end, s_arr, p_arr, hi_g, chain = carry
+    npad = H.shape[1]
+
+    def col_at(v):  # v[:, k] with traced k (clamped for the chain tail)
+        return lax.dynamic_slice_in_dim(
+            v, jnp.clip(k, 0, npad - 1), 1, axis=1
+        )[:, 0]
+
+    # Bulge 0: one bulge per unreduced block, per-position machinery.
+    H, Q = _apply_bulge(
+        H, Q, k, col_at(start), col_at(end),
+        col_at(s_arr), col_at(p_arr), None, with_q,
+    )
+    # Chain bulges (bottom block only), deepest first — bulge i trails
+    # bulge i−1 by exactly 3 positions, so their 3-row supports are
+    # disjoint and the unrolled sequential application is exactly the
+    # sequential small-bulge chase.
+    lo_ch, s_ch, p_ch, ok_ch = chain
+    for i in range(n_chain):
+        H, Q = _apply_bulge(
+            H, Q, k - 3 * (i + 1),
+            lo_ch[:, i].astype(jnp.int32), hi_g,
+            s_ch[:, i], p_ch[:, i], ok_ch[:, i], with_q,
+        )
+    # XLA TPU reorders the unaligned in-place row/column updates
+    # across loop iterations without this fence (observed: the
+    # second fori iteration reads pre-update values — results
+    # diverge O(1) from the interpreted semantics).
+    H = lax.optimization_barrier(H)
+    return H, Q, start, end, s_arr, p_arr, hi_g, chain
+
+
+def _apply_bulge(H, Q, k, lo, hi, s, p, ok, with_q: bool = False):
+        """Advance (or create) one Francis bulge per lane at scan
+        position ``k`` (a shared traced scalar; per-lane activity is
+        masked).  ``lo``/``hi`` bound each lane's block, ``(s, p)`` is
+        its shift pair, ``ok`` (optional) gates the slot."""
         B, npad, _ = H.shape
 
-        def col_at(v):  # v[:, k] with traced k
-            return lax.dynamic_slice_in_dim(v, k, 1, axis=1)[:, 0]
-
-        lo = col_at(start)
-        hi = col_at(end)
-        s = col_at(s_arr)
-        p = col_at(p_arr)
         active = (k >= lo) & (k <= hi - 1) & (hi >= 2)   # [B]
+        if ok is not None:
+            active = active & ok
         create = active & (k == lo)
 
         # One slice serves everything: rows k..k+2, columns k−1..k+1.
@@ -483,12 +676,7 @@ def _chase_step(k, carry, with_q: bool = False):
             qv = jnp.einsum("bni,bi->bn", qc, v, precision=_HIGH)
             qc = qc - beta[:, None, None] * qv[:, :, None] * v[:, None, :]
             Q = lax.dynamic_update_slice(Q, qc, (0, 0, k))
-        # XLA TPU reorders the unaligned in-place row/column updates
-        # across loop iterations without this fence (observed: the
-        # second fori iteration reads pre-update values — results
-        # diverge O(1) from the interpreted semantics).
-        H = lax.optimization_barrier(H)
-        return H, Q, start, end, s_arr, p_arr
+        return H, Q
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
@@ -559,9 +747,13 @@ def _schur_init(a: jax.Array, balance: bool = True, with_q: bool = False):
     return H, Q, hi0, jnp.zeros((B,), jnp.int32), anorm, scale
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "with_q"))
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "with_q", "npairs")
+)
 @f32_matmuls
-def _schur_sweeps(state, chunk: int, with_q: bool = False):
+def _schur_sweeps(
+    state, chunk: int, with_q: bool = False, npairs: int = 1
+):
     """Up to ``chunk`` Francis sweeps (stops early when every lane has
     deflated).  Kept bounded because the tunnel-attached TPU runtime
     kills single programs that execute for too long."""
@@ -572,7 +764,8 @@ def _schur_sweeps(state, chunk: int, with_q: bool = False):
     def body(st):
         H, Q, hi, stagnant, anorm, it = st
         H, hi, stagnant, Q = _one_sweep(
-            H, hi, stagnant, anorm, Q if with_q else None
+            H, hi, stagnant, anorm, Q if with_q else None,
+            npairs=npairs,
         )
         return H, Q, hi, stagnant, anorm, it + 1
 
@@ -595,10 +788,27 @@ def _schur_finalize(state):
     return SchurResult(T, hi < 1, jnp.zeros((), jnp.int32))
 
 
-def _run_schur(a, max_sweeps, chunk, balance, with_q):
+def _auto_npairs(n: int) -> int:
+    """Shift pairs per sweep for the bottom-block multishift chain.
+    Small problems keep the classic single double-shift (the chain's
+    inner window solve would dominate); larger ones chase up to 8
+    bulges, retiring up to 16 eigenvalues per sweep.  Beyond speed
+    (199→73 sweeps at n=128) the window shifts are a ROBUSTNESS fix:
+    on 32×(256×256) gaussian input the single-shift path stalls on 5 of
+    32 lanes until the escalating stall-breaker force-splits them at
+    O(1) eigenvalue error; with 8 pairs every lane converges genuinely
+    (max dev 8e-4, measured on-chip)."""
+    if n < 96:
+        return 1
+    return max(2, min(8, n // 32))
+
+
+def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0):
     B, n, _ = a.shape
     if max_sweeps == 0:
         max_sweeps = 8 * n
+    npairs = nshift_pairs if nshift_pairs > 0 else _auto_npairs(n)
+    npairs = max(1, min(npairs, n // 8 if n >= 16 else 1))
     H, Q, hi, stag, anorm, scale = _schur_init(
         a, balance=balance, with_q=with_q
     )
@@ -606,7 +816,8 @@ def _run_schur(a, max_sweeps, chunk, balance, with_q):
     done = 0
     while done < max_sweeps:
         state, it = _schur_sweeps(
-            state, min(chunk, max_sweeps - done), with_q=with_q
+            state, min(chunk, max_sweeps - done), with_q=with_q,
+            npairs=npairs,
         )
         done += int(it)
         if int(it) < chunk or not bool((state[2] >= 1).any()):
@@ -618,7 +829,7 @@ def _run_schur(a, max_sweeps, chunk, balance, with_q):
 
 def real_schur(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
-    balance: bool = True,
+    balance: bool = True, nshift_pairs: int = 0,
 ) -> SchurResult:
     """Quasi-upper-triangular (real Schur) form of every matrix in
     ``[B, n, n]`` via Hessenberg + Francis double-shift QR.
@@ -628,6 +839,9 @@ def real_schur(
     Sweeps run in device programs of at most ``chunk`` sweeps with a
     host-side convergence check in between — a single huge program
     trips the remote runtime's execution watchdog at large ``n``.
+    ``nshift_pairs=0`` auto-sizes the multishift chain (1 pair below
+    n=96, up to 8 at n≥512); ``1`` forces the classic single
+    double-shift sweep.
     """
     B, n, _ = a.shape
     if n <= 2:
@@ -635,7 +849,9 @@ def real_schur(
         return SchurResult(
             H, jnp.ones((B,), bool), jnp.zeros((), jnp.int32)
         )
-    res, done, _, _ = _run_schur(a, max_sweeps, chunk, balance, False)
+    res, done, _, _ = _run_schur(
+        a, max_sweeps, chunk, balance, False, nshift_pairs
+    )
     return SchurResult(
         res.T, res.converged, jnp.asarray(done, jnp.int32)
     )
@@ -656,7 +872,7 @@ class SchurVectors(NamedTuple):
 
 def real_schur_vectors(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
-    balance: bool = True,
+    balance: bool = True, nshift_pairs: int = 0,
 ) -> SchurVectors:
     """``real_schur`` with the orthogonal similarity accumulated
     (reflectors applied on the right of Q through Hessenberg and every
@@ -672,7 +888,9 @@ def real_schur_vectors(
             Hh, Qh, jnp.ones((B, n), Hh.dtype),
             jnp.ones((B,), bool), jnp.zeros((), jnp.int32),
         )
-    res, done, Q, scale = _run_schur(a, max_sweeps, chunk, balance, True)
+    res, done, Q, scale = _run_schur(
+        a, max_sweeps, chunk, balance, True, nshift_pairs
+    )
     # The Francis iteration deflates real-eigenvalue 2×2 blocks without
     # splitting them (fine for eigenvalues); eigenvector extraction
     # needs them triangular.
@@ -690,13 +908,14 @@ class SchurEigvals(NamedTuple):
 
 def eigvals_schur(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
-    balance: bool = True,
+    balance: bool = True, nshift_pairs: int = 0,
 ) -> SchurEigvals:
     """Eigenvalues of a batched real matrix via the real Schur form:
     diagonal entries for 1×1 blocks, exact conjugate pairs from 2×2
     blocks (nonzero subdiagonal entries after deflation)."""
     res = real_schur(
-        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance
+        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance,
+        nshift_pairs=nshift_pairs,
     )
     re, im = _eigvals_from_T(res.T)
     return SchurEigvals(re, im, res.converged)
@@ -948,7 +1167,7 @@ class EigResult(NamedTuple):
 
 def eig_real_batched(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
-    balance: bool = True,
+    balance: bool = True, nshift_pairs: int = 0,
 ) -> EigResult:
     """Right eigenvectors of a general real batch at O(n³) per matrix:
     real Schur with accumulated Q, then strevc-style back-substitution
@@ -958,7 +1177,8 @@ def eig_real_batched(
     path (``ops.eigen.spectral_decompose_batched``) — back-substituted
     columns of a multiple eigenvalue are near-dependent."""
     sv = real_schur_vectors(
-        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance
+        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance,
+        nshift_pairs=nshift_pairs,
     )
     Y, valid = _trevc_real(sv.T)
     re, im = _eigvals_from_T(sv.T)
@@ -1064,6 +1284,7 @@ class EigFullResult(NamedTuple):
 def eig_batched(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
     balance: bool = True, refine_steps: int = 0,
+    nshift_pairs: int = 0,
 ) -> EigFullResult:
     """Complete right eigendecomposition of a general real batch at
     O(n³) per matrix: real Schur with accumulated Q, then full strevc
@@ -1081,7 +1302,8 @@ def eig_batched(
     |λ − λ̂| even for the exact eigenvector), an f32 conditioning floor
     no eigenvector polish can cross."""
     sv = real_schur_vectors(
-        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance
+        a, max_sweeps=max_sweeps, chunk=chunk, balance=balance,
+        nshift_pairs=nshift_pairs,
     )
     Y_re, Y_im, valid = _trevc_full(sv.T)
     re, im = _eigvals_from_T(sv.T)

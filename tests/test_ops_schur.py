@@ -147,14 +147,95 @@ class TestRealSchur:
             Hs, start, end, s_arr, p_arr
         )
         npad = Hs.shape[1]
-        Qd = jnp.zeros((Hs.shape[0], 1, 1), Hs.dtype)
-        carry = (Hs, Qd, start, end, s_arr, p_arr)
+        B = Hs.shape[0]
+        Qd = jnp.zeros((B, 1, 1), Hs.dtype)
+        chain = (
+            jnp.zeros((B, 1), Hs.dtype), jnp.zeros((B, 1), Hs.dtype),
+            jnp.zeros((B, 1), Hs.dtype), jnp.zeros((B, 1), bool),
+        )
+        carry = (Hs, Qd, start, end, s_arr, p_arr, his, chain)
         step = jax.jit(schur._chase_step)
         for k in range(npad - 2):
             carry = step(k, carry)
         np.testing.assert_allclose(
             np.asarray(H2), np.asarray(carry[0]), atol=1e-6
         )
+
+
+class TestMultishift:
+    """Small-bulge multishift chain (dlaqr5 shape): shift-slot assembly
+    and end-to-end correctness regressions for the two measured failure
+    modes — straddling-pair slot corruption (fixed by dlaqr0's shift
+    shuffle) and stale deepened starts (fixed by the monotone-start
+    clamp)."""
+
+    def test_window_slots_cover_spectrum(self):
+        """Every ok slot's (s, p) quadratic must have roots that are
+        window eigenvalues, and together the slots must cover the full
+        trailing-window spectrum (no duplicates, no drops)."""
+        for seed in range(4):
+            A = gaussian(2, 48, seed=seed)
+            H, _Q, hi, _stag, _an, _sc = schur._schur_init(
+                jnp.asarray(A)
+            )
+            start_raw, _end = schur._block_bounds(H, hi)
+            npairs = 3
+            s, p, ok = schur._window_shift_pairs(
+                H, hi, start_raw, npairs
+            )
+            s, p, ok = np.asarray(s), np.asarray(p), np.asarray(ok)
+            w = 2 * npairs
+            n = 48
+            Hn = np.asarray(H)[:, :n, :n].astype(np.float64)
+            for b in range(2):
+                assert ok[b].all()
+                ev = np.sort_complex(
+                    np.linalg.eigvals(Hn[b, n - w:, n - w:])
+                )
+                roots = []
+                for i in range(npairs):
+                    roots.extend(np.roots([1, -s[b, i], p[b, i]]))
+                np.testing.assert_allclose(
+                    np.sort_complex(np.array(roots)), ev, atol=1e-3
+                )
+
+    def test_multishift_eigenvalues_match_numpy(self):
+        """Full runs at several chain depths stay similar transforms:
+        eigenvalues match numpy within the f32 floor (the stale-start
+        bug corrupted them to O(0.1); the straddle bug stalled sweeps
+        until the breaker degraded them 60x)."""
+        B, n = 3, 48
+        A = gaussian(B, n, seed=11)
+        ref = [
+            np.linalg.eigvals(A[b].astype(np.float64))
+            for b in range(B)
+        ]
+        for npairs in (2, 4):
+            r = schur.eigvals_schur(
+                jnp.asarray(A), nshift_pairs=npairs
+            )
+            assert bool(np.asarray(r.converged).all())
+            ev = np.asarray(r.real) + 1j * np.asarray(r.imag)
+            for b in range(B):
+                want = ref[b].copy()
+                worst = 0.0
+                for g in ev[b]:
+                    i = np.argmin(np.abs(want - g))
+                    worst = max(worst, abs(want[i] - g))
+                    want = np.delete(want, i)
+                assert worst < 5e-3, (npairs, b, worst)
+
+    def test_multishift_converges_faster(self):
+        """The point of the chain: materially fewer sweeps than the
+        single double-shift at the same size."""
+        A = gaussian(4, 64, seed=0)
+        _res1, done1, _, _ = schur._run_schur(
+            jnp.asarray(A), 0, 64, True, False, 1
+        )
+        _res4, done4, _, _ = schur._run_schur(
+            jnp.asarray(A), 0, 64, True, False, 4
+        )
+        assert int(done4) < int(done1) * 0.8, (int(done1), int(done4))
 
 
 class TestSpectralPipelineSchur:
