@@ -127,10 +127,20 @@ def _take1(M: jax.Array, i: jax.Array, j: jax.Array) -> jax.Array:
     )[:, 0]
 
 
-def _deflate(H, hi, stagnant, anorm):
+def _deflate(H, hi, stagnant, anorm, strict: bool = False):
     """Zero negligible subdiagonals; pull ``hi`` up past converged
     1×1 and 2×2 trailing blocks (a few fixed-point rounds handle
     consecutive deflations).  ``H`` is the padded ``[B, n+1, n+1]``.
+
+    ``strict=True`` (the AED inner solve) keeps only the criteria whose
+    zeroed ENTRY is ≤ eps·‖A‖ — the Ahues–Tisseur product test and the
+    escalating stall-breaker may zero O(1)-sized entries whose
+    eigenvalue effect is negligible IN THE CURRENT BASIS, which is all
+    the main loop needs; AED however reuses the accumulated Q as a
+    faithful similarity of the window, and a large AT-zeroing
+    re-expressed through Q in the original basis is a same-sized
+    perturbation with no AT structure (measured: a 2.6e-2 inner AT
+    deflation → 2e-3 global eigenvalue error, 25× the no-AED floor).
 
     The threshold is ``ulp·(|h_ii| + |h_i+1,i+1|) + ulp·‖A‖`` — the
     norm term matters: one sweep's roundoff injects ~ulp·‖A‖ into every
@@ -194,6 +204,9 @@ def _deflate(H, hi, stagnant, anorm):
         jnp.clip((stagnant.astype(d.dtype) - 20.0) / 5.0, 0.0, 30.0)
     )
     stalled = stagnant >= 20
+    if strict:
+        small_at = jnp.zeros_like(small_at)
+        stalled = jnp.zeros_like(stalled)
     small = (
         (jnp.abs(sub) <= tol_local)
         | small_at
@@ -380,15 +393,9 @@ def _window_shift_pairs(H, hi, start_raw, npairs: int):
     window positions lie inside the lane's bottom unreduced block
     (Francis sweeps never move eigenvalues across a zero subdiagonal,
     so window-diagonal positions outside the block hold eigenvalues of
-    OTHER blocks — dead shifts).  Slot alignment uses dlaqr0's shift
-    shuffle (reference: LAPACK dlaqr0 'shuffle shifts into pairs'):
-    a lone real eigenvalue sitting between conjugate pairs is rotated
-    past the pair below it, so every even-aligned slot is either two
-    reals or one conjugate pair — never a mixed (complex-bulge) slot.
-    Naive positional pairing without the shuffle duplicates straddling
-    pairs and DROPS real eigenvalues (measured: half the shifts dead,
-    stagnation, and the escalating stall-breaker degrading eigenvalue
-    accuracy 60× at n=128)."""
+    OTHER blocks — dead shifts).  Used only when AED is disabled
+    (``aed_w=0``); with AED on, the deflation window's Schur form
+    supplies the slots instead (one inner solve serves both)."""
     B, npad, _ = H.shape
     n = npad - 1
     w = 2 * npairs
@@ -426,6 +433,23 @@ def _window_shift_pairs(H, hi, start_raw, npairs: int):
         (pos[None, :] >= rel[:, None])
         & (pos[None, :] <= hi_rel[:, None])
     )
+    blk = hi - bs + 1                                       # [B]
+    return _assemble_shift_slots(re, im, valid, blk, npairs, dtype)
+
+
+def _assemble_shift_slots(re, im, valid, blk, npairs: int, dtype):
+    """Pair a bottom-ordered ``[B, 2·npairs]`` eigenvalue list into
+    double-shift slots ``(s, p, ok)``, slot 0 bottom-most.
+
+    Slot alignment uses dlaqr0's shift shuffle (reference: LAPACK
+    dlaqr0 'shuffle shifts into pairs'): a lone real eigenvalue sitting
+    between conjugate pairs is rotated past the pair below it, so every
+    even-aligned slot is either two reals or one conjugate pair — never
+    a mixed (complex-bulge) slot.  Naive positional pairing without the
+    shuffle duplicates straddling pairs and DROPS real eigenvalues
+    (measured: half the shifts dead, stagnation, and the escalating
+    stall-breaker degrading eigenvalue accuracy 60× at n=128)."""
+    w = 2 * npairs
 
     # dlaqr0's shuffle, bottom-up: whenever positions (I, I−1) are not
     # a conjugate pair (a lone real at I, a pair at I−1, I−2), rotate
@@ -443,7 +467,6 @@ def _window_shift_pairs(H, hi, start_raw, npairs: int):
 
         re, im, valid = rot3(re), rot3(im), rot3(valid)
 
-    blk = hi - bs + 1                                       # [B]
     s_slots, p_slots, ok_slots = [], [], []
     for i in range(npairs):
         a, b = w - 1 - 2 * i, w - 2 - 2 * i
@@ -470,7 +493,241 @@ def _window_shift_pairs(H, hi, start_raw, npairs: int):
     )
 
 
-def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1):
+def _aed(H, Q, hi, stagnant, anorm, w: int, npairs: int,
+         with_q: bool):
+    """Aggressive early deflation (LAPACK dlaqr2/3): compute the real
+    Schur form of each lane's trailing ``w×w`` deflation window with
+    accumulated ``Q_w``, form the spike ``s = β·(row 0 of Q_w)`` (β the
+    subdiagonal entry entering the window), deflate the maximal run of
+    trailing window eigenvalues whose spike entries are negligible,
+    collapse the surviving spike with one Householder reflector, return
+    the undeflated part to Hessenberg form, and write the transformed
+    window back with the spike column set exactly.
+
+    Converged eigenvalues are detected long before the subdiagonal
+    entry itself becomes negligible — each AED round retires them at
+    window cost O(w²·scan-steps) instead of full O(n) sweeps — and the
+    undeflated window eigenvalues double as the multishift sweep's
+    shift source (one inner solve serves both, dlaqr0's structure).
+
+    Returns ``(H, Q, hi, stagnant, (sr, si, svalid), skip)`` where
+    ``(sr, si, svalid) [B, 2·npairs]`` are the bottom undeflated window
+    eigenvalues (shift source, bottom at the last index) and ``skip``
+    flags lanes whose deflation count passes dlaqr0's NIBBLE rule (≥14%
+    of the window) — their sweep this round is skipped and the next
+    round runs AED again on the smaller window."""
+    B, npad, _ = H.shape
+    n = npad - 1
+    dtype = H.dtype
+    eps = jnp.finfo(dtype).eps
+    smlnum = jnp.finfo(dtype).tiny * (n / eps)
+    idxw = jnp.arange(w)
+
+    ws = jnp.clip(hi - (w - 1), 0, max(n - w, 0)).astype(jnp.int32)
+    hi_w0 = (hi - ws).astype(jnp.int32)                 # local bottom
+    beta = jnp.where(ws > 0, _take1(H, ws, ws - 1), 0.0)
+
+    # --- inner real Schur of the window, with Q accumulation ---
+    Hw = jax.vmap(
+        lambda h, s0: lax.dynamic_slice(h, (s0, s0), (w, w))
+    )(H[:, :n, :n], ws)
+    Hw = jnp.pad(Hw, ((0, 0), (0, 1), (0, 1)))
+    Qw = jnp.pad(
+        jnp.broadcast_to(jnp.eye(w, dtype=dtype), (B, w, w)),
+        ((0, 0), (0, 0), (0, 1)),
+    )
+    anorm_w = jnp.max(jnp.sum(jnp.abs(Hw), axis=2), axis=1)
+    st0 = (
+        Hw, Qw, jnp.clip(hi_w0, -1, w - 1),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st):
+        _, _, hw, _, it = st
+        return (it < 2 * w) & jnp.any(hw >= 1)
+
+    def body(st):
+        Hw, Qw, hw, stg, it = st
+        Hw, hw, stg, Qw = _one_sweep(
+            Hw, hw, stg, anorm_w, Qw, strict_deflate=True
+        )
+        return Hw, Qw, hw, stg, it + 1
+
+    Hw, Qw, hw_fin, _, _ = lax.while_loop(cond, body, st0)
+    Tw = Hw[:, :w, :w]
+    Qw = Qw[:, :, :w]
+    conv_all = hw_fin < 1
+
+    diag_w = jnp.diagonal(Tw, axis1=1, axis2=2)
+    sub_w = jnp.concatenate(
+        [jnp.diagonal(Tw, offset=-1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    sup_w = jnp.concatenate(
+        [jnp.diagonal(Tw, offset=1, axis1=1, axis2=2),
+         jnp.zeros((B, 1), dtype)], axis=1,
+    )
+    lam_re, lam_im = _eigvals_from_T(Tw)
+    s_spike = beta[:, None] * Qw[:, 0, :]               # [B, w]
+
+    def take_w(v, i):
+        return jnp.take_along_axis(
+            v, jnp.clip(i, 0, w - 1)[:, None].astype(jnp.int32),
+            axis=1,
+        )[:, 0]
+
+    # --- trailing deflation run (dlaqr3's test, no reordering: stop at
+    # the first non-deflatable block) ---
+    def defl_round(carry, _):
+        p, nd, stop = carry
+        is2 = (p >= 1) & (take_w(sub_w, p - 1) != 0)
+        bstart = p - is2.astype(p.dtype)
+        foo = jnp.abs(take_w(diag_w, p))
+        foo = jnp.where(
+            is2,
+            foo + jnp.sqrt(jnp.abs(take_w(sub_w, p - 1)))
+            * jnp.sqrt(jnp.abs(take_w(sup_w, p - 1))),
+            foo,
+        )
+        sv = jnp.abs(take_w(s_spike, p))
+        sv = jnp.where(
+            is2, jnp.maximum(sv, jnp.abs(take_w(s_spike, p - 1))), sv
+        )
+        # Only blocks the inner iteration actually converged are
+        # readable as eigenvalues (best-effort inner solve).
+        conv_ok = conv_all | (bstart > hw_fin)
+        defl = (
+            (~stop) & (p >= 0) & conv_ok
+            & (sv <= jnp.maximum(smlnum, eps * foo))
+        )
+        sz = jnp.where(is2, 2, 1).astype(p.dtype)
+        nd = nd + jnp.where(defl, sz, 0)
+        p = p - jnp.where(defl, sz, jnp.zeros_like(sz))
+        stop = stop | ~defl
+        return (p, nd, stop), None
+
+    (p_fin, nd, _), _ = lax.scan(
+        defl_round,
+        (hi_w0, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool)),
+        None, length=w,
+    )
+
+    # --- shift harvest: bottom 2·npairs undeflated window eigenvalues
+    # (read BEFORE the spike collapse scrambles the block structure;
+    # the collapse is a similarity of the undeflated block, so these
+    # stay its exact eigenvalues) ---
+    m = 2 * npairs
+    sl_idx = p_fin[:, None] - (m - 1) + jnp.arange(m)[None, :]
+    sl_ok = (sl_idx >= 0) & (sl_idx <= p_fin[:, None])
+    sl_ok &= conv_all[:, None] | (sl_idx > hw_fin[:, None])
+    cl = jnp.clip(sl_idx, 0, w - 1).astype(jnp.int32)
+    sr = jnp.take_along_axis(lam_re, cl, axis=1)
+    si = jnp.take_along_axis(lam_im, cl, axis=1)
+
+    # --- collapse the surviving spike: one Householder on positions
+    # 0..p_fin (deflated spike entries are zeroed by the write-back —
+    # that IS the deflation, each ≤ ulp·|λ|) ---
+    ns_mask = (idxw[None, :] <= p_fin[:, None]).astype(dtype)
+    u = s_spike * ns_mask
+    unorm = jnp.sqrt(jnp.sum(u * u, axis=1))
+    u0 = u[:, 0]
+    alpha = -jnp.sign(jnp.where(u0 == 0, 1.0, u0)) * unorm
+    e0 = (idxw[None, :] == 0).astype(dtype)
+    v = u - alpha[:, None] * e0
+    vnorm2 = jnp.sum(v * v, axis=1)
+    tau = jnp.where(vnorm2 > 0, 2.0 / vnorm2, 0.0)
+    vT = jnp.einsum("bi,bij->bj", v, Tw, precision=_HIGH)
+    Tw = Tw - tau[:, None, None] * v[:, :, None] * vT[:, None, :]
+    Tv = jnp.einsum("bij,bj->bi", Tw, v, precision=_HIGH)
+    Tw = Tw - tau[:, None, None] * Tv[:, :, None] * v[:, None, :]
+    Qv = jnp.einsum("bij,bj->bi", Qw, v, precision=_HIGH)
+    Qw = Qw - tau[:, None, None] * Qv[:, :, None] * v[:, None, :]
+    sigma = jnp.where(beta != 0, alpha, 0.0)
+
+    # --- return the undeflated part (rows 0..p_fin) to Hessenberg
+    # form, accumulating into Qw (reflector supports stay inside the
+    # undeflated block, so the deflated part is untouched) ---
+    def hess_body(k, carry):
+        Tw, Qw = carry
+        x = Tw[:, :, k]
+        mask = (
+            (idxw[None, :] > k) & (idxw[None, :] <= p_fin[:, None])
+        ).astype(dtype)
+        xm = x * mask
+        xk = jnp.take_along_axis(
+            xm, jnp.full((B, 1), k + 1, jnp.int32), axis=1
+        )[:, 0]
+        nrm = jnp.sqrt(jnp.sum(xm * xm, axis=1))
+        al = -jnp.sign(jnp.where(xk == 0, 1.0, xk)) * nrm
+        ek = (idxw[None, :] == (k + 1)).astype(dtype)
+        vh = xm - al[:, None] * ek
+        vn2 = jnp.sum(vh * vh, axis=1)
+        bt = jnp.where(vn2 > 0, 2.0 / vn2, 0.0)
+        vTw = jnp.einsum("bi,bij->bj", vh, Tw, precision=_HIGH)
+        Tw = Tw - bt[:, None, None] * vh[:, :, None] * vTw[:, None, :]
+        Twv = jnp.einsum("bij,bj->bi", Tw, vh, precision=_HIGH)
+        Tw = Tw - bt[:, None, None] * Twv[:, :, None] * vh[:, None, :]
+        Qwv = jnp.einsum("bij,bj->bi", Qw, vh, precision=_HIGH)
+        Qw = Qw - bt[:, None, None] * Qwv[:, :, None] * vh[:, None, :]
+        return Tw, Qw
+
+    Tw, Qw = lax.fori_loop(0, max(w - 2, 0), hess_body, (Tw, Qw))
+    # Wipe the sub-Hessenberg roundoff residue (mathematically zero).
+    Tw = jnp.where(
+        jnp.tril(jnp.ones((w, w), bool), -2)[None], 0.0, Tw
+    )
+
+    # --- write back: similarity by the embedded Qw, then force the
+    # window block and the collapsed spike column exactly ---
+    C = jax.vmap(
+        lambda h, s0: lax.dynamic_slice(h, (0, s0), (npad, w))
+    )(H, ws)
+    C = jnp.einsum("bij,bjk->bik", C, Qw, precision=_HIGH)
+    H = jax.vmap(
+        lambda h, c, s0: lax.dynamic_update_slice(h, c, (0, s0))
+    )(H, C, ws)
+    R = jax.vmap(
+        lambda h, s0: lax.dynamic_slice(h, (s0, 0), (w, npad))
+    )(H, ws)
+    R = jnp.einsum("bji,bjk->bik", Qw, R, precision=_HIGH)
+    H = jax.vmap(
+        lambda h, r, s0: lax.dynamic_update_slice(h, r, (s0, 0))
+    )(H, R, ws)
+    H = jax.vmap(
+        lambda h, t, s0: lax.dynamic_update_slice(h, t, (s0, s0))
+    )(H, Tw, ws)
+    ii = lax.broadcasted_iota(jnp.int32, (1, npad, 1), 1)
+    jj = lax.broadcasted_iota(jnp.int32, (1, 1, npad), 2)
+    colmask = (
+        (jj == (ws - 1)[:, None, None])
+        & (ii >= ws[:, None, None])
+        & (ws[:, None, None] > 0)
+    )
+    spikeval = jnp.where(
+        ii == ws[:, None, None], sigma[:, None, None], 0.0
+    )
+    H = jnp.where(colmask, spikeval, H)
+    if with_q:
+        Qc = jax.vmap(
+            lambda q, s0: lax.dynamic_slice(
+                q, (0, s0), (Q.shape[1], w)
+            )
+        )(Q, ws)
+        Qc = jnp.einsum("bij,bjk->bik", Qc, Qw, precision=_HIGH)
+        Q = jax.vmap(
+            lambda q, c, s0: lax.dynamic_update_slice(q, c, (0, s0))
+        )(Q, Qc, ws)
+
+    win_sz = jnp.maximum(hi_w0 + 1, 1)
+    hi = hi - nd
+    stagnant = jnp.where(nd > 0, 0, stagnant)
+    skip = (hi < 1) | (nd * 100 >= 14 * win_sz)
+    return H, Q, hi, stagnant, (sr, si, sl_ok), skip
+
+
+def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1,
+               shift_slots=None, skip=None,
+               strict_deflate: bool = False):
     """Deflate, pick per-block shifts, run one multibulge Francis sweep
     (one bulge per unreduced diagonal block, all chased in one scan).
     With ``npairs > 1`` the BOTTOM block additionally chases a chain of
@@ -487,17 +744,33 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1):
     if not with_q:
         Q = jnp.zeros((B, 1, 1), H.dtype)
 
-    H, hi, stagnant = _deflate(H, hi, stagnant, anorm)
+    H, hi, stagnant = _deflate(
+        H, hi, stagnant, anorm, strict=strict_deflate
+    )
     start_raw, end = _block_bounds(H, hi)
     s_arr, p_arr = _shifts_per_block(H, end, hi, stagnant)
 
     n_chain = max(npairs - 1, 0)
+    have_slots = shift_slots is not None
     chain = (
         jnp.zeros((B, 1), H.dtype), jnp.zeros((B, 1), H.dtype),
         jnp.zeros((B, 1), H.dtype), jnp.zeros((B, 1), bool),
     )
-    if npairs > 1:
-        s_ch, p_ch, ok_ch = _window_shift_pairs(H, hi, start_raw, npairs)
+    if npairs > 1 or have_slots:
+        if have_slots:
+            sr, si, sl_ok = shift_slots
+            bs_h = jnp.take_along_axis(
+                start_raw, jnp.clip(hi, 0, npad - 1)[:, None], axis=1
+            )[:, 0]
+            s_ch, p_ch, ok_ch = _assemble_shift_slots(
+                sr, si, sl_ok, hi - bs_h + 1, max(npairs, 1), H.dtype
+            )
+        else:
+            s_ch, p_ch, ok_ch = _window_shift_pairs(
+                H, hi, start_raw, npairs
+            )
+        if skip is not None:
+            ok_ch = ok_ch & ~skip[:, None]
         # On exceptional-shift sweeps let the exceptional shift act
         # alone (its whole point is to break the pattern the converged
         # window shifts keep reproducing).
@@ -522,39 +795,57 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1):
         # corruption).  A violating slot falls back to the raw block
         # start, which no bulge ever crosses.
         start = _bulge_starts(H, start_raw, end, s_arr, p_arr)
-        hi_clip = jnp.clip(hi, 0, npad - 1)[:, None]
-        bs_raw = jnp.take_along_axis(start_raw, hi_clip, axis=1)[:, 0]
-        lo_prev = jnp.take_along_axis(start, hi_clip, axis=1)[:, 0]
-        lo_list, s_list, p_list, ok_list = [], [], [], []
-        for i in range(1, npairs):
-            si = jnp.broadcast_to(s_ch[:, i:i + 1], (B, npad))
-            pi = jnp.broadcast_to(p_ch[:, i:i + 1], (B, npad))
-            st_i = _bulge_starts(H, start_raw, end, si, pi)
-            lo_i = jnp.take_along_axis(st_i, hi_clip, axis=1)[:, 0]
-            lo_i = jnp.where(lo_i <= lo_prev, lo_i, bs_raw)
-            lo_prev = jnp.minimum(lo_prev, lo_i)
-            lo_list.append(lo_i)
-            s_list.append(s_ch[:, i])
-            p_list.append(p_ch[:, i])
-            ok_list.append(ok_ch[:, i])
-        chain = (
-            jnp.stack(lo_list, 1).astype(H.dtype),
-            jnp.stack(s_list, 1), jnp.stack(p_list, 1),
-            jnp.stack(ok_list, 1),
-        )
+        if npairs > 1:
+            hi_clip = jnp.clip(hi, 0, npad - 1)[:, None]
+            bs_raw = jnp.take_along_axis(
+                start_raw, hi_clip, axis=1
+            )[:, 0]
+            lo_prev = jnp.take_along_axis(start, hi_clip, axis=1)[:, 0]
+            lo_list, s_list, p_list, ok_list = [], [], [], []
+            for i in range(1, npairs):
+                si = jnp.broadcast_to(s_ch[:, i:i + 1], (B, npad))
+                pi = jnp.broadcast_to(p_ch[:, i:i + 1], (B, npad))
+                st_i = _bulge_starts(H, start_raw, end, si, pi)
+                lo_i = jnp.take_along_axis(st_i, hi_clip, axis=1)[:, 0]
+                lo_i = jnp.where(lo_i <= lo_prev, lo_i, bs_raw)
+                lo_prev = jnp.minimum(lo_prev, lo_i)
+                lo_list.append(lo_i)
+                s_list.append(s_ch[:, i])
+                p_list.append(p_ch[:, i])
+                ok_list.append(ok_ch[:, i])
+            chain = (
+                jnp.stack(lo_list, 1).astype(H.dtype),
+                jnp.stack(s_list, 1), jnp.stack(p_list, 1),
+                jnp.stack(ok_list, 1),
+            )
     else:
         start = _bulge_starts(H, start_raw, end, s_arr, p_arr)
+    if skip is not None:
+        # NIBBLE-skipped lanes sit the sweep out (their next AED round
+        # runs on the freshly shrunk window instead).
+        end = jnp.where(skip[:, None], jnp.full_like(end, -1), end)
+
     # NB: lax.scan, NOT lax.fori_loop — on the TPU backend the
     # fori_loop lowering of this body miscompiles (the loop produces
     # O(1)-different results from the identical body run stepwise or
     # under scan; observed on v5e, jax 0.8 era).  Scan is bit-correct.
-    (H, Q, *_), _ = lax.scan(
-        lambda c, k: (
-            _chase_step(k, c, with_q=with_q, n_chain=n_chain), None
-        ),
-        (H, Q, start, end, s_arr, p_arr, hi, chain),
-        jnp.arange(max(n - 1 + 3 * n_chain, 1)),
-    )
+    def _run_scan(operands):
+        Hs, Qs = operands
+        (Hs, Qs, *_), _ = lax.scan(
+            lambda c, k: (
+                _chase_step(k, c, with_q=with_q, n_chain=n_chain), None
+            ),
+            (Hs, Qs, start, end, s_arr, p_arr, hi, chain),
+            jnp.arange(max(n - 1 + 3 * n_chain, 1)),
+        )
+        return Hs, Qs
+
+    if skip is not None:
+        H, Q = lax.cond(
+            jnp.all(skip), lambda o: o, _run_scan, (H, Q)
+        )
+    else:
+        H, Q = _run_scan((H, Q))
     return H, hi, stagnant, Q
 
 
@@ -748,24 +1039,31 @@ def _schur_init(a: jax.Array, balance: bool = True, with_q: bool = False):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "with_q", "npairs")
+    jax.jit, static_argnames=("chunk", "with_q", "npairs", "aed_w")
 )
 @f32_matmuls
 def _schur_sweeps(
-    state, chunk: int, with_q: bool = False, npairs: int = 1
+    state, chunk: int, with_q: bool = False, npairs: int = 1,
+    aed_w: int = 0,
 ):
     """Up to ``chunk`` Francis sweeps (stops early when every lane has
-    deflated).  Kept bounded because the tunnel-attached TPU runtime
-    kills single programs that execute for too long."""
+    deflated), each preceded by an AED round when ``aed_w > 0``.  Kept
+    bounded because the tunnel-attached TPU runtime kills single
+    programs that execute for too long."""
     def cond(st):
         H, Q, hi, stagnant, anorm, it = st
         return (it < chunk) & jnp.any(hi >= 1)
 
     def body(st):
         H, Q, hi, stagnant, anorm, it = st
+        shift_slots, skip = None, None
+        if aed_w > 0:
+            H, Q, hi, stagnant, shift_slots, skip = _aed(
+                H, Q, hi, stagnant, anorm, aed_w, npairs, with_q
+            )
         H, hi, stagnant, Q = _one_sweep(
             H, hi, stagnant, anorm, Q if with_q else None,
-            npairs=npairs,
+            npairs=npairs, shift_slots=shift_slots, skip=skip,
         )
         return H, Q, hi, stagnant, anorm, it + 1
 
@@ -803,12 +1101,28 @@ def _auto_npairs(n: int) -> int:
     return max(2, min(8, n // 32))
 
 
-def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0):
+def _auto_aed_w(n: int, npairs: int) -> int:
+    """Deflation-window size for aggressive early deflation.  Off below
+    n=96 (the trailing-2×2 machinery converges small problems in fewer
+    scan steps than a window solve costs); above, 4·npairs — enough
+    headroom past the 2·npairs harvested shifts for the deflation run
+    to bite (dlaqr0 sizes NW ≈ 3/2·NS the same way)."""
+    if n < 96 or npairs < 1:
+        return 0
+    return min(4 * npairs, max(n // 4, 2))
+
+
+def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0,
+               aed_w=-1):
     B, n, _ = a.shape
     if max_sweeps == 0:
         max_sweeps = 8 * n
     npairs = nshift_pairs if nshift_pairs > 0 else _auto_npairs(n)
     npairs = max(1, min(npairs, n // 8 if n >= 16 else 1))
+    if aed_w < 0:
+        aed_w = _auto_aed_w(n, npairs)
+    if aed_w > 0:
+        aed_w = max(2 * npairs, min(aed_w, max(n // 2, 2)))
     H, Q, hi, stag, anorm, scale = _schur_init(
         a, balance=balance, with_q=with_q
     )
@@ -817,7 +1131,7 @@ def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0):
     while done < max_sweeps:
         state, it = _schur_sweeps(
             state, min(chunk, max_sweeps - done), with_q=with_q,
-            npairs=npairs,
+            npairs=npairs, aed_w=aed_w,
         )
         done += int(it)
         if int(it) < chunk or not bool((state[2] >= 1).any()):
@@ -830,6 +1144,7 @@ def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0):
 def real_schur(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
     balance: bool = True, nshift_pairs: int = 0,
+    aed_w: int = -1,
 ) -> SchurResult:
     """Quasi-upper-triangular (real Schur) form of every matrix in
     ``[B, n, n]`` via Hessenberg + Francis double-shift QR.
@@ -850,7 +1165,7 @@ def real_schur(
             H, jnp.ones((B,), bool), jnp.zeros((), jnp.int32)
         )
     res, done, _, _ = _run_schur(
-        a, max_sweeps, chunk, balance, False, nshift_pairs
+        a, max_sweeps, chunk, balance, False, nshift_pairs, aed_w
     )
     return SchurResult(
         res.T, res.converged, jnp.asarray(done, jnp.int32)
@@ -873,6 +1188,7 @@ class SchurVectors(NamedTuple):
 def real_schur_vectors(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
     balance: bool = True, nshift_pairs: int = 0,
+    aed_w: int = -1,
 ) -> SchurVectors:
     """``real_schur`` with the orthogonal similarity accumulated
     (reflectors applied on the right of Q through Hessenberg and every
@@ -889,7 +1205,7 @@ def real_schur_vectors(
             jnp.ones((B,), bool), jnp.zeros((), jnp.int32),
         )
     res, done, Q, scale = _run_schur(
-        a, max_sweeps, chunk, balance, True, nshift_pairs
+        a, max_sweeps, chunk, balance, True, nshift_pairs, aed_w
     )
     # The Francis iteration deflates real-eigenvalue 2×2 blocks without
     # splitting them (fine for eigenvalues); eigenvector extraction
@@ -909,13 +1225,14 @@ class SchurEigvals(NamedTuple):
 def eigvals_schur(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
     balance: bool = True, nshift_pairs: int = 0,
+    aed_w: int = -1,
 ) -> SchurEigvals:
     """Eigenvalues of a batched real matrix via the real Schur form:
     diagonal entries for 1×1 blocks, exact conjugate pairs from 2×2
     blocks (nonzero subdiagonal entries after deflation)."""
     res = real_schur(
         a, max_sweeps=max_sweeps, chunk=chunk, balance=balance,
-        nshift_pairs=nshift_pairs,
+        nshift_pairs=nshift_pairs, aed_w=aed_w,
     )
     re, im = _eigvals_from_T(res.T)
     return SchurEigvals(re, im, res.converged)
@@ -1168,6 +1485,7 @@ class EigResult(NamedTuple):
 def eig_real_batched(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
     balance: bool = True, nshift_pairs: int = 0,
+    aed_w: int = -1,
 ) -> EigResult:
     """Right eigenvectors of a general real batch at O(n³) per matrix:
     real Schur with accumulated Q, then strevc-style back-substitution
@@ -1178,7 +1496,7 @@ def eig_real_batched(
     columns of a multiple eigenvalue are near-dependent."""
     sv = real_schur_vectors(
         a, max_sweeps=max_sweeps, chunk=chunk, balance=balance,
-        nshift_pairs=nshift_pairs,
+        nshift_pairs=nshift_pairs, aed_w=aed_w,
     )
     Y, valid = _trevc_real(sv.T)
     re, im = _eigvals_from_T(sv.T)
@@ -1284,7 +1602,7 @@ class EigFullResult(NamedTuple):
 def eig_batched(
     a: jax.Array, max_sweeps: int = 0, chunk: int = 64,
     balance: bool = True, refine_steps: int = 0,
-    nshift_pairs: int = 0,
+    nshift_pairs: int = 0, aed_w: int = -1,
 ) -> EigFullResult:
     """Complete right eigendecomposition of a general real batch at
     O(n³) per matrix: real Schur with accumulated Q, then full strevc
@@ -1303,7 +1621,7 @@ def eig_batched(
     no eigenvector polish can cross."""
     sv = real_schur_vectors(
         a, max_sweeps=max_sweeps, chunk=chunk, balance=balance,
-        nshift_pairs=nshift_pairs,
+        nshift_pairs=nshift_pairs, aed_w=aed_w,
     )
     Y_re, Y_im, valid = _trevc_full(sv.T)
     re, im = _eigvals_from_T(sv.T)

@@ -238,6 +238,85 @@ class TestMultishift:
         assert int(done4) < int(done1) * 0.8, (int(done1), int(done4))
 
 
+class TestAED:
+    """Aggressive early deflation (dlaqr2/3 shape): similarity
+    soundness, the strict-inner-deflation regression (a large inner
+    Ahues–Tisseur zeroing re-expressed through Q corrupts global
+    eigenvalues by its entry size — measured 2e-3), and the speed
+    property (fewer rounds than sweeps-only)."""
+
+    def test_aed_round_preserves_spectrum_and_deflates(self):
+        B, n = 3, 96
+        A = gaussian(B, n, seed=7)
+        H, Q, hi, stag, anorm, _sc = schur._schur_init(jnp.asarray(A))
+        ref = [
+            np.linalg.eigvals(A[b].astype(np.float64)) for b in range(B)
+        ]
+        for _ in range(12):
+            H, Q, hi, stag, slots, skip = schur._aed(
+                H, Q, hi, stag, anorm, 16, 4, False
+            )
+            H, hi, stag, Q = schur._one_sweep(
+                H, hi, stag, anorm, None, npairs=4,
+                shift_slots=slots, skip=skip,
+            )
+        assert int(np.asarray(hi).max()) < n - 1   # something deflated
+        Hn = np.asarray(H)[:, :n, :n].astype(np.float64)
+        for b in range(B):
+            got = np.linalg.eigvals(Hn[b])
+            want = ref[b].copy()
+            worst = 0.0
+            for g in got:
+                i = np.argmin(np.abs(want - g))
+                worst = max(worst, abs(want[i] - g))
+                want = np.delete(want, i)
+            assert worst < 5e-4, (b, worst)
+
+    def test_strict_deflate_keeps_large_at_entries(self):
+        # 2×2 coupling with |sub| = 1e-2 but |sub·sup| far below the
+        # Ahues–Tisseur threshold: the default criterion zeroes it (an
+        # eigenvalue-safe deflation), strict mode must keep it (entry-
+        # norm backward stability for AED's Q-faithful similarity).
+        n = 8
+        Hh = np.triu(np.ones((n, n), np.float32), -1) * 2.0
+        for j in range(n):
+            Hh[j, j] = 3.0 + j
+        Hh[4, 3] = 1e-2
+        Hh[3, 4] = 1e-12
+        H = jnp.asarray(np.pad(Hh[None], ((0, 0), (0, 1), (0, 1))))
+        hi = jnp.asarray([n - 1], jnp.int32)
+        stag = jnp.zeros((1,), jnp.int32)
+        anorm = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)
+        Hd, _, _ = schur._deflate(H, hi, stag, anorm)
+        Hs, _, _ = schur._deflate(H, hi, stag, anorm, strict=True)
+        assert np.asarray(Hd)[0, 4, 3] == 0.0
+        assert np.asarray(Hs)[0, 4, 3] == np.float32(1e-2)
+
+    def test_eigvals_aed_matches_numpy_and_converges_faster(self):
+        B, n = 3, 128
+        A = gaussian(B, n, seed=13)
+        res_aed, done_aed, _, _ = schur._run_schur(
+            jnp.asarray(A), 0, 64, True, False
+        )
+        res_off, done_off, _, _ = schur._run_schur(
+            jnp.asarray(A), 0, 64, True, False, aed_w=0
+        )
+        assert bool(np.asarray(res_aed.converged).all())
+        assert int(done_aed) < int(done_off) * 0.7, (
+            int(done_aed), int(done_off)
+        )
+        re, im = schur._eigvals_from_T(res_aed.T)
+        ev = np.asarray(re) + 1j * np.asarray(im)
+        for b in range(B):
+            want = np.linalg.eigvals(A[b].astype(np.float64))
+            worst = 0.0
+            for g in ev[b]:
+                i = np.argmin(np.abs(want - g))
+                worst = max(worst, abs(want[i] - g))
+                want = np.delete(want, i)
+            assert worst < 1e-3, (b, worst)
+
+
 class TestSpectralPipelineSchur:
     def test_matches_qr_method(self):
         from linalg_solver_tpu.models.spectral import spectral_pipeline
