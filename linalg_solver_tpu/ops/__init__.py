@@ -69,12 +69,20 @@ from .rref_blocked import (
     rref_blocked,
     solve_affine_blocked_batched,
 )
+from .symmetric import (
+    EighResult,
+    eigh_batched,
+    is_symmetric_batched,
+    symmetry_defect_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
     "hessenberg", "real_schur", "eigvals_schur",
     "real_schur_vectors", "eig_real_batched",
     "EigFullResult", "eig_batched",
+    "EighResult", "eigh_batched", "is_symmetric_batched",
+    "symmetry_defect_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
