@@ -93,6 +93,10 @@ class SchurResult(NamedTuple):
     T: jax.Array          # [B, n, n] quasi-upper-triangular
     converged: jax.Array  # [B] bool — window fully deflated
     sweeps: jax.Array     # [] i32 — sweeps actually executed
+    # converged WITHOUT any escalated stall-breaker deflation: a lane
+    # with clean=False still reports eigenvalues, but some were split
+    # off by force-zeroing an above-roundoff entry and are degraded.
+    clean: jax.Array = None  # [B] bool
 
 
 def _tridiag_parts(M: jax.Array):
@@ -207,7 +211,7 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
     if strict:
         small_at = jnp.zeros_like(small_at)
         stalled = jnp.zeros_like(stalled)
-    small = (
+    base_small = (
         (jnp.abs(sub) <= tol_local)
         | small_at
         # Unconditional backward-stable deflation: when BOTH the entry
@@ -220,16 +224,26 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
         # until the escalating breaker force-split it at 1e-3 cost.
         | ((jnp.abs(sub) <= eps * anorm[:, None])
            & (pert <= eps * anorm[:, None]))
-        | (
-            stalled[:, None]
-            # The magnitude gate must escalate along with the
-            # perturbation gate: a window bouncing above eps·‖A‖ would
-            # otherwise stall forever.
-            & (jnp.abs(sub) <= (eps * anorm * escal)[:, None])
-            & (pert <= (eps * anorm * escal)[:, None])
-        )
     )
+    stall_small = (
+        stalled[:, None]
+        # The magnitude gate must escalate along with the
+        # perturbation gate: a window bouncing above eps·‖A‖ would
+        # otherwise stall forever.
+        & (jnp.abs(sub) <= (eps * anorm * escal)[:, None])
+        & (pert <= (eps * anorm * escal)[:, None])
+    )
+    small = base_small | stall_small
     sub0 = jnp.where(small, 0.0, sub)
+    # Honesty flag: the escalating stall-breaker force-zeroed an entry
+    # well above the roundoff floor (8·eps·‖A‖) — the lane will report
+    # converged but its eigenvalues near that entry are degraded
+    # (measured up to O(1) on hard spectra).  Surfaced as ``clean``.
+    forced_now = jnp.any(
+        stall_small & ~base_small
+        & (jnp.abs(sub) > 8.0 * (eps * anorm)[:, None]),
+        axis=1,
+    )
     # Write sub0 back onto the subdiagonal (position (j+1, j) takes
     # sub0[:, j] — a column-broadcast under the subdiagonal mask).
     sub0_pad = jnp.concatenate(
@@ -255,7 +269,7 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
         (hi, jnp.zeros((B,), bool)), None, length=4,
     )
     stagnant = jnp.where(moved, 0, stagnant + 1)
-    return H, hi, stagnant
+    return H, hi, stagnant, forced_now
 
 
 def _block_bounds(H, hi):
@@ -417,7 +431,7 @@ def _window_shift_pairs(H, hi, start_raw, npairs: int):
 
     def body(st):
         Hw, hw, stag, it = st
-        Hw, hw, stag, _ = _one_sweep(Hw, hw, stag, anorm_w)
+        Hw, hw, stag, _, _ = _one_sweep(Hw, hw, stag, anorm_w)
         return Hw, hw, stag, it + 1
 
     Hw, _, _, _ = lax.while_loop(cond, body, state0)
@@ -548,7 +562,7 @@ def _aed(H, Q, hi, stagnant, anorm, w: int, npairs: int,
 
     def body(st):
         Hw, Qw, hw, stg, it = st
-        Hw, hw, stg, Qw = _one_sweep(
+        Hw, hw, stg, Qw, _ = _one_sweep(
             Hw, hw, stg, anorm_w, Qw, strict_deflate=True
         )
         return Hw, Qw, hw, stg, it + 1
@@ -680,18 +694,18 @@ def _aed(H, Q, hi, stagnant, anorm, w: int, npairs: int,
     # --- write back: similarity by the embedded Qw, then force the
     # window block and the collapsed spike column exactly ---
     C = jax.vmap(
-        lambda h, s0: lax.dynamic_slice(h, (0, s0), (npad, w))
+        lambda h, s0: lax.dynamic_slice(h, (s0 * 0, s0), (npad, w))
     )(H, ws)
     C = jnp.einsum("bij,bjk->bik", C, Qw, precision=_HIGH)
     H = jax.vmap(
-        lambda h, c, s0: lax.dynamic_update_slice(h, c, (0, s0))
+        lambda h, c, s0: lax.dynamic_update_slice(h, c, (s0 * 0, s0))
     )(H, C, ws)
     R = jax.vmap(
-        lambda h, s0: lax.dynamic_slice(h, (s0, 0), (w, npad))
+        lambda h, s0: lax.dynamic_slice(h, (s0, s0 * 0), (w, npad))
     )(H, ws)
     R = jnp.einsum("bji,bjk->bik", Qw, R, precision=_HIGH)
     H = jax.vmap(
-        lambda h, r, s0: lax.dynamic_update_slice(h, r, (s0, 0))
+        lambda h, r, s0: lax.dynamic_update_slice(h, r, (s0, s0 * 0))
     )(H, R, ws)
     H = jax.vmap(
         lambda h, t, s0: lax.dynamic_update_slice(h, t, (s0, s0))
@@ -710,12 +724,12 @@ def _aed(H, Q, hi, stagnant, anorm, w: int, npairs: int,
     if with_q:
         Qc = jax.vmap(
             lambda q, s0: lax.dynamic_slice(
-                q, (0, s0), (Q.shape[1], w)
+                q, (s0 * 0, s0), (Q.shape[1], w)
             )
         )(Q, ws)
         Qc = jnp.einsum("bij,bjk->bik", Qc, Qw, precision=_HIGH)
         Q = jax.vmap(
-            lambda q, c, s0: lax.dynamic_update_slice(q, c, (0, s0))
+            lambda q, c, s0: lax.dynamic_update_slice(q, c, (s0 * 0, s0))
         )(Q, Qc, ws)
 
     win_sz = jnp.maximum(hi_w0 + 1, 1)
@@ -744,7 +758,7 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1,
     if not with_q:
         Q = jnp.zeros((B, 1, 1), H.dtype)
 
-    H, hi, stagnant = _deflate(
+    H, hi, stagnant, forced = _deflate(
         H, hi, stagnant, anorm, strict=strict_deflate
     )
     start_raw, end = _block_bounds(H, hi)
@@ -846,7 +860,7 @@ def _one_sweep(H, hi, stagnant, anorm, Q=None, npairs: int = 1,
         )
     else:
         H, Q = _run_scan((H, Q))
-    return H, hi, stagnant, Q
+    return H, hi, stagnant, Q, forced
 
 
 def _chase_step(k, carry, with_q: bool = False, n_chain: int = 0):
@@ -1051,39 +1065,44 @@ def _schur_sweeps(
     bounded because the tunnel-attached TPU runtime kills single
     programs that execute for too long."""
     def cond(st):
-        H, Q, hi, stagnant, anorm, it = st
+        H, Q, hi, stagnant, anorm, forced, it = st
         return (it < chunk) & jnp.any(hi >= 1)
 
     def body(st):
-        H, Q, hi, stagnant, anorm, it = st
+        H, Q, hi, stagnant, anorm, forced, it = st
         shift_slots, skip = None, None
         if aed_w > 0:
             H, Q, hi, stagnant, shift_slots, skip = _aed(
                 H, Q, hi, stagnant, anorm, aed_w, npairs, with_q
             )
-        H, hi, stagnant, Q = _one_sweep(
+        H, hi, stagnant, Q, forced_now = _one_sweep(
             H, hi, stagnant, anorm, Q if with_q else None,
             npairs=npairs, shift_slots=shift_slots, skip=skip,
         )
-        return H, Q, hi, stagnant, anorm, it + 1
+        return H, Q, hi, stagnant, anorm, forced | forced_now, it + 1
 
-    H, Q, hi, stagnant, anorm = state
-    H, Q, hi, stagnant, anorm, it = lax.while_loop(
-        cond, body, (H, Q, hi, stagnant, anorm, jnp.zeros((), jnp.int32))
+    H, Q, hi, stagnant, anorm, forced = state
+    H, Q, hi, stagnant, anorm, forced, it = lax.while_loop(
+        cond, body,
+        (H, Q, hi, stagnant, anorm, forced, jnp.zeros((), jnp.int32)),
     )
-    return (H, Q, hi, stagnant, anorm), it
+    return (H, Q, hi, stagnant, anorm, forced), it
 
 
 @jax.jit
 def _schur_finalize(state):
-    H, Q, hi, stagnant, anorm = state
-    H, hi, _ = _deflate(H, hi, stagnant, anorm)
+    H, Q, hi, stagnant, anorm, forced = state
+    H, hi, _, forced_fin = _deflate(H, hi, stagnant, anorm)
     n = H.shape[1] - 1
     T = H[:, :n, :n]
     # Everything below the first subdiagonal is mathematically zero;
     # wipe the bulge-chase roundoff residue (~ulp·‖A‖).
     T = jnp.where(jnp.tril(jnp.ones((n, n), bool), -2)[None], 0.0, T)
-    return SchurResult(T, hi < 1, jnp.zeros((), jnp.int32))
+    conv = hi < 1
+    return SchurResult(
+        T, conv, jnp.zeros((), jnp.int32),
+        conv & ~(forced | forced_fin),
+    )
 
 
 def _auto_npairs(n: int) -> int:
@@ -1104,17 +1123,34 @@ def _auto_npairs(n: int) -> int:
 def _auto_aed_w(n: int, npairs: int) -> int:
     """Deflation-window size for aggressive early deflation.  Off below
     n=96 (the trailing-2×2 machinery converges small problems in fewer
-    scan steps than a window solve costs); above, 4·npairs — enough
-    headroom past the 2·npairs harvested shifts for the deflation run
-    to bite (dlaqr0 sizes NW ≈ 3/2·NS the same way)."""
+    scan steps than a window solve costs); above, ``max(n/16,
+    4·npairs)`` capped at 64 — headroom past the 2·npairs harvested
+    shifts lets the deflation run bite, and bigger windows pay off as n
+    grows (measured on-chip at n=1024: w=64 73.5 s vs w=32 103 s; the
+    cap holds the inner solve's program size under the remote TPU
+    runtime's limits)."""
     if n < 96 or npairs < 1:
         return 0
-    return min(4 * npairs, max(n // 4, 2))
+    return min(max(n // 16, 4 * npairs), 64)
 
 
 def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0,
                aed_w=-1):
     B, n, _ = a.shape
+    if a.dtype == jnp.float64 and jax.default_backend() != "cpu":
+        # float64 works end-to-end on CPU (eigenvalues ~1e-13), but the
+        # TPU backend's emulated-f64 lowering of the iteration corrupts
+        # long runs: measured dev 0.3-1.9 after full convergence at
+        # n=96 in EVERY configuration (plain double-shift, multishift,
+        # AED), while 6 isolated sweeps are exact to 4e-13 — the same
+        # accumulating-miscompile family as the documented fori_loop
+        # bulge-chase bug.  Refuse rather than return garbage.
+        raise NotImplementedError(
+            "float64 Schur iteration is unsupported on the TPU backend "
+            "(XLA f64 emulation corrupts long iterations); run the f64 "
+            "path on CPU (jax.config jax_platforms='cpu') or cast to "
+            "float32 for the TPU path."
+        )
     if max_sweeps == 0:
         max_sweeps = 8 * n
     npairs = nshift_pairs if nshift_pairs > 0 else _auto_npairs(n)
@@ -1126,7 +1162,7 @@ def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0,
     H, Q, hi, stag, anorm, scale = _schur_init(
         a, balance=balance, with_q=with_q
     )
-    state = (H, Q, hi, stag, anorm)
+    state = (H, Q, hi, stag, anorm, jnp.zeros((B,), bool))
     done = 0
     while done < max_sweeps:
         state, it = _schur_sweeps(
@@ -1162,13 +1198,14 @@ def real_schur(
     if n <= 2:
         H = hessenberg(a)
         return SchurResult(
-            H, jnp.ones((B,), bool), jnp.zeros((), jnp.int32)
+            H, jnp.ones((B,), bool), jnp.zeros((), jnp.int32),
+            jnp.ones((B,), bool),
         )
     res, done, _, _ = _run_schur(
         a, max_sweeps, chunk, balance, False, nshift_pairs, aed_w
     )
     return SchurResult(
-        res.T, res.converged, jnp.asarray(done, jnp.int32)
+        res.T, res.converged, jnp.asarray(done, jnp.int32), res.clean
     )
 
 
@@ -1183,6 +1220,7 @@ class SchurVectors(NamedTuple):
     scale: jax.Array      # [B, n] balance diagonal
     converged: jax.Array  # [B]
     sweeps: jax.Array     # [] i32
+    clean: jax.Array = None  # [B] — converged w/o forced deflations
 
 
 def real_schur_vectors(
@@ -1203,6 +1241,7 @@ def real_schur_vectors(
         return SchurVectors(
             Hh, Qh, jnp.ones((B, n), Hh.dtype),
             jnp.ones((B,), bool), jnp.zeros((), jnp.int32),
+            jnp.ones((B,), bool),
         )
     res, done, Q, scale = _run_schur(
         a, max_sweeps, chunk, balance, True, nshift_pairs, aed_w
@@ -1212,7 +1251,8 @@ def real_schur_vectors(
     # needs them triangular.
     T, Q = _standardize_real_blocks(res.T, Q)
     return SchurVectors(
-        T, Q, scale, res.converged, jnp.asarray(done, jnp.int32)
+        T, Q, scale, res.converged, jnp.asarray(done, jnp.int32),
+        res.clean,
     )
 
 
@@ -1220,6 +1260,7 @@ class SchurEigvals(NamedTuple):
     real: jax.Array  # [B, n]
     imag: jax.Array  # [B, n]
     converged: jax.Array  # [B]
+    clean: jax.Array = None  # [B] — converged w/o forced deflations
 
 
 def eigvals_schur(
@@ -1235,7 +1276,7 @@ def eigvals_schur(
         nshift_pairs=nshift_pairs, aed_w=aed_w,
     )
     re, im = _eigvals_from_T(res.T)
-    return SchurEigvals(re, im, res.converged)
+    return SchurEigvals(re, im, res.converged, res.clean)
 
 
 @jax.jit
@@ -1480,6 +1521,7 @@ class EigResult(NamedTuple):
     vectors: jax.Array    # [B, n, n] — column i pairs with eigenvalue i
     valid: jax.Array      # [B, n] — True where a real eigenvector exists
     converged: jax.Array  # [B]
+    clean: jax.Array = None  # [B] — converged w/o forced deflations
 
 
 def eig_real_batched(
@@ -1506,7 +1548,7 @@ def eig_real_batched(
     norms = jnp.sqrt(jnp.sum(V * V, axis=1))
     V = V / jnp.maximum(norms, 1e-30)[:, None, :]
     V = V * valid[:, None, :]
-    return EigResult(re, im, V, valid, sv.converged)
+    return EigResult(re, im, V, valid, sv.converged, sv.clean)
 
 
 @jax.jit
@@ -1597,6 +1639,7 @@ class EigFullResult(NamedTuple):
     vectors_imag: jax.Array  # [B, n, n]
     valid: jax.Array         # [B, n]
     converged: jax.Array     # [B]
+    clean: jax.Array = None  # [B] — converged w/o forced deflations
 
 
 def eig_batched(
@@ -1644,7 +1687,7 @@ def eig_batched(
     vmask = valid[:, None, :]
     return EigFullResult(
         re, im, V_re / norms * vmask, V_im / norms * vmask,
-        valid, sv.converged,
+        valid, sv.converged, sv.clean,
     )
 
 

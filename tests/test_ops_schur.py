@@ -135,10 +135,12 @@ class TestRealSchur:
         H, _Q, hi, stag, anorm, _scale = schur._schur_init(
             jnp.asarray(A)
         )
-        H2, hi2, st2, _ = jax.jit(schur._one_sweep)(H, hi, stag, anorm)
+        H2, hi2, st2, _, _ = jax.jit(schur._one_sweep)(
+            H, hi, stag, anorm
+        )
 
         # replicate the sweep stepwise
-        Hs, his, sts = jax.jit(schur._deflate)(H, hi, stag, anorm)
+        Hs, his, sts, _ = jax.jit(schur._deflate)(H, hi, stag, anorm)
         start, end = jax.jit(schur._block_bounds)(Hs, his)
         s_arr, p_arr = jax.jit(schur._shifts_per_block)(
             Hs, end, his, sts
@@ -160,6 +162,42 @@ class TestRealSchur:
         np.testing.assert_allclose(
             np.asarray(H2), np.asarray(carry[0]), atol=1e-6
         )
+
+
+class TestFloat64:
+    """The whole Schur/eig stack is dtype-generic: under x64 it runs in
+    float64 end-to-end (the escape from the f32 conditioning ceiling on
+    ill-conditioned spectra — STATUS round plan).  Eigenvalues reach
+    ~1e-13 and eigendecomposition residuals ~1e-14."""
+
+    def test_eig_f64_end_to_end(self):
+        with jax.enable_x64(True):
+            rng = np.random.default_rng(3)
+            A = rng.standard_normal((2, 48, 48))
+            r = schur.eigvals_schur(jnp.asarray(A))
+            assert r.real.dtype == jnp.float64
+            assert bool(np.asarray(r.converged).all())
+            ev = np.asarray(r.real) + 1j * np.asarray(r.imag)
+            worst = 0.0
+            for b in range(2):
+                want = np.linalg.eigvals(A[b])
+                for g in ev[b]:
+                    i = np.argmin(np.abs(want - g))
+                    worst = max(worst, abs(want[i] - g))
+                    want = np.delete(want, i)
+            assert worst < 1e-11, worst
+
+            r2 = schur.eig_batched(jnp.asarray(A))
+            V = np.asarray(r2.vectors_real) + 1j * np.asarray(
+                r2.vectors_imag
+            )
+            lam = np.asarray(r2.real) + 1j * np.asarray(r2.imag)
+            res = np.abs(
+                np.einsum("bij,bjk->bik", A, V)
+                - lam[:, None, :] * V
+            ).max()
+            assert res < 1e-12, res
+            assert bool(np.asarray(r2.valid).all())
 
 
 class TestMultishift:
@@ -256,7 +294,7 @@ class TestAED:
             H, Q, hi, stag, slots, skip = schur._aed(
                 H, Q, hi, stag, anorm, 16, 4, False
             )
-            H, hi, stag, Q = schur._one_sweep(
+            H, hi, stag, Q, _ = schur._one_sweep(
                 H, hi, stag, anorm, None, npairs=4,
                 shift_slots=slots, skip=skip,
             )
@@ -287,10 +325,27 @@ class TestAED:
         hi = jnp.asarray([n - 1], jnp.int32)
         stag = jnp.zeros((1,), jnp.int32)
         anorm = jnp.max(jnp.sum(jnp.abs(H), axis=2), axis=1)
-        Hd, _, _ = schur._deflate(H, hi, stag, anorm)
-        Hs, _, _ = schur._deflate(H, hi, stag, anorm, strict=True)
+        Hd, _, _, _ = schur._deflate(H, hi, stag, anorm)
+        Hs, _, _, _ = schur._deflate(H, hi, stag, anorm, strict=True)
         assert np.asarray(Hd)[0, 4, 3] == 0.0
         assert np.asarray(Hs)[0, 4, 3] == np.float32(1e-2)
+
+    def test_clean_flag_reports_forced_deflations(self):
+        """The escalating stall-breaker keeps lanes from hanging but
+        degrades the eigenvalues it force-splits; ``clean`` must expose
+        that.  Seed 1 lane 0 stalls under the classic single
+        double-shift (no AED); the default AED path converges every
+        lane genuinely."""
+        rng = np.random.default_rng(1)
+        A = rng.standard_normal((4, 128, 128)).astype(np.float32)
+        r1 = schur.eigvals_schur(
+            jnp.asarray(A), nshift_pairs=1, aed_w=0
+        )
+        assert bool(np.asarray(r1.converged).all())
+        assert not bool(np.asarray(r1.clean)[0])
+        r2 = schur.eigvals_schur(jnp.asarray(A))
+        assert bool(np.asarray(r2.converged).all())
+        assert bool(np.asarray(r2.clean).all())
 
     def test_eigvals_aed_matches_numpy_and_converges_faster(self):
         B, n = 3, 128
