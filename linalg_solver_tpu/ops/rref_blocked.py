@@ -222,8 +222,15 @@ def rank_blocked_batched(
     dtype = jnp.result_type(a.dtype, jnp.float32)
     s = max(m, n)
     if m != n:
-        padded = jnp.zeros((B, s, s), dtype)
-        a = padded.at[:, :m, :n].set(a.astype(dtype))
+        # pad/concat, not zeros().at[].set — see augment_square_padded
+        # (eager scatter compiles can segfault XLA:CPU late in long
+        # processes).
+        a = jnp.concatenate(
+            [a.astype(dtype), jnp.zeros((B, m, s - n), dtype)], axis=2
+        )
+        a = jnp.concatenate(
+            [a, jnp.zeros((B, s - m, s), dtype)], axis=1
+        )
     if tol is None:
         eps = jnp.finfo(dtype).eps
         tol = max(m, n) * 100 * eps * jnp.max(jnp.abs(a), axis=(1, 2))

@@ -173,9 +173,21 @@ def augment_square_padded(a, b, tol):
     B, m, n = a.shape
     s = max(m, n)
     dtype = jnp.result_type(a.dtype, jnp.float32)
-    aug = jnp.zeros((B, s, s + 1), dtype)
-    aug = aug.at[:, :m, :n].set(a.astype(dtype))
-    aug = aug.at[:, :m, s].set(b.astype(dtype))
+    # Built by concatenation, not ``zeros().at[].set``: the eager
+    # scatter lowering here reproducibly segfaulted the XLA:CPU JIT
+    # late in long test processes (same compile succeeds early in a
+    # fresh process); pad/concat is also cheaper.
+    top = jnp.concatenate(
+        [
+            a.astype(dtype),
+            jnp.zeros((B, m, s - n), dtype),
+            b.astype(dtype)[..., None],
+        ],
+        axis=2,
+    )
+    aug = jnp.concatenate(
+        [top, jnp.zeros((B, s - m, s + 1), dtype)], axis=1
+    )
     if tol is None:
         eps = jnp.finfo(dtype).eps
         tol = (

@@ -23,6 +23,22 @@ import random
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The XLA:CPU JIT reproducibly SEGFAULTS on a *fresh* compile late in
+    a long single process (~600 accumulated compiled programs; the same
+    compile succeeds in a fresh process — observed twice at the same
+    suite position, moving to the next-compiled program when the
+    original op was rewritten).  Bounding live-executable accumulation
+    to one module's worth keeps the full suite far from the cliff, at
+    the cost of cross-module recompiles.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(autouse=True)
 def _seed_prng():
     random.seed(1234)
