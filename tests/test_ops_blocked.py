@@ -237,3 +237,90 @@ class TestBlockedInverse:
             "blocked", "pallas",
         )
 
+
+
+class TestMixedPrecisionSolve:
+    """``pallas_solve_mixed_batched`` — bf16-factored, iteratively
+    refined solve (the dsgesv/HPL-AI recipe).  On CPU the precision
+    strings are no-ops, so these tests pin the *algebra*: the
+    post-hoc ``_phases_solve`` substitution against the unassembled
+    phase artifacts must reproduce the factorization's solve, and
+    refinement must leave a correct solution fixed.  The precision
+    win itself is measured on-chip (bench)."""
+
+    @pytest.mark.parametrize("krhs", [None, 3])
+    def test_refined_solve_is_accurate(self, krhs):
+        from linalg_solver_tpu.ops.lu_blocked import (
+            pallas_solve_mixed_batched,
+        )
+
+        A = make_batch(4, 16, seed=21, shift=2.0)
+        rng = np.random.RandomState(22)
+        bshape = (4, 16) if krhs is None else (4, 16, krhs)
+        b = rng.randn(*bshape).astype(np.float32)
+        x = np.asarray(
+            pallas_solve_mixed_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=4, ir_steps=2,
+                interpret=True,
+            )
+        )
+        assert x.shape == b.shape
+        if krhs is None:
+            resid = np.einsum("bij,bj->bi", A, x) - b
+        else:
+            resid = np.einsum("bij,bjk->bik", A, x) - b
+        rel = np.abs(resid).max() / np.abs(b).max()
+        assert rel < 1e-5, rel
+
+    def test_zero_refinement_matches_direct_fused_solve(self):
+        """ir_steps=0 is exactly the fused factor+solve algebra —
+        the mixed path's iteration-0 substitution must agree with
+        ``pallas_solve_batched`` (identical pivots and block order;
+        CPU runs both at full precision)."""
+        from linalg_solver_tpu.ops.lu_blocked import (
+            pallas_solve_batched,
+            pallas_solve_mixed_batched,
+        )
+
+        A = make_batch(3, 16, seed=23, shift=2.0)
+        rng = np.random.RandomState(24)
+        b = rng.randn(3, 16, 2).astype(np.float32)
+        x0 = np.asarray(
+            pallas_solve_mixed_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=4, ir_steps=0,
+                interpret=True,
+            )
+        )
+        xd = np.asarray(
+            pallas_solve_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=4, interpret=True
+            )
+        )
+        np.testing.assert_allclose(x0, xd, atol=1e-5)
+
+    def test_refinement_against_fresh_rhs_phases_solve(self):
+        """``_phases_solve`` (the refinement's correction solve) must
+        solve A·x = r for a FRESH right-hand side — i.e. re-applying
+        the stored factorization without refactoring."""
+        from linalg_solver_tpu.ops.lu_blocked import (
+            pallas_solve_mixed_batched,
+        )
+
+        # An extra refinement step on an already-converged solution
+        # must not perturb it beyond roundoff.
+        A = make_batch(3, 16, seed=25, shift=2.0)
+        rng = np.random.RandomState(26)
+        b = rng.randn(3, 16, 2).astype(np.float32)
+        x1 = np.asarray(
+            pallas_solve_mixed_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=4, ir_steps=1,
+                interpret=True,
+            )
+        )
+        x3 = np.asarray(
+            pallas_solve_mixed_batched(
+                jnp.asarray(A), jnp.asarray(b), nb=4, ir_steps=3,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(x1, x3, atol=1e-5)
