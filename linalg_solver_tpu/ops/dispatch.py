@@ -8,6 +8,9 @@ Backends:
   when importable on the current platform.
 - ``"xla"``    — XLA's built-in ``jnp.linalg`` routines, used as the
   external performance baseline in ``bench.py``.
+- ``"mixed"``  — (solve only) bf16-factored + f32 iteratively-refined
+  LU (``lu_blocked.pallas_solve_mixed_batched``); opt-in, N must be
+  divisible by the panel width.
 - ``"auto"``   — pallas if available for the shape/dtype, else loop.
 """
 
@@ -98,6 +101,13 @@ def lu_factor_batched(a: jax.Array, backend: str = "auto"):
 
 def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
     be = _resolve(backend, "solve", a.shape[-1])
+    if be == "mixed":
+        # bf16-factored + f32 iteratively-refined (dsgesv recipe):
+        # fastest well-conditioned solve; callers needing a guarantee
+        # on hard input should residual-check (models.solver).
+        return _lub.pallas_solve_mixed_batched(
+            a, b, nb=_best_nb(a.shape[-1], "pallas")
+        )
     if be == "pallas":
         from . import pallas
 

@@ -324,3 +324,23 @@ class TestMixedPrecisionSolve:
             )
         )
         np.testing.assert_allclose(x1, x3, atol=1e-5)
+
+    def test_dispatch_mixed_backend_routes(self, monkeypatch):
+        """backend="mixed" must reach the iteratively-refined solve
+        (opt-in; never selected by auto)."""
+        from linalg_solver_tpu.ops import dispatch
+
+        called = {}
+
+        def fake(a, b, nb):
+            called["nb"] = nb
+            return b
+
+        monkeypatch.setattr(
+            dispatch._lub, "pallas_solve_mixed_batched", fake
+        )
+        A = jnp.zeros((1, 64, 64), jnp.float32)
+        b = jnp.zeros((1, 64), jnp.float32)
+        out = dispatch.solve_batched(A, b, backend="mixed")
+        assert called["nb"] == 64 and out is b
+        assert dispatch._resolve("auto", "solve", 64) != "mixed"
