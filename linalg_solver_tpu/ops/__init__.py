@@ -75,6 +75,12 @@ from .symmetric import (
     is_symmetric_batched,
     symmetry_defect_batched,
 )
+from .cond import (
+    cond1_est_batched,
+    lu_solve_transposed,
+    lu_solve_transposed_batched,
+    rcond_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -83,6 +89,8 @@ __all__ = [
     "EigFullResult", "eig_batched",
     "EighResult", "eigh_batched", "is_symmetric_batched",
     "symmetry_defect_batched",
+    "cond1_est_batched", "rcond_batched",
+    "lu_solve_transposed", "lu_solve_transposed_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
