@@ -81,6 +81,10 @@ from .cond import (
     lu_solve_transposed_batched,
     rcond_batched,
 )
+from .lstsq import (
+    LstsqResult,
+    lstsq_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -91,6 +95,7 @@ __all__ = [
     "symmetry_defect_batched",
     "cond1_est_batched", "rcond_batched",
     "lu_solve_transposed", "lu_solve_transposed_batched",
+    "LstsqResult", "lstsq_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",

@@ -1,0 +1,131 @@
+"""Least-squares / minimum-norm solves vs the numpy f64 oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from linalg_solver_tpu.ops.lstsq import lstsq_batched
+
+
+def tall(B, m, n, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(B, m, n).astype(np.float32)
+
+
+class TestOverdetermined:
+    @pytest.mark.parametrize("krhs", [None, 3])
+    def test_matches_numpy_lstsq(self, krhs):
+        B, m, n = 4, 24, 10
+        A = tall(B, m, n, seed=1)
+        rng = np.random.RandomState(2)
+        bshape = (B, m) if krhs is None else (B, m, krhs)
+        b = rng.randn(*bshape).astype(np.float32)
+        res = lstsq_batched(jnp.asarray(A), jnp.asarray(b))
+        assert bool(np.asarray(res.ok).all())
+        x = np.asarray(res.x)
+        assert x.shape == ((B, n) if krhs is None else (B, n, krhs))
+        for i in range(B):
+            want = np.linalg.lstsq(
+                A[i].astype(np.float64), b[i], rcond=None
+            )[0]
+            np.testing.assert_allclose(x[i], want, atol=1e-4)
+
+    def test_residual_reported(self):
+        B, m, n = 2, 12, 4
+        A = tall(B, m, n, seed=3)
+        rng = np.random.RandomState(4)
+        b = rng.randn(B, m).astype(np.float32)
+        res = lstsq_batched(jnp.asarray(A), jnp.asarray(b))
+        for i in range(B):
+            x64 = np.linalg.lstsq(
+                A[i].astype(np.float64), b[i], rcond=None
+            )[0]
+            want = np.linalg.norm(A[i].astype(np.float64) @ x64 - b[i])
+            np.testing.assert_allclose(
+                float(np.asarray(res.resid)[i]), want, rtol=1e-4
+            )
+
+    def test_consistent_system_is_exact(self):
+        B, m, n = 3, 20, 8
+        A = tall(B, m, n, seed=5)
+        rng = np.random.RandomState(6)
+        x_true = rng.randn(B, n).astype(np.float32)
+        b = np.einsum("bij,bj->bi", A, x_true)
+        res = lstsq_batched(jnp.asarray(A), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(res.x), x_true, atol=1e-4)
+        assert np.asarray(res.resid).max() < 1e-3
+
+    def test_refinement_fixes_ill_conditioned(self):
+        """κ≈1e3 tall system: refinement must beat the raw
+        CholeskyQR2 normal-equations bias by orders of magnitude."""
+        B, m, n = 2, 40, 12
+        rng = np.random.RandomState(7)
+        U, _ = np.linalg.qr(rng.randn(m, n))
+        V, _ = np.linalg.qr(rng.randn(n, n))
+        s = np.logspace(0, -3, n)
+        A = np.broadcast_to(
+            (U * s) @ V.T, (B, m, n)
+        ).astype(np.float32).copy()
+        b = rng.randn(B, m).astype(np.float32)
+        err = {}
+        want = np.linalg.lstsq(
+            A[0].astype(np.float64), b[0], rcond=None
+        )[0]
+        scale = np.abs(want).max()
+        for steps in (0, 1):
+            res = lstsq_batched(
+                jnp.asarray(A), jnp.asarray(b), ir_steps=steps
+            )
+            err[steps] = (
+                np.abs(np.asarray(res.x)[0] - want).max() / scale
+            )
+        # κ·eps_f32 ≈ 1.2e-4 is the forward-error bound; the refined
+        # solve sits well under it and must not be worse than raw.
+        assert err[1] < 1e-5, err
+        assert err[1] <= err[0], err
+
+
+class TestUnderdetermined:
+    @pytest.mark.parametrize("krhs", [None, 2])
+    def test_minimum_norm_matches_numpy(self, krhs):
+        B, m, n = 4, 8, 20
+        A = tall(B, m, n, seed=8)
+        rng = np.random.RandomState(9)
+        bshape = (B, m) if krhs is None else (B, m, krhs)
+        b = rng.randn(*bshape).astype(np.float32)
+        res = lstsq_batched(jnp.asarray(A), jnp.asarray(b))
+        assert bool(np.asarray(res.ok).all())
+        x = np.asarray(res.x)
+        for i in range(B):
+            want = np.linalg.lstsq(
+                A[i].astype(np.float64), b[i], rcond=None
+            )[0]  # numpy returns the min-norm solution
+            np.testing.assert_allclose(x[i], want, atol=1e-4)
+        assert np.asarray(res.resid).max() < 1e-3  # consistent
+
+    def test_solution_in_row_space(self):
+        B, m, n = 2, 6, 15
+        A = tall(B, m, n, seed=10)
+        rng = np.random.RandomState(11)
+        b = rng.randn(B, m).astype(np.float32)
+        x = np.asarray(lstsq_batched(jnp.asarray(A), jnp.asarray(b)).x)
+        for i in range(B):
+            # x ⊥ ker(A): projecting onto the row space changes nothing
+            proj = A[i].T @ np.linalg.solve(A[i] @ A[i].T, A[i] @ x[i])
+            np.testing.assert_allclose(proj, x[i], atol=1e-3)
+
+
+class TestRankDeficient:
+    def test_flagged_not_silent(self):
+        B, m, n = 2, 12, 5
+        A = tall(B, m, n, seed=12)
+        A[1, :, 4] = A[1, :, 0] + A[1, :, 1]  # dependent column
+        A[1, :, 3] = 2.0 * A[1, :, 0]
+        res = lstsq_batched(jnp.asarray(A), jnp.zeros((B, m)))
+        ok = np.asarray(res.ok)
+        assert bool(ok[0])
+        # lane 1 must either be flagged or still produce a valid
+        # least-squares solution (the shift can regularize mild cases)
+        if bool(ok[1]):
+            assert np.isfinite(np.asarray(res.x)[1]).all()
