@@ -105,9 +105,17 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
         # bf16-factored + f32 iteratively-refined (dsgesv recipe):
         # fastest well-conditioned solve; callers needing a guarantee
         # on hard input should residual-check (models.solver).
-        return _lub.pallas_solve_mixed_batched(
-            a, b, nb=_best_nb(a.shape[-1], "pallas")
+        n = a.shape[-1]
+        nb = next(
+            (w for w in (64, 48, 32, 16, 8) if n % w == 0), None
         )
+        if nb is None:
+            raise ValueError(
+                f"backend='mixed' needs N divisible by a panel width "
+                f"in (64, 48, 32, 16, 8); got N={n} — pad the batch "
+                f"or use backend='auto'."
+            )
+        return _lub.pallas_solve_mixed_batched(a, b, nb=nb)
     if be == "pallas":
         from . import pallas
 

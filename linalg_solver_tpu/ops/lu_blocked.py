@@ -477,17 +477,25 @@ def pallas_solve_batched(
     ph = _pallas_lu_phases(a, nb, interpret, rhs=b)
     m = N // nb
 
-    # Backward: U x = y (U_ij for j > i is a slice of the kept U12 slab).
+    x = _phases_backward(ph, ph.ys, m, nb)
+    return x[:, :, 0] if vector_input else x
+
+
+def _phases_backward(ph: _PallasLUPhases, ys, m: int, nb: int):
+    """Backward substitution ``U x = y`` against the unassembled phase
+    artifacts: ``U_ij`` for j > i is a slice of the kept U12 slab, the
+    diagonal blocks are applied via their cached inverses — zero
+    triangular inversions, zero full-matrix gathers.  Shared by the
+    fused solve and both the iteration-0 and refinement solves of the
+    mixed-precision path."""
     xs: list = [None] * m
     for i in reversed(range(m)):
-        rhs = ph.ys[i]
+        r = ys[i]
         for j in range(i + 1, m):
             w0 = (j - i - 1) * nb
-            rhs = rhs - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
-        xs[i] = ph.u11s_inv[i] @ rhs
-
-    x = jnp.concatenate(xs, axis=1)
-    return x[:, :, 0] if vector_input else x
+            r = r - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
+        xs[i] = ph.u11s_inv[i] @ r
+    return jnp.concatenate(xs, axis=1)
 
 
 def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
@@ -507,14 +515,7 @@ def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
         if i < m - 1:
             L21m = ph.a_out[:, :, i * nb:(i + 1) * nb] * later_masks[i]
             rhs = rhs - L21m @ y_i
-    xs: list = [None] * m
-    for i in reversed(range(m)):
-        r = ys[i]
-        for j in range(i + 1, m):
-            w0 = (j - i - 1) * nb
-            r = r - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
-        xs[i] = ph.u11s_inv[i] @ r
-    return jnp.concatenate(xs, axis=1)
+    return _phases_backward(ph, ys, m, nb)
 
 
 @functools.partial(
@@ -578,14 +579,7 @@ def pallas_solve_mixed_batched(
             later_masks.append((1.0 - cum)[:, :, None])
 
         # Iteration 0's forward substitution rode the phase loop.
-        xs: list = [None] * m
-        for i in reversed(range(m)):
-            r = ph.ys[i]
-            for j in range(i + 1, m):
-                w0 = (j - i - 1) * nb
-                r = r - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
-            xs[i] = ph.u11s_inv[i] @ r
-        x = jnp.concatenate(xs, axis=1)
+        x = _phases_backward(ph, ph.ys, m, nb)
 
     for _ in range(ir_steps):
         # The residual MUST be full precision — it is what the

@@ -1137,7 +1137,9 @@ def _auto_aed_w(n: int, npairs: int) -> int:
 def _run_schur(a, max_sweeps, chunk, balance, with_q, nshift_pairs=0,
                aed_w=-1):
     B, n, _ = a.shape
-    if a.dtype == jnp.float64 and jax.default_backend() != "cpu":
+    if a.dtype == jnp.float64 and jax.default_backend() in (
+        "tpu", "axon"
+    ):
         # float64 works end-to-end on CPU (eigenvalues ~1e-13), but the
         # TPU backend's emulated-f64 lowering of the iteration corrupts
         # long runs: measured dev 0.3-1.9 after full convergence at
