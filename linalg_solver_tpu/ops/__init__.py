@@ -85,6 +85,13 @@ from .lstsq import (
     LstsqResult,
     lstsq_batched,
 )
+from .svd import (
+    SVDResult,
+    cond2_batched,
+    pinv_batched,
+    rank_svd_batched,
+    svd_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -96,6 +103,8 @@ __all__ = [
     "cond1_est_batched", "rcond_batched",
     "lu_solve_transposed", "lu_solve_transposed_batched",
     "LstsqResult", "lstsq_batched",
+    "SVDResult", "svd_batched", "pinv_batched",
+    "cond2_batched", "rank_svd_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
