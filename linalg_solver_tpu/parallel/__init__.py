@@ -1,4 +1,8 @@
-"""Mesh/sharding layer: dp (batch) × tp (contraction) scaling over ICI."""
+"""Mesh/sharding layer: dp (batch) × tp (contraction) scaling over ICI.
+
+Single-matrix scale-out lives in the submodules: ``distributed_lu``
+(square, column-block-cyclic) and ``distributed_tall`` (tall TSQR-class
+QR / least squares / polar / SVD, one [n, n] psum per pass)."""
 
 from .mesh import (
     batch_spec,
@@ -8,6 +12,15 @@ from .mesh import (
     replicated_spec,
     shard_batch,
 )
+from .distributed_tall import (
+    DistributedPolar,
+    DistributedQR,
+    DistributedSVD,
+    distributed_cholqr2,
+    distributed_lstsq,
+    distributed_polar_tall,
+    distributed_svd_tall,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,4 +29,7 @@ __all__ = [
     "replicated_spec",
     "shard_batch",
     "replicate",
+    "DistributedQR", "DistributedPolar", "DistributedSVD",
+    "distributed_cholqr2", "distributed_lstsq",
+    "distributed_polar_tall", "distributed_svd_tall",
 ]
