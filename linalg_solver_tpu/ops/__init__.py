@@ -86,9 +86,11 @@ from .lstsq import (
     lstsq_batched,
 )
 from .svd import (
+    PolarResult,
     SVDResult,
     cond2_batched,
     pinv_batched,
+    polar_batched,
     rank_svd_batched,
     svd_batched,
 )
@@ -105,6 +107,7 @@ __all__ = [
     "LstsqResult", "lstsq_batched",
     "SVDResult", "svd_batched", "pinv_batched",
     "cond2_batched", "rank_svd_batched",
+    "PolarResult", "polar_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",

@@ -94,6 +94,32 @@ def _qdwh_polar(x: jax.Array, l0: float, iters: int):
     return x, ok
 
 
+class PolarResult(NamedTuple):
+    """Polar decomposition ``a = up @ H`` (H symmetric PSD)."""
+
+    up: jax.Array  # [B, m, n] orthogonal (partial isometry for m > n)
+    H: jax.Array   # [B, n, n]
+    ok: jax.Array  # [B]
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+@f32_matmuls
+def polar_batched(a: jax.Array, iters: int = 8) -> PolarResult:
+    """Polar decomposition of a batched [B, m, n] matrix (m ≥ n) —
+    the QDWH iteration exposed directly (orthogonal Procrustes,
+    nearest-orthogonal-matrix, matrix-sign building block)."""
+    B, m, n = a.shape
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(f32)
+    n1 = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=1)
+    ninf = jnp.max(jnp.sum(jnp.abs(a), axis=2), axis=1)
+    alpha = jnp.maximum(jnp.sqrt(n1 * ninf), 1e-30)
+    up, ok = _qdwh_polar(a / alpha[:, None, None], l0=1e-3, iters=iters)
+    H = jnp.einsum("bji,bjk->bik", up, a, precision=_HIGH)
+    H = 0.5 * (H + jnp.swapaxes(H, 1, 2))
+    return PolarResult(up, H, ok)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 @f32_matmuls
 def svd_batched(a: jax.Array, iters: int = 8) -> SVDResult:

@@ -118,3 +118,31 @@ class TestDerived:
             rank_svd_batched(jnp.asarray(np.stack([full, lowr])))
         )
         assert r[0] == 10 and r[1] == 3
+
+
+class TestPolar:
+    def test_polar_properties(self):
+        from linalg_solver_tpu.ops.svd import polar_batched
+
+        A = gaussian(3, 16, 16, seed=9)
+        res = polar_batched(jnp.asarray(A))
+        assert bool(np.asarray(res.ok).all())
+        up, H = np.asarray(res.up), np.asarray(res.H)
+        for i in range(3):
+            np.testing.assert_allclose(up[i] @ H[i], A[i], atol=1e-4)
+            np.testing.assert_allclose(
+                up[i].T @ up[i], np.eye(16), atol=1e-4
+            )
+            w = np.linalg.eigvalsh(H[i].astype(np.float64))
+            assert w.min() > -1e-4
+
+    def test_nearest_orthogonal(self):
+        """up is the orthogonal matrix nearest A in Frobenius norm —
+        cross-check against the SVD construction U@Vt."""
+        from linalg_solver_tpu.ops.svd import polar_batched
+
+        A = gaussian(2, 10, 10, seed=10)
+        up = np.asarray(polar_batched(jnp.asarray(A)).up)
+        for i in range(2):
+            U, _, Vt = np.linalg.svd(A[i].astype(np.float64))
+            np.testing.assert_allclose(up[i], U @ Vt, atol=1e-4)
