@@ -300,3 +300,160 @@ def crt_rank_batched(a, primes=None):
         for p in primes
     ]
     return np.maximum.reduce(ranks)
+
+
+@jax.jit
+def _modular_solve_batched(a: jax.Array, b: jax.Array, p: jax.Array):
+    """Solve ``a x ≡ b (mod p)`` by full Gauss–Jordan over Z_p.
+
+    ``a [B, n, n] int32``, ``b [B, n] int32``, ``p`` scalar prime.
+    Returns ``(x_mod [B, n], det_mod [B], ok [B])`` — ``ok`` False where
+    a is singular mod p (det residue 0; the caller retries the lane's
+    verdict across primes: det(A) ≠ 0 guarantees all but finitely many
+    primes succeed)."""
+    B, n, _ = a.shape
+    M = jnp.mod(
+        jnp.concatenate(
+            [a.astype(jnp.int32), b.astype(jnp.int32)[:, :, None]],
+            axis=2,
+        ),
+        p,
+    )
+    rows = jnp.arange(n)
+
+    def modmul(x, y):
+        return jnp.mod(x * y, p)
+
+    def modinv(x):
+        e = p - 2
+
+        def step(k, carry):
+            acc, base = carry
+            bit = (e >> k) & 1
+            acc = jnp.where(bit > 0, modmul(acc, base), acc)
+            return acc, modmul(base, base)
+
+        acc, _ = lax.fori_loop(0, 16, step, (jnp.ones_like(x), x))
+        return acc
+
+    def body(j, carry):
+        M, det, ok = carry
+        col = M[:, :, j]
+        eligible = (rows[None, :] >= j) & (col != 0)
+        pidx = jnp.argmax(eligible, axis=1)
+        has = eligible.any(axis=1)
+
+        oh_j = (rows[None, :] == j).astype(M.dtype)
+        oh_p = (rows[None, :] == pidx[:, None]).astype(M.dtype)
+        do_swap = has & (pidx != j)
+        row_j = jnp.einsum("bn,bnk->bk", oh_j[: B], M)
+        row_p = jnp.einsum("bn,bnk->bk", oh_p, M)
+        delta = (row_j - row_p) * do_swap[:, None].astype(M.dtype)
+        M = M - oh_j[:, :, None] * delta[:, None, :] \
+              + oh_p[:, :, None] * delta[:, None, :]
+        det = jnp.where(do_swap, jnp.mod(-det, p), det)
+
+        piv = jnp.einsum("bn,bn->b", oh_j[: B], M[:, :, j])
+        det = jnp.where(has, modmul(det, piv), jnp.zeros_like(det))
+        inv = modinv(jnp.where(has, piv, 1))
+        # Normalize the pivot row, then eliminate EVERY other row
+        # (Gauss–Jordan): after n steps the left block is I.
+        pivot_row = modmul(
+            jnp.einsum("bn,bnk->bk", oh_j[: B], M), inv[:, None]
+        )
+        M = M * (1 - oh_j[:, :, None]).astype(M.dtype) \
+            + pivot_row[:, None, :] * oh_j[:, :, None].astype(M.dtype)
+        others = (1 - oh_j)[:, :, None].astype(M.dtype)
+        factors = M[:, :, j] * (1 - oh_j).astype(M.dtype)
+        M = jnp.mod(
+            M - modmul(factors[:, :, None], pivot_row[:, None, :]) * others,
+            p,
+        )
+        ok = ok & has
+        return M, det, ok
+
+    init = (
+        M,
+        jnp.ones((B,), jnp.int32),
+        jnp.ones((B,), bool),
+    )
+    M, det, ok = lax.fori_loop(0, n, body, init)
+    det = jnp.where(ok, det, 0)
+    return M[:, :, n], det, ok
+
+
+def crt_solve_batched(a, b, primes=None):
+    """EXACT rational solution of integer systems ``a x = b`` (square,
+    nonsingular): Cramer's rule assembled from device modular solves.
+
+    Per 15-bit prime, one batched Gauss–Jordan over Z_p yields
+    ``x_p = A⁻¹b mod p`` and ``det_p``; the integer vector
+    ``y = adj(A)·b = det(A)·x`` and ``det(A)`` are CRT-reconstructed on
+    the host over enough primes to cover Hadamard's bound, and the
+    exact answer is ``x_i = y_i / det`` as ``fractions.Fraction``.
+
+    The device does ALL the O(K·n³·B) elimination work in int32 residue
+    arithmetic; the host does O(K·n) bigint ops per matrix.  This is
+    the device-native counterpart of the reference's exact
+    ``find_preimage_of`` on regular systems (reference
+    linalg.py:632-680) — same exactness, MXU/VPU throughput.
+
+    Returns ``(xs, dets)``: ``xs[b]`` a list of n Fractions (or None
+    where the matrix is singular — det 0), ``dets[b]`` the exact
+    integer determinant.
+    """
+    import numpy as np
+    from fractions import Fraction
+
+    a = jnp.asarray(a, jnp.int32)
+    b = jnp.asarray(b, jnp.int32)
+    B, n, _ = a.shape
+    amax = int(jnp.max(jnp.abs(a)))
+    bmax = int(jnp.max(jnp.abs(b)))
+    if primes is None:
+        # y = adj(A)b: |y_i| ≤ n·bmax·H(n−1, amax); det: H(n, amax).
+        bits_y = _hadamard_bits(max(n - 1, 1), amax) + max(
+            math.ceil(math.log2(n * max(bmax, 1) + 1)), 1
+        )
+        bits = max(bits_y, _hadamard_bits(n, amax))
+        count = max(bits // 15 + 1, 2)
+        if count > len(_PRIMES):
+            raise ValueError(
+                f"solution bound needs {count} primes; "
+                f"only {len(_PRIMES)} configured"
+            )
+        primes = _PRIMES[:count]
+
+    xs_mod, dets_mod, oks = [], [], []
+    for p in primes:
+        x_p, det_p, ok_p = _modular_solve_batched(a, b, jnp.int32(p))
+        # y_p = det·x mod p — the Cramer numerator's residue.
+        xs_mod.append(np.asarray(jnp.mod(x_p * det_p[:, None], p)))
+        dets_mod.append(np.asarray(det_p))
+        oks.append(np.asarray(ok_p))
+
+    Pprod = 1
+    for p in primes:
+        Pprod *= p
+
+    def crt(res_per_prime):
+        x = 0
+        for p, r in zip(primes, res_per_prime):
+            q = Pprod // p
+            x += int(r) * q * pow(q, -1, p)
+        x %= Pprod
+        return x - Pprod if x > Pprod // 2 else x
+
+    xs, dets = [], []
+    for lane in range(B):
+        det = crt([d[lane] for d in dets_mod])
+        dets.append(det)
+        if det == 0:
+            xs.append(None)
+            continue
+        lane_x = []
+        for i in range(n):
+            y_i = crt([xm[lane][i] for xm in xs_mod])
+            lane_x.append(Fraction(y_i, det))
+        xs.append(lane_x)
+    return xs, dets

@@ -184,3 +184,74 @@ class TestCRT:
         A[1, :, 9] = A[1, :, 1]
         r = crt_rank_batched(A)
         assert list(r) == [10, 8, 10]
+
+
+class TestCRTSolve:
+    """Exact rational solve via device modular Gauss-Jordan + host CRT
+    (Cramer: x = adj(A)b / det)."""
+
+    def test_exact_solution(self):
+        from fractions import Fraction
+
+        from linalg_solver_tpu.ops.exact_int import crt_solve_batched
+
+        rng = np.random.RandomState(11)
+        B, n = 4, 10
+        A = rng.randint(-9, 10, size=(B, n, n)).astype(np.int32)
+        b = rng.randint(-9, 10, size=(B, n)).astype(np.int32)
+        xs, dets = crt_solve_batched(A, b)
+        for lane in range(B):
+            if xs[lane] is None:
+                assert dets[lane] == 0
+                continue
+            for i in range(n):
+                s = sum(
+                    Fraction(int(A[lane][i][j])) * xs[lane][j]
+                    for j in range(n)
+                )
+                assert s == b[lane][i]
+
+    def test_det_matches_crt_det(self):
+        from linalg_solver_tpu.ops.exact_int import (
+            crt_det_batched, crt_solve_batched,
+        )
+
+        rng = np.random.RandomState(12)
+        A = rng.randint(-20, 21, size=(3, 12, 12)).astype(np.int32)
+        b = rng.randint(-5, 6, size=(3, 12)).astype(np.int32)
+        _, dets = crt_solve_batched(A, b)
+        assert dets == crt_det_batched(A)
+
+    def test_singular_lane_flagged(self):
+        from linalg_solver_tpu.ops.exact_int import crt_solve_batched
+
+        rng = np.random.RandomState(13)
+        A = rng.randint(-5, 6, size=(2, 6, 6)).astype(np.int32)
+        A[1, 4] = 2 * A[1, 2]  # dependent row => det 0
+        b = rng.randint(-5, 6, size=(2, 6)).astype(np.int32)
+        xs, dets = crt_solve_batched(A, b)
+        assert dets[1] == 0 and xs[1] is None
+        assert xs[0] is not None
+
+    def test_matches_exact_host_path(self):
+        """Differential vs the sympy-exact host solve on the same
+        system (the reference semantics: find_preimage_of on a regular
+        matrix has a unique solution)."""
+        import sympy
+        from fractions import Fraction
+
+        from linalg_solver_tpu.ops.exact_int import crt_solve_batched
+
+        rng = np.random.RandomState(14)
+        n = 6
+        A = rng.randint(-5, 6, size=(1, n, n)).astype(np.int32)
+        while sympy.Matrix(A[0].tolist()).det() == 0:
+            A = rng.randint(-5, 6, size=(1, n, n)).astype(np.int32)
+        b = rng.randint(-5, 6, size=(1, n)).astype(np.int32)
+        xs, _ = crt_solve_batched(A, b)
+        want = sympy.Matrix(A[0].tolist()).solve(
+            sympy.Matrix([int(v) for v in b[0]])
+        )
+        for i in range(n):
+            w = sympy.Rational(want[i])
+            assert xs[0][i] == Fraction(int(w.p), int(w.q))
