@@ -17,6 +17,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache: the per-module clear_caches below (segfault
+# guard) otherwise forces cross-module recompiles; with the disk cache
+# those become fast deserializations.
+jax.config.update(
+    "jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu"
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 
