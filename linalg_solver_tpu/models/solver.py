@@ -70,6 +70,26 @@ class BatchedSolver:
 
         return dispatch.affine_solve_batched(a, b, backend=self.backend)
 
+    def lstsq(self, a: jax.Array, b: jax.Array):
+        """Least-squares / minimum-norm solve of full-rank rectangular
+        batches (``ops.lstsq``)."""
+        from ..ops.lstsq import lstsq_batched
+
+        return lstsq_batched(a, b)
+
+    def svd(self, a: jax.Array):
+        """Thin SVD (QDWH polar + eigh, ``ops.svd``)."""
+        from ..ops.svd import svd_batched
+
+        return svd_batched(a)
+
+    def rcond(self, a: jax.Array) -> jax.Array:
+        """[B] reciprocal 1-norm condition estimate (``ops.cond``) —
+        the trust gate: a solve carries ~``-log10(eps/rcond)`` digits."""
+        from ..ops.cond import rcond_batched
+
+        return rcond_batched(a)
+
     def solve_checked(self, a: jax.Array, b: jax.Array,
                       rel_tol: float = 1e-3):
         """Solve + verify: returns ``(x, relative_residuals, ok_mask)``.

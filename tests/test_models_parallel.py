@@ -87,6 +87,32 @@ class TestBatchedSolver:
         assert not bool(sol.is_consistent[1])
         assert int(sol.dim[0]) == 2
 
+    def test_lstsq_svd_rcond_facade(self):
+        """The facade must route to ops.lstsq / ops.svd / ops.cond."""
+        solver = BatchedSolver()
+        rng = np.random.RandomState(3)
+        A = rng.randn(2, 16, 6).astype(np.float32)
+        b = rng.randn(2, 16).astype(np.float32)
+        res = solver.lstsq(jnp.asarray(A), jnp.asarray(b))
+        for i in range(2):
+            want = np.linalg.lstsq(
+                A[i].astype(np.float64), b[i], rcond=None
+            )[0]
+            np.testing.assert_allclose(
+                np.asarray(res.x)[i], want, atol=1e-4
+            )
+        sq = rng.randn(2, 8, 8).astype(np.float32) + 4 * np.eye(
+            8, dtype=np.float32
+        )
+        s = np.asarray(solver.svd(jnp.asarray(sq)).s)
+        for i in range(2):
+            want = np.linalg.svd(
+                sq[i].astype(np.float64), compute_uv=False
+            )
+            np.testing.assert_allclose(s[i], want, atol=1e-4)
+        rc = np.asarray(solver.rcond(jnp.asarray(sq)))
+        assert ((rc > 0) & (rc <= 1.0)).all()
+
 
 class TestTrainingStep:
     def test_loss_decreases_on_mesh(self):
