@@ -94,6 +94,11 @@ from .svd import (
     rank_svd_batched,
     svd_batched,
 )
+from .sylvester import (
+    SylvesterResult,
+    lyapunov_batched,
+    sylvester_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -108,6 +113,7 @@ __all__ = [
     "SVDResult", "svd_batched", "pinv_batched",
     "cond2_batched", "rank_svd_batched",
     "PolarResult", "polar_batched",
+    "SylvesterResult", "sylvester_batched", "lyapunov_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",

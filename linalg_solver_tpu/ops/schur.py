@@ -1702,6 +1702,8 @@ def _shifted_backsolve(T, lam_re, lam_im, R_re, R_im):
     row with safeguarded denominators and joint 2×2 block solves.
     O(n³) total for all n columns."""
     B, n, _ = T.shape
+    k = R_re.shape[2]          # column count (= n for eigenvectors,
+    #                            arbitrary for Sylvester right sides)
     dtype = T.dtype
     eps = jnp.finfo(dtype).eps
     idx = jnp.arange(n)
@@ -1713,8 +1715,8 @@ def _shifted_backsolve(T, lam_re, lam_im, R_re, R_im):
             v, jnp.full((B, 1), 0, jnp.int32) + j, axis=1
         )[:, 0]
 
-    W0_re = jnp.zeros((B, n, n), dtype)
-    W0_im = jnp.zeros((B, n, n), dtype)
+    W0_re = jnp.zeros((B, n, k), dtype)
+    W0_im = jnp.zeros((B, n, k), dtype)
 
     def row_step(carry, j):
         W_re, W_im = carry
@@ -1733,13 +1735,13 @@ def _shifted_backsolve(T, lam_re, lam_im, R_re, R_im):
         s2_re = jnp.einsum("bk,bki->bi", tj1, W_re, precision=_HIGH)
         s2_im = jnp.einsum("bk,bki->bi", tj1, W_im, precision=_HIGH)
         rhs1_re = lax.dynamic_slice(
-            R_re, (0, j, 0), (B, 1, n))[:, 0, :] - s1_re
+            R_re, (0, j, 0), (B, 1, k))[:, 0, :] - s1_re
         rhs1_im = lax.dynamic_slice(
-            R_im, (0, j, 0), (B, 1, n))[:, 0, :] - s1_im
+            R_im, (0, j, 0), (B, 1, k))[:, 0, :] - s1_im
         rhs2_re = lax.dynamic_slice(
-            R_re, (0, jp1, 0), (B, 1, n))[:, 0, :] - s2_re
+            R_re, (0, jp1, 0), (B, 1, k))[:, 0, :] - s2_re
         rhs2_im = lax.dynamic_slice(
-            R_im, (0, jp1, 0), (B, 1, n))[:, 0, :] - s2_im
+            R_im, (0, jp1, 0), (B, 1, k))[:, 0, :] - s2_im
 
         sm = smin[:, None]
         d_re = take_j(diag, j)[:, None] - lam_re
@@ -1781,10 +1783,8 @@ def _shifted_backsolve(T, lam_re, lam_im, R_re, R_im):
         wb_re = (nb_re * det_re + nb_im * det_im) / det2
         wb_im = (nb_im * det_re - nb_re * det_im) / det2
 
-        allc = jnp.ones((1, n), bool)
-
         def put(W, row, new_vals, skip):
-            old = lax.dynamic_slice(W, (0, row, 0), (B, 1, n))[:, 0, :]
+            old = lax.dynamic_slice(W, (0, row, 0), (B, 1, k))[:, 0, :]
             new = jnp.where(skip[:, None], old, new_vals)
             return lax.dynamic_update_slice(
                 W, new[:, None, :], (0, row, 0)
