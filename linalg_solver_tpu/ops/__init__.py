@@ -99,6 +99,12 @@ from .sylvester import (
     lyapunov_batched,
     sylvester_batched,
 )
+from .funm import (
+    expm_batched,
+    logm_spd_batched,
+    powm_spd_batched,
+    sqrtm_spd_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -114,6 +120,8 @@ __all__ = [
     "cond2_batched", "rank_svd_batched",
     "PolarResult", "polar_batched",
     "SylvesterResult", "sylvester_batched", "lyapunov_batched",
+    "expm_batched", "sqrtm_spd_batched", "logm_spd_batched",
+    "powm_spd_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
