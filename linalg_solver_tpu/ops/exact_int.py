@@ -160,7 +160,11 @@ _PRIMES = [
     32749, 32719, 32717, 32713, 32707, 32693, 32687, 32653, 32647,
     32633, 32621, 32611, 32609, 32603, 32587, 32579, 32573, 32569,
     32563, 32561, 32537, 32533, 32531, 32507, 32503, 32497, 32491,
-    32479, 32467, 32443, 32441, 32429,
+    32479, 32467, 32443, 32441, 32429, 32423, 32413, 32411, 32401,
+    32381, 32377, 32371, 32369, 32363, 32359, 32353, 32341, 32327,
+    32323, 32321, 32309, 32303, 32299, 32297, 32261, 32257, 32251,
+    32237, 32233, 32213, 32203, 32191, 32189, 32183, 32173, 32159,
+    32143,
 ]
 
 
@@ -346,20 +350,20 @@ def _modular_solve_batched(a: jax.Array, b: jax.Array, p: jax.Array):
         oh_j = (rows[None, :] == j).astype(M.dtype)
         oh_p = (rows[None, :] == pidx[:, None]).astype(M.dtype)
         do_swap = has & (pidx != j)
-        row_j = jnp.einsum("bn,bnk->bk", oh_j[: B], M)
+        row_j = jnp.einsum("bn,bnk->bk", oh_j, M)
         row_p = jnp.einsum("bn,bnk->bk", oh_p, M)
         delta = (row_j - row_p) * do_swap[:, None].astype(M.dtype)
         M = M - oh_j[:, :, None] * delta[:, None, :] \
               + oh_p[:, :, None] * delta[:, None, :]
         det = jnp.where(do_swap, jnp.mod(-det, p), det)
 
-        piv = jnp.einsum("bn,bn->b", oh_j[: B], M[:, :, j])
+        piv = jnp.einsum("bn,bn->b", oh_j, M[:, :, j])
         det = jnp.where(has, modmul(det, piv), jnp.zeros_like(det))
         inv = modinv(jnp.where(has, piv, 1))
         # Normalize the pivot row, then eliminate EVERY other row
         # (Gauss–Jordan): after n steps the left block is I.
         pivot_row = modmul(
-            jnp.einsum("bn,bnk->bk", oh_j[: B], M), inv[:, None]
+            jnp.einsum("bn,bnk->bk", oh_j, M), inv[:, None]
         )
         M = M * (1 - oh_j[:, :, None]).astype(M.dtype) \
             + pivot_row[:, None, :] * oh_j[:, :, None].astype(M.dtype)
@@ -410,35 +414,56 @@ def crt_solve_batched(a, b, primes=None):
     B, n, _ = a.shape
     amax = int(jnp.max(jnp.abs(a)))
     bmax = int(jnp.max(jnp.abs(b)))
-    if primes is None:
+    if primes is not None:
+        count = len(primes)
+        pool = list(primes)
+    else:
         # y = adj(A)b: |y_i| ≤ n·bmax·H(n−1, amax); det: H(n, amax).
         bits_y = _hadamard_bits(max(n - 1, 1), amax) + max(
             math.ceil(math.log2(n * max(bmax, 1) + 1)), 1
         )
         bits = max(bits_y, _hadamard_bits(n, amax))
         count = max(bits // 15 + 1, 2)
-        if count > len(_PRIMES):
+        # A prime p with det ≡ 0 (mod p) yields no usable residue for
+        # that lane and must be SKIPPED there (its det_p = 0 would
+        # corrupt the CRT into a silently wrong "exact" answer).  A
+        # NONZERO det below the Hadamard bound has < count distinct
+        # 15-bit prime divisors, so a pool of 2·count primes guarantees
+        # ≥ count usable residues per nonsingular lane; a lane failing
+        # on ALL 2·count primes is genuinely singular (its det would
+        # otherwise exceed the bound).
+        pool = _PRIMES
+        if 2 * count > len(pool):
             raise ValueError(
-                f"solution bound needs {count} primes; "
-                f"only {len(_PRIMES)} configured"
+                f"solution bound needs a pool of {2 * count} primes; "
+                f"only {len(pool)} configured"
             )
-        primes = _PRIMES[:count]
 
-    xs_mod, dets_mod, oks = [], [], []
-    for p in primes:
+    # Run primes until every lane has `count` usable residues (or the
+    # pool is exhausted — only singular lanes remain short then).
+    used = []       # (p, x_mod [B, n], det_mod [B], ok [B])
+    successes = np.zeros((B,), int)
+    for p in pool:
         x_p, det_p, ok_p = _modular_solve_batched(a, b, jnp.int32(p))
         # y_p = det·x mod p — the Cramer numerator's residue.
-        xs_mod.append(np.asarray(jnp.mod(x_p * det_p[:, None], p)))
-        dets_mod.append(np.asarray(det_p))
-        oks.append(np.asarray(ok_p))
+        used.append((
+            p,
+            np.asarray(jnp.mod(x_p * det_p[:, None], p)),
+            np.asarray(det_p),
+            np.asarray(ok_p),
+        ))
+        successes += used[-1][3].astype(int)
+        if (successes >= count).all():
+            break
 
-    Pprod = 1
-    for p in primes:
-        Pprod *= p
-
-    def crt(res_per_prime):
+    def crt(pairs):
+        """CRT of [(p, residue)] to the symmetric range."""
+        Pprod = 1
+        for p, _ in pairs:
+            Pprod *= p
         x = 0
-        for p, r in zip(primes, res_per_prime):
+        for p, r in zip([p for p, _ in pairs],
+                        [r for _, r in pairs]):
             q = Pprod // p
             x += int(r) * q * pow(q, -1, p)
         x %= Pprod
@@ -446,14 +471,25 @@ def crt_solve_batched(a, b, primes=None):
 
     xs, dets = [], []
     for lane in range(B):
-        det = crt([d[lane] for d in dets_mod])
-        dets.append(det)
-        if det == 0:
+        lane_used = [
+            (p, xm[lane], dm[lane]) for p, xm, dm, ok in used if ok[lane]
+        ][:count]
+        if len(lane_used) < count:
+            if lane_used:
+                raise ValueError(
+                    f"lane {lane}: only {len(lane_used)} of {count} "
+                    f"usable primes — prime pool exhausted"
+                )
+            # Singular on every tried prime ⇒ det = 0 (a nonzero det
+            # under the bound cannot be divisible by them all).
             xs.append(None)
+            dets.append(0)
             continue
+        det = crt([(p, dm) for p, _, dm in lane_used])
+        dets.append(det)
         lane_x = []
         for i in range(n):
-            y_i = crt([xm[lane][i] for xm in xs_mod])
+            y_i = crt([(p, xm[i]) for p, xm, _ in lane_used])
             lane_x.append(Fraction(y_i, det))
         xs.append(lane_x)
     return xs, dets

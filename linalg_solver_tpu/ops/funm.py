@@ -40,8 +40,14 @@ _PADE13 = (
 #: double-precision accuracy (f32 is comfortably inside).
 _THETA13 = 4.25
 
-#: squaring-count cap: ‖A‖₁ up to θ·2⁶⁴ is representable in f32 anyway.
-_MAX_SQUARINGS = 32
+#: squaring-count cap.  NOTE the f32 accuracy wall: each squaring
+#: doubles the relative error, so after s squarings the result carries
+#: ~2^s·eps — beyond s ≈ 24 (‖A‖₁ ≳ θ·2²⁴ ≈ 7e7) the chain amplifies
+#: roundoff to O(1) and typically overflows to inf/nan (self-signaling,
+#: never silently wrong).  Large-norm exponentials need f64 (run on
+#: CPU under jax.enable_x64 — the code is dtype-generic) or an
+#: eigenbasis method for normal matrices.
+_MAX_SQUARINGS = 64
 
 
 def _mm(x, y):
@@ -79,12 +85,22 @@ def expm_batched(a: jax.Array) -> jax.Array:
     # r = (V − U)⁻¹ (V + U)
     r = jnp.linalg.solve(V - U, V + U)
 
-    # Undo the scaling: square lanes with remaining steps.
-    def body(k, r):
-        r2 = _mm(r, r)
-        return jnp.where((k < s)[:, None, None], r2, r)
+    # Undo the scaling: square lanes with remaining steps.  The trip
+    # count is the per-batch max (dynamic — while_loop allows it), so
+    # typical inputs pay only their own handful of GEMMs.
+    s_max = jnp.max(s)
 
-    return lax.fori_loop(0, _MAX_SQUARINGS, body, r)
+    def cond(st):
+        k, _ = st
+        return k < s_max
+
+    def body(st):
+        k, r = st
+        r2 = _mm(r, r)
+        return k + 1, jnp.where((k < s)[:, None, None], r2, r)
+
+    _, r = lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), r))
+    return r
 
 
 def _spd_spectral(a: jax.Array, f, floor: float):

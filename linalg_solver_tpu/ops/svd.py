@@ -13,7 +13,9 @@ scalar-loop worst case for XLA).  Instead:
    each iteration is one batched Gram GEMM + one batched Cholesky +
    two triangular solves, all MXU work, cubically convergent.
 2. **eigh** of the (symmetric PSD) ``H = U_pᵀA``: ``H = VΣVᵀ`` via the
-   direct symmetric solver (``ops.symmetric``), then ``U = U_p V``.
+   direct symmetric solver (``jnp.linalg.eigh`` under this module's
+   f32 precision contract; H is explicitly symmetrized first), then
+   ``U = U_p V``.
 
 This is the same family XLA uses internally for ``jnp.linalg.svd`` on
 TPU, but under this framework's f32 matmul-precision contract (the
@@ -129,20 +131,10 @@ def svd_batched(a: jax.Array, iters: int = 8) -> SVDResult:
         res = svd_batched(jnp.swapaxes(a, 1, 2), iters=iters)
         return SVDResult(res.V, res.s, res.U, res.ok)
 
-    f32 = jnp.result_type(a.dtype, jnp.float32)
-    a = a.astype(f32)
-    # σmax ≤ √(‖A‖₁·‖A‖∞); scale into QDWH's unit disk.
-    n1 = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=1)
-    ninf = jnp.max(jnp.sum(jnp.abs(a), axis=2), axis=1)
-    alpha = jnp.maximum(jnp.sqrt(n1 * ninf), 1e-30)
-    x = a / alpha[:, None, None]
-
-    up, ok = _qdwh_polar(x, l0=1e-3, iters=iters)
-
     # H = U_pᵀ A is symmetric PSD up to roundoff; eigh gives V and Σ.
-    h = jnp.einsum("bji,bjk->bik", up, a, precision=_HIGH)
-    h = 0.5 * (h + jnp.swapaxes(h, 1, 2))
-    w, V = jnp.linalg.eigh(h)
+    pol = polar_batched(a, iters=iters)
+    up, ok = pol.up, pol.ok
+    w, V = jnp.linalg.eigh(pol.H)
     s = jnp.maximum(w[:, ::-1], 0.0)          # descending, clamp -eps
     V = V[:, :, ::-1]
     U = jnp.einsum("bij,bjk->bik", up, V, precision=_HIGH)

@@ -82,6 +82,8 @@ class DistributedQR(NamedTuple):
     ok: jax.Array  # [] all factors finite
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+@f32_matmuls
 def distributed_cholqr2(
     a: jax.Array, mesh: Mesh, axis: str = "dp"
 ) -> DistributedQR:

@@ -255,3 +255,46 @@ class TestCRTSolve:
         for i in range(n):
             w = sympy.Rational(want[i])
             assert xs[0][i] == Fraction(int(w.p), int(w.q))
+
+    def test_prime_divides_det(self):
+        """A det divisible by a pool prime must NOT corrupt the CRT:
+        the failing prime is skipped for that lane and replaced from
+        the pool (regression: det = 32749 = _PRIMES[0] returned a
+        silently wrong 'exact' x before)."""
+        from fractions import Fraction
+
+        from linalg_solver_tpu.ops.exact_int import (
+            _PRIMES, crt_solve_batched,
+        )
+
+        A = np.array([[[_PRIMES[0]]]], np.int32)
+        b = np.array([[1]], np.int32)
+        xs, dets = crt_solve_batched(A, b)
+        assert dets[0] == _PRIMES[0]
+        assert xs[0][0] == Fraction(1, _PRIMES[0])
+
+        # 2x2 with det = 2 * _PRIMES[1]
+        A2 = np.array(
+            [[[2, 0], [0, _PRIMES[1]]]], np.int32
+        )
+        b2 = np.array([[4, _PRIMES[1]]], np.int32)
+        xs2, dets2 = crt_solve_batched(A2, b2)
+        assert dets2[0] == 2 * _PRIMES[1]
+        assert xs2[0] == [Fraction(2), Fraction(1)]
+
+    def test_expm_large_norm_rotation(self):
+        """(funm regression) expm of a large-norm rotation generator
+        within the f32 squaring-chain accuracy wall (s ≈ 12 here) is a
+        finite orthogonal rotation.  Beyond the wall (s ≳ 24) the chain
+        amplifies roundoff to inf/nan — self-signaling, documented in
+        ops/funm.py — so only the in-range regime is asserted."""
+        import jax.numpy as jnp
+
+        from linalg_solver_tpu.ops.funm import expm_batched
+
+        w = 1e4
+        A = np.array([[[0.0, w], [-w, 0.0]]], np.float32)
+        E = np.asarray(expm_batched(jnp.asarray(A)))[0]
+        assert np.isfinite(E).all()
+        # exp of a skew-symmetric matrix is orthogonal
+        np.testing.assert_allclose(E @ E.T, np.eye(2), atol=1e-3)
