@@ -105,6 +105,17 @@ from .funm import (
     powm_spd_batched,
     sqrtm_spd_batched,
 )
+from .spd import (
+    CholeskyResult,
+    cholesky_batched,
+    cholesky_inverse_batched,
+    cholesky_solve_batched,
+    logdet_spd_batched,
+)
+from .tridiag import (
+    TridiagResult,
+    tridiag_solve_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -122,6 +133,9 @@ __all__ = [
     "SylvesterResult", "sylvester_batched", "lyapunov_batched",
     "expm_batched", "sqrtm_spd_batched", "logm_spd_batched",
     "powm_spd_batched",
+    "CholeskyResult", "cholesky_batched", "cholesky_solve_batched",
+    "cholesky_inverse_batched", "logdet_spd_batched",
+    "TridiagResult", "tridiag_solve_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
