@@ -83,7 +83,9 @@ from .cond import (
 )
 from .lstsq import (
     LstsqResult,
+    QRResult,
     lstsq_batched,
+    qr_batched,
 )
 from .svd import (
     PolarResult,
@@ -126,7 +128,7 @@ __all__ = [
     "symmetry_defect_batched",
     "cond1_est_batched", "rcond_batched",
     "lu_solve_transposed", "lu_solve_transposed_batched",
-    "LstsqResult", "lstsq_batched",
+    "LstsqResult", "lstsq_batched", "QRResult", "qr_batched",
     "SVDResult", "svd_batched", "pinv_batched",
     "cond2_batched", "rank_svd_batched",
     "PolarResult", "polar_batched",

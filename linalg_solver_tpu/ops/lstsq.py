@@ -134,3 +134,32 @@ def lstsq_batched(
     if vector_input:
         return LstsqResult(x[:, :, 0], resid[:, 0], ok)
     return LstsqResult(x, resid, ok)
+
+
+class QRResult(NamedTuple):
+    """Thin QR ``a = Q @ R`` (Q [B, m, n] orthonormal columns,
+    R [B, n, n] upper-triangular)."""
+
+    Q: jax.Array
+    R: jax.Array
+    ok: jax.Array  # [B] factorization finite (full column rank within
+    #                the shift's resolution)
+
+
+@jax.jit
+@f32_matmuls
+def qr_batched(a: jax.Array) -> QRResult:
+    """Thin QR of a batched [B, m, n] matrix with m ≥ n — shifted
+    CholeskyQR2 (two Gram passes; all MXU work, no per-column
+    Householder loop).  The explicitly-f32 replacement for
+    ``jnp.linalg.qr``, which on TPU ignores the precision context
+    (measured |QR−A| ≈ 7e-3 relative — see ops.eigen.householder_qr)."""
+    B, m, n = a.shape
+    if m < n:
+        raise ValueError(
+            f"qr_batched needs m >= n (thin QR); got {m}x{n}. "
+            "Factor the transpose (a = (R^T)(Q^T)) for wide input."
+        )
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    Q, R, ok = _chol_qr2_tall(a)
+    return QRResult(Q, R, ok)

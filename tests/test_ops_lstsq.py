@@ -129,3 +129,30 @@ class TestRankDeficient:
         # least-squares solution (the shift can regularize mild cases)
         if bool(ok[1]):
             assert np.isfinite(np.asarray(res.x)[1]).all()
+
+
+class TestQR:
+    @pytest.mark.parametrize("shape", [(3, 16, 16), (3, 40, 10)])
+    def test_qr_factorizes(self, shape):
+        from linalg_solver_tpu.ops.lstsq import qr_batched
+
+        B, m, n = shape
+        A = tall(B, m, n, seed=20)
+        res = qr_batched(jnp.asarray(A))
+        assert bool(np.asarray(res.ok).all())
+        Q, R = np.asarray(res.Q), np.asarray(res.R)
+        for i in range(B):
+            np.testing.assert_allclose(Q[i] @ R[i], A[i], atol=1e-4)
+            np.testing.assert_allclose(
+                Q[i].T @ Q[i], np.eye(n), atol=1e-5
+            )
+            assert np.abs(np.tril(R[i], -1)).max() < 1e-6
+            # R has positive diagonal (Cholesky convention) — a
+            # deterministic, unique thin QR
+            assert (np.diag(R[i]) > 0).all()
+
+    def test_wide_raises(self):
+        from linalg_solver_tpu.ops.lstsq import qr_batched
+
+        with pytest.raises(ValueError):
+            qr_batched(jnp.zeros((1, 4, 8)))
