@@ -118,6 +118,12 @@ from .tridiag import (
     TridiagResult,
     tridiag_solve_batched,
 )
+from .geig import (
+    GeneralizedEigResult,
+    GeneralizedEighResult,
+    eig_generalized_batched,
+    eigh_generalized_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -138,6 +144,8 @@ __all__ = [
     "CholeskyResult", "cholesky_batched", "cholesky_solve_batched",
     "cholesky_inverse_batched", "logdet_spd_batched",
     "TridiagResult", "tridiag_solve_batched",
+    "GeneralizedEighResult", "eigh_generalized_batched",
+    "GeneralizedEigResult", "eig_generalized_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
