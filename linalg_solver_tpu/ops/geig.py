@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from ..utils.precision import f32_matmuls
 
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 class GeneralizedEighResult(NamedTuple):
@@ -52,11 +51,12 @@ def eigh_generalized_batched(
     C = jax.scipy.linalg.solve_triangular(
         L, jnp.swapaxes(C, 1, 2), lower=True
     )
-    C = 0.5 * (C + jnp.swapaxes(C, 1, 2))
-    w, Y = jnp.linalg.eigh(C)
+    from .symmetric import eigh_batched
+
+    r = eigh_batched(C)  # symmetrizes C; w ascending
     # v = L⁻ᵀ y.
-    V = jax.scipy.linalg.solve_triangular(L, Y, lower=True, trans=1)
-    return GeneralizedEighResult(w, V, chol.ok)
+    V = jax.scipy.linalg.solve_triangular(L, r.V, lower=True, trans=1)
+    return GeneralizedEighResult(r.w, V, chol.ok)
 
 
 class GeneralizedEigResult(NamedTuple):
@@ -72,7 +72,7 @@ class GeneralizedEigResult(NamedTuple):
 
 def eig_generalized_batched(a: jax.Array, b: jax.Array):
     """Solve ``A v = λ B v`` for general square A and invertible B."""
-    from .cond import rcond_batched
+    from .cond import _inv_onenorm_est
     from .lu import lu_factor_batched, lu_solve_batched
     from .schur import eig_batched
 
@@ -82,7 +82,14 @@ def eig_generalized_batched(a: jax.Array, b: jax.Array):
     res = lu_factor_batched(b)
     m = lu_solve_batched(res, a)          # B⁻¹ A
     eg = eig_batched(m)
-    rc = rcond_batched(b)
+    # κ₁(B) from the SAME factorization (Hager estimate — no second LU).
+    onenorm = jnp.max(jnp.sum(jnp.abs(b), axis=1), axis=1)
+    inv_est = jax.vmap(lambda r: _inv_onenorm_est(r, 5))(res)
+    rc = jnp.where(
+        res.ok,
+        1.0 / jnp.maximum(onenorm * inv_est, 1e-30),
+        0.0,
+    )
     ok = res.ok & eg.converged & (rc > 0)
     return GeneralizedEigResult(
         eg.real, eg.imag, eg.vectors_real, eg.vectors_imag,

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..utils.precision import f32_matmuls
 
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 class CholeskyResult(NamedTuple):
@@ -77,6 +76,9 @@ def logdet_spd_batched(a: jax.Array):
     leave f32 range.  Returns ``(logdet, ok)``."""
     res = cholesky_batched(a)
     n = a.shape[-1]
+    # mask-reduce, NOT jnp.diagonal: XLA lowers diagonal to a gather
+    # (measured 0.67 ms on a [256,128,128] batch — ops/lu_blocked.py);
+    # the multiply-reduce fuses into one pass.
     d = jnp.sum(
         res.L * jnp.eye(n, dtype=res.L.dtype), axis=-1
     )
