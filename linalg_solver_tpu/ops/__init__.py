@@ -124,6 +124,11 @@ from .geig import (
     eig_generalized_batched,
     eigh_generalized_batched,
 )
+from .complexlin import (
+    det_complex_batched,
+    inverse_complex_batched,
+    solve_complex_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -146,6 +151,8 @@ __all__ = [
     "TridiagResult", "tridiag_solve_batched",
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
+    "solve_complex_batched", "inverse_complex_batched",
+    "det_complex_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
