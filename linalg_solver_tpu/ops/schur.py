@@ -212,8 +212,16 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
         small_at = jnp.zeros_like(small_at)
         stalled = jnp.zeros_like(stalled)
     base_small = (
-        (jnp.abs(sub) <= tol_local)
-        | small_at
+        # dlahqr's deflation: the hard SMLNUM floor, or the classical
+        # magnitude test REFINED by Ahues–Tisseur.  The AT product test
+        # is only meaningful NESTED inside |h21| ≤ ulp·tst (it decides
+        # whether an already-small subdiagonal is safe to zero) — as a
+        # standalone OR-trigger it deflates any O(1) subdiagonal whose
+        # SUPERdiagonal partner is ~0 (ba = 0 ⇒ test trivially true),
+        # which destroys e.g. companion matrices: eigenvalues {1,2,3}
+        # came back {3±i√2, 0} with converged=True before this gate.
+        (jnp.abs(sub) <= tiny / eps)
+        | ((jnp.abs(sub) <= tol_local) & small_at)
         # Unconditional backward-stable deflation: when BOTH the entry
         # and its eigenvalue-perturbation cost sit at the eps·‖A‖
         # roundoff floor, zeroing is free (the Hessenberg reduction
