@@ -129,6 +129,10 @@ from .complexlin import (
     inverse_complex_batched,
     solve_complex_batched,
 )
+from .roots import (
+    RootsResult,
+    roots_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -153,6 +157,7 @@ __all__ = [
     "GeneralizedEigResult", "eig_generalized_batched",
     "solve_complex_batched", "inverse_complex_batched",
     "det_complex_batched",
+    "RootsResult", "roots_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
