@@ -133,6 +133,10 @@ from .roots import (
     RootsResult,
     roots_batched,
 )
+from .randomized import (
+    RandomizedSVD,
+    randomized_svd_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -158,6 +162,7 @@ __all__ = [
     "solve_complex_batched", "inverse_complex_batched",
     "det_complex_batched",
     "RootsResult", "roots_batched",
+    "RandomizedSVD", "randomized_svd_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",

@@ -1,0 +1,82 @@
+"""Randomized SVD vs the truncated exact SVD."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from linalg_solver_tpu.ops.randomized import randomized_svd_batched
+
+
+def lowrank_plus_noise(B, m, n, r, noise, seed=0):
+    rng = np.random.RandomState(seed)
+    L = rng.randn(B, m, r) @ rng.randn(B, r, n)
+    return (L + noise * rng.randn(B, m, n)).astype(np.float32)
+
+
+class TestRandomizedSVD:
+    def test_recovers_low_rank(self):
+        B, m, n, r = 3, 60, 40, 5
+        A = lowrank_plus_noise(B, m, n, r, noise=0.0, seed=1)
+        res = randomized_svd_batched(jnp.asarray(A), k=r)
+        assert bool(np.asarray(res.ok).all())
+        U, s, V = map(np.asarray, (res.U, res.s, res.V))
+        for i in range(B):
+            rec = (U[i] * s[i]) @ V[i].T
+            scale = np.abs(A[i]).max()
+            assert np.abs(rec - A[i]).max() < 1e-4 * scale
+            want = np.linalg.svd(
+                A[i].astype(np.float64), compute_uv=False
+            )[:r]
+            np.testing.assert_allclose(
+                s[i], want, rtol=1e-4
+            )
+        assert np.asarray(res.resid_est).max() < 1e-3 * scale
+
+    def test_near_optimal_on_decaying_spectrum(self):
+        rng = np.random.RandomState(2)
+        B, m, n, k = 2, 50, 50, 8
+        Uq, _ = np.linalg.qr(rng.randn(m, m))
+        Vq, _ = np.linalg.qr(rng.randn(n, n))
+        sv = np.power(0.5, np.arange(n))
+        A = np.broadcast_to(
+            (Uq[:, :n] * sv) @ Vq.T, (B, m, n)
+        ).astype(np.float32).copy()
+        res = randomized_svd_batched(jnp.asarray(A), k=k)
+        s = np.asarray(res.s)
+        for i in range(B):
+            np.testing.assert_allclose(
+                s[i], sv[:k], rtol=1e-3
+            )
+            # rank-k error near σ_{k+1}
+            rec = (
+                np.asarray(res.U)[i] * s[i]
+            ) @ np.asarray(res.V)[i].T
+            err = np.linalg.norm(
+                A[i] - rec, 2
+            )
+            assert err < 3.0 * sv[k], (err, sv[k])
+
+    def test_orthonormal_factors(self):
+        A = lowrank_plus_noise(2, 30, 45, 6, noise=0.01, seed=3)
+        res = randomized_svd_batched(jnp.asarray(A), k=6)
+        U, V = np.asarray(res.U), np.asarray(res.V)
+        for i in range(2):
+            np.testing.assert_allclose(
+                U[i].T @ U[i], np.eye(6), atol=1e-4
+            )
+            np.testing.assert_allclose(
+                V[i].T @ V[i], np.eye(6), atol=1e-4
+            )
+
+    def test_resid_est_reports_truncation(self):
+        """Truncating below the true rank must surface in resid_est."""
+        A = lowrank_plus_noise(1, 40, 40, 10, noise=0.0, seed=4)
+        res_full = randomized_svd_batched(jnp.asarray(A), k=10)
+        res_trunc = randomized_svd_batched(jnp.asarray(A), k=3)
+        assert float(np.asarray(res_full.resid_est)[0]) < 1e-2
+        assert (
+            float(np.asarray(res_trunc.resid_est)[0])
+            > 10.0 * float(np.asarray(res_full.resid_est)[0])
+        )
