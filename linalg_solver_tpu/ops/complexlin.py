@@ -64,11 +64,9 @@ def det_complex_batched(
     """Complex determinant; returns ``(det_re, det_im)``.
 
     ``det(embed(M)) = |det(M)|²`` loses the phase, so the determinant
-    is assembled instead from the complex LU of the embedding's
-    solve-free identity: here simply via the real LU of the embedding
-    for the MAGNITUDE and one complex Gauss elimination in re/im
-    arithmetic for the full value — an O(n³) re/im loop kept simple
-    because determinants of complex batches are a cold path."""
+    cannot reuse the real embedding; it is computed directly by one
+    pivoted complex Gauss elimination in re/im arithmetic — an O(n³)
+    loop kept simple because complex determinants are a cold path."""
     B, n, _ = a_re.shape
     f32 = jnp.result_type(a_re.dtype, jnp.float32)
     re = a_re.astype(f32)

@@ -5,12 +5,15 @@ work on directions that carry no signal; the randomized range finder
 gets a near-optimal rank-k approximation from k+p GEMM-projected
 samples — the large-scale production workhorse (PCA, spectral
 embeddings, preconditioner compression).  Everything here is GEMMs +
-the framework's CholeskyQR2 and small-core SVD, so it runs at MXU
-throughput and batches over the leading axis:
+a rank-revealing eigh-of-Gram orthonormalization (a masked cousin of
+``ops.orth._chol_qr`` — the sampled basis is EXACTLY deficient
+whenever k+p exceeds the true rank, where plain CholeskyQR NaNs) and
+the small-core QDWH SVD, so it runs at MXU throughput and batches over
+the leading axis:
 
     Y = (A Aᵀ)^q · A · Ω     (Ω gaussian [n, k+p]; q power iterations
                               sharpen decaying spectra)
-    Q = orth(Y)              (shifted CholeskyQR2)
+    Q = orth(Y)              (rank-revealing eigh orthonormalization)
     B = Qᵀ A                 ([k+p, n] small core)
     B = Ũ Σ Vᵀ  ⇒  A ≈ (QŨ)[:, :k] Σ[:k] V[:, :k]ᵀ
 
@@ -38,6 +41,10 @@ class RandomizedSVD(NamedTuple):
     V: jax.Array          # [B, n, k]
     resid_est: jax.Array  # [B] sampled ‖A − U diag(s) Vᵀ‖₂ estimate
     ok: jax.Array         # [B]
+    #: [B, k] — True where the component carries signal; requesting
+    #: k beyond the input's numerical rank yields trailing False
+    #: columns (their U/V columns are zero, s ~ 0), not garbage.
+    valid: jax.Array = None
 
 
 def _orth_rank_revealing(Y: jax.Array):
@@ -56,7 +63,14 @@ def _orth_rank_revealing(Y: jax.Array):
     gram = jnp.einsum("bji,bjk->bik", Y, Y, precision=_HIGH)
     w, P = jnp.linalg.eigh(gram)
     wmax = jnp.maximum(w[:, -1:], jnp.finfo(dtype).tiny)
-    valid = w > (8.0 * ell * eps) * wmax                 # [B, ell]
+    # Gram eigenvalues below ~eps*wmax are eigh roundoff (they can even
+    # come back negative); anything above is signal.  The floor decides
+    # the method's resolvable dynamic range: sigma down to
+    # ~sqrt(4*eps)*sigma_max (~7e-4 at f32) is kept — the honest limit
+    # of any Gram-based orthonormalization.  (8*ell*eps here dropped
+    # directions 100x above the noise floor: sigma=4e-3*sigma_max
+    # columns came back zero with ok=True.)
+    valid = w > (4.0 * eps) * wmax                       # [B, ell]
     scale = jnp.where(
         valid, 1.0 / jnp.sqrt(jnp.maximum(w, 1e-30)), 0.0
     )
@@ -138,4 +152,6 @@ def randomized_svd_batched(
         "bij,bj,bkj,bkl->bil", U, s, V, w, precision=_HIGH
     )
     resid = jnp.sqrt(jnp.max(jnp.sum((Aw - low) ** 2, axis=1), axis=1))
-    return RandomizedSVD(U, s, V, resid, ok & core.ok)
+    eps = float(jnp.finfo(f32).eps)
+    valid = s > (max(m, n) * eps) * jnp.maximum(s[:, :1], 1e-30)
+    return RandomizedSVD(U, s, V, resid, ok & core.ok, valid)

@@ -47,7 +47,6 @@ def roots_batched(coeffs: jax.Array, **schur_kwargs) -> RootsResult:
     comp = jnp.broadcast_to(sub, (B, d, d))
     first_row = (jnp.arange(d)[None, :, None] == 0).astype(f32)
     comp = comp * (1 - first_row) - monic[:, None, :] * first_row
-    comp = comp.reshape(B, d, d)
 
     ev = eigvals_schur(comp, **schur_kwargs)
     return RootsResult(ev.real, ev.imag, ev.converged, ok)

@@ -179,15 +179,16 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
     nbr = nbr.at[:, :-1].add(jnp.abs(sub[:, 1:]))
     tst = jnp.where(tst <= eps * anorm[:, None], tst + nbr, tst)
     tol_local = eps * tst + tiny
-    # Second criterion (Ahues–Tisseur, as in dlahqr): deflate when the
-    # off-diagonal PRODUCT is negligible against the local diagonal
-    # structure even though |h21| alone is not.  Without it, clustered
-    # spectra stall: mid-window subdiagonals bottom out a small factor
-    # above ulp·|diag| (each sweep's bulge re-pollutes them), the bulge
-    # is then chased through a near-zero entry and washes out the shift
-    # (vanishing-bulge phenomenon), and the window never splits —
-    # measured: multiplicity-85 symmetric spectra at n=256 never
-    # converge, eigenvalue errors O(1).
+    # Second criterion (Ahues–Tisseur, as in dlahqr): REFINES the
+    # classical test — applied only to subdiagonals already inside the
+    # |h21| ≤ ulp·tst gate, where the off-diagonal product decides
+    # whether zeroing is eigenvalue-safe (see base_small below; as a
+    # standalone trigger it deflates O(1) entries whose superdiagonal
+    # partner is ~0 — the companion-matrix bug).  Historical note: the
+    # clustered-spectra stall this test originally patched (mid-window
+    # subdiagonals bouncing above ulp·|diag|, multiplicity-85 spectra
+    # never converging) is now handled by AED windows and the
+    # roundoff-floor criterion.
     ab = jnp.maximum(jnp.abs(sub), jnp.abs(sup))
     ba = jnp.minimum(jnp.abs(sub), jnp.abs(sup))
     aa = jnp.maximum(jnp.abs(h22), jnp.abs(h11 - h22))

@@ -1,7 +1,6 @@
 """Randomized SVD vs the truncated exact SVD."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,8 @@ class TestRandomizedSVD:
             np.testing.assert_allclose(
                 s[i], want, rtol=1e-4
             )
-        assert np.asarray(res.resid_est).max() < 1e-3 * scale
+            assert float(np.asarray(res.resid_est)[i]) < 1e-3 * scale
+        assert bool(np.asarray(res.valid).all())
 
     def test_near_optimal_on_decaying_spectrum(self):
         rng = np.random.RandomState(2)
@@ -79,4 +79,33 @@ class TestRandomizedSVD:
         assert (
             float(np.asarray(res_trunc.resid_est)[0])
             > 10.0 * float(np.asarray(res_full.resid_est)[0])
+        )
+
+    def test_dynamic_range_and_honest_flagging(self):
+        """The Gram-based orthonormalization resolves σ down to
+        ~1e-3·σmax at f32 (the squared-condition floor); components
+        inside that range must be KEPT and accurate (regression: an
+        8·ell·eps threshold zeroed σ = 4e-3·σmax with ok=True), and
+        components below it must come back with valid=False and zero
+        columns — never silent garbage."""
+        rng = np.random.RandomState(7)
+        m = n = 50
+        k = 16
+        Uq, _ = np.linalg.qr(rng.randn(m, m))
+        Vq, _ = np.linalg.qr(rng.randn(n, n))
+        sv = np.power(0.5, np.arange(n))
+        A = ((Uq[:, :n] * sv) @ Vq.T)[None].astype(np.float32)
+        res = randomized_svd_batched(jnp.asarray(A), k=k)
+        assert bool(np.asarray(res.ok).all())
+        valid = np.asarray(res.valid)[0]
+        s = np.asarray(res.s)[0]
+        # everything down to σ = 2e-3·σmax (index 9) is resolvable
+        assert valid[:10].all(), (valid, s)
+        np.testing.assert_allclose(s[:10], sv[:10], rtol=5e-3)
+        # dropped components are flagged and zero, not wrong
+        assert (s[~valid] == 0.0).all()
+        U = np.asarray(res.U)[0][:, valid]
+        kv = int(valid.sum())
+        np.testing.assert_allclose(
+            U.T @ U, np.eye(kv), atol=1e-3
         )
