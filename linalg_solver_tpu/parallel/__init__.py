@@ -15,10 +15,12 @@ from .mesh import (
 from .distributed_tall import (
     DistributedPolar,
     DistributedQR,
+    DistributedRSVD,
     DistributedSVD,
     distributed_cholqr2,
     distributed_lstsq,
     distributed_polar_tall,
+    distributed_randomized_svd,
     distributed_svd_tall,
 )
 
@@ -30,6 +32,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "DistributedQR", "DistributedPolar", "DistributedSVD",
+    "DistributedRSVD",
     "distributed_cholqr2", "distributed_lstsq",
     "distributed_polar_tall", "distributed_svd_tall",
+    "distributed_randomized_svd",
 ]

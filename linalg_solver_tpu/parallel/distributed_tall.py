@@ -223,3 +223,129 @@ def distributed_svd_tall(
         out_specs=P(axis, None),
     )(pol.up, V)
     return DistributedSVD(U, s, V, pol.ok)
+
+
+class DistributedRSVD(NamedTuple):
+    U: jax.Array       # [M, k] row-sharded
+    s: jax.Array       # [k] replicated, descending
+    V: jax.Array       # [n, k] replicated
+    valid: jax.Array   # [k] replicated — False beyond numerical rank
+    ok: jax.Array
+
+
+def _orth_rank_revealing_dist(Y_loc, axis: str):
+    """Rank-revealing orthonormalization of a row-sharded sample block
+    (the distributed twin of ``ops.randomized._orth_rank_revealing``):
+    eigh of the psum'd Gram, dropped directions zeroed, one patched
+    Cholesky refinement — all O(M) work local."""
+    ell = Y_loc.shape[1]
+    dtype = Y_loc.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    eye = jnp.eye(ell, dtype=dtype)
+    gram = _psum_gram(Y_loc, Y_loc, axis)
+    w, P = jnp.linalg.eigh(gram)
+    wmax = jnp.maximum(w[-1:], jnp.finfo(dtype).tiny)
+    valid = w > (4.0 * eps) * wmax
+    scale = jnp.where(
+        valid, 1.0 / jnp.sqrt(jnp.maximum(w, 1e-30)), 0.0
+    )
+    Q = jnp.einsum(
+        "mi,ik->mk", Y_loc, P * scale[None, :], precision=_HIGH
+    )
+    validf = valid.astype(dtype)
+    g2 = _psum_gram(Q, Q, axis)
+    g2 = (
+        g2 * validf[:, None] * validf[None, :]
+        + (1.0 - validf)[None, :] * eye
+    )
+    L = jnp.linalg.cholesky(g2)
+    Q = jax.scipy.linalg.solve_triangular(
+        L, Q.T, lower=True
+    ).T * validf[None, :]
+    return Q, jnp.all(jnp.isfinite(Q))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "k", "oversample", "power_iters"),
+)
+@f32_matmuls
+def distributed_randomized_svd(
+    a: jax.Array, mesh: Mesh, k: int,
+    key: jax.Array = None, axis: str = "dp",
+    oversample: int = 8, power_iters: int = 2,
+) -> DistributedRSVD:
+    """Rank-k randomized SVD of ONE row-sharded [M, n] matrix — the
+    scale-out composition of ``ops.randomized`` over the mesh: probe
+    GEMMs and the final ``U = QŨ`` are local to each shard, every
+    orthonormalization/Gram is one [ell, ell] (or [ell, n]) psum, and
+    the tiny core SVD is replicated.  For M far beyond one chip's HBM
+    with a modest target rank, this touches each shard's rows O(q)
+    times and moves only O(ell²+ell·n) bytes over ICI per pass."""
+    from ..ops.svd import svd_batched
+
+    M, n = a.shape
+    ell = min(k + oversample, n)
+    if k > n:
+        raise ValueError(f"k={k} exceeds n={n}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+
+    def body(a_loc, omega):
+        Y = jnp.einsum(
+            "mi,ik->mk", a_loc, omega, precision=_HIGH
+        )
+        ok = jnp.asarray(True)
+        for _ in range(power_iters):
+            Q, okq = _orth_rank_revealing_dist(Y, axis)
+            ok = ok & okq
+            Z = _psum_gram(a_loc, Q, axis)            # [n, ell] = AᵀQ
+            # orth(Z) is replicated (n-rows live on every shard).
+            gz = jnp.einsum("ni,nk->ik", Z, Z, precision=_HIGH)
+            wz, Pz = jnp.linalg.eigh(gz)
+            vz = wz > 4.0 * float(jnp.finfo(f32).eps) * jnp.maximum(
+                wz[-1:], jnp.finfo(f32).tiny
+            )
+            sz = jnp.where(
+                vz, 1.0 / jnp.sqrt(jnp.maximum(wz, 1e-30)), 0.0
+            )
+            Qz = jnp.einsum(
+                "ni,ik->nk", Z, Pz * sz[None, :], precision=_HIGH
+            )
+            Y = jnp.einsum(
+                "mi,ik->mk", a_loc, Qz, precision=_HIGH
+            )
+        Q, okq = _orth_rank_revealing_dist(Y, axis)
+        ok = ok & okq
+        Bcore = _psum_gram(Q, a_loc, axis)            # [ell, n]
+        # every shard's local finiteness must hold — all-reduce so the
+        # flag is replicated.
+        ok = lax.pmin(ok.astype(jnp.int32), axis) > 0
+        return Q, Bcore, ok
+
+    omega = jax.random.normal(key, (n, ell), f32)
+    Q, Bcore, ok = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=(P(axis, None), P(None, None), P()),
+    )(a.astype(f32), omega)
+
+    core = svd_batched(Bcore[None])
+    s = core.s[0, :k]
+    V = core.V[0, :, :k]
+    Ucore = core.U[0, :, :k]
+
+    def apply_u(q_loc, u_rep):
+        return jnp.einsum(
+            "mi,ik->mk", q_loc, u_rep, precision=_HIGH
+        )
+
+    U = shard_map(
+        apply_u, mesh=mesh,
+        in_specs=(P(axis, None), P(None, None)),
+        out_specs=P(axis, None),
+    )(Q, Ucore)
+    eps = float(jnp.finfo(f32).eps)
+    valid = s > (max(M, n) * eps) * jnp.maximum(s[:1], 1e-30)
+    return DistributedRSVD(U, s, V, valid, ok & core.ok[0])

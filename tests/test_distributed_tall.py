@@ -128,3 +128,45 @@ class TestDistributedPolarSVD:
         )
         sb = np.asarray(svd_batched(jnp.asarray(A[None])).s)[0]
         np.testing.assert_allclose(sd, sb, atol=1e-5)
+
+
+class TestDistributedRSVD:
+    @pytest.mark.parametrize("shards", [2, 8])
+    def test_low_rank_recovery(self, shards):
+        from linalg_solver_tpu.parallel.distributed_tall import (
+            distributed_randomized_svd,
+        )
+
+        mesh = make_mesh(dp=shards, tp=8 // shards)
+        rng = np.random.RandomState(20)
+        M, n, r = 64, 24, 4
+        A = (rng.randn(M, r) @ rng.randn(r, n)).astype(np.float32)
+        res = distributed_randomized_svd(jnp.asarray(A), mesh, k=r)
+        assert bool(np.asarray(res.ok))
+        assert bool(np.asarray(res.valid).all())
+        U, s, V = map(np.asarray, (res.U, res.s, res.V))
+        rec = (U * s) @ V.T
+        assert np.abs(rec - A).max() < 1e-4 * np.abs(A).max()
+        want = np.linalg.svd(
+            A.astype(np.float64), compute_uv=False
+        )[:r]
+        np.testing.assert_allclose(s, want, rtol=1e-4)
+
+    def test_matches_batched_rsvd(self):
+        from linalg_solver_tpu.ops.randomized import (
+            randomized_svd_batched,
+        )
+        from linalg_solver_tpu.parallel.distributed_tall import (
+            distributed_randomized_svd,
+        )
+
+        mesh = make_mesh(dp=4, tp=2)
+        rng = np.random.RandomState(21)
+        A = (rng.randn(48, 6) @ rng.randn(6, 20)).astype(np.float32)
+        sd = np.asarray(
+            distributed_randomized_svd(jnp.asarray(A), mesh, k=6).s
+        )
+        sb = np.asarray(
+            randomized_svd_batched(jnp.asarray(A[None]), k=6).s
+        )[0]
+        np.testing.assert_allclose(sd, sb, rtol=1e-3)
