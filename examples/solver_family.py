@@ -107,6 +107,38 @@ def main() -> None:
     print("generalized eig ok:", bool(np.asarray(ge.ok).all()),
           "rcond(B):", np.round(np.asarray(ge.rcond_b), 4))
 
+    # --- roots / randomized SVD / complex -------------------------------
+    from linalg_solver_tpu.ops import (
+        randomized_svd_batched,
+        roots_batched,
+        solve_complex_batched,
+    )
+
+    coeffs = np.array([[1.0, -6.0, 11.0, -6.0]], np.float32)
+    rr = roots_batched(jnp.asarray(coeffs))
+    print("roots of (x-1)(x-2)(x-3):",
+          np.round(np.sort(np.asarray(rr.real)[0]), 4))
+    low = (rng.randn(B, n, 4) @ rng.randn(B, 4, n)).astype(np.float32)
+    rs = randomized_svd_batched(jnp.asarray(low), k=4)
+    print("rsvd rank-4 resid_est:",
+          float(np.asarray(rs.resid_est).max()))
+    Zr = rng.randn(B, 8, 8).astype(np.float32) + 8 * np.eye(
+        8, dtype=np.float32
+    )
+    Zi = rng.randn(B, 8, 8).astype(np.float32)
+    br_ = rng.randn(B, 8).astype(np.float32)
+    bi_ = rng.randn(B, 8).astype(np.float32)
+    xr, xi = solve_complex_batched(
+        jnp.asarray(Zr), jnp.asarray(Zi), jnp.asarray(br_),
+        jnp.asarray(bi_),
+    )
+    Zc = Zr + 1j * Zi
+    xc = np.asarray(xr) + 1j * np.asarray(xi)
+    rc_ = np.abs(
+        np.einsum("bij,bj->bi", Zc, xc) - (br_ + 1j * bi_)
+    ).max()
+    print("complex solve resid:", float(rc_))
+
     # --- exact rational solve (device residues + host CRT) -------------
     Ai = rng.randint(-9, 10, (2, 6, 6)).astype(np.int32)
     bi = rng.randint(-9, 10, (2, 6)).astype(np.int32)
