@@ -153,5 +153,7 @@ def randomized_svd_batched(
     )
     resid = jnp.sqrt(jnp.max(jnp.sum((Aw - low) ** 2, axis=1), axis=1))
     eps = float(jnp.finfo(f32).eps)
-    valid = s > (max(m, n) * eps) * jnp.maximum(s[:, :1], 1e-30)
+    # rank floor scales with the sample width (the source of spurious
+    # tiny values), not the matrix dimensions — see distributed twin.
+    valid = s > (ell * eps) * jnp.maximum(s[:, :1], 1e-30)
     return RandomizedSVD(U, s, V, resid, ok & core.ok, valid)

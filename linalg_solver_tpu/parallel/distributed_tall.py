@@ -301,20 +301,14 @@ def distributed_randomized_svd(
             Q, okq = _orth_rank_revealing_dist(Y, axis)
             ok = ok & okq
             Z = _psum_gram(a_loc, Q, axis)            # [n, ell] = AᵀQ
-            # orth(Z) is replicated (n-rows live on every shard).
-            gz = jnp.einsum("ni,nk->ik", Z, Z, precision=_HIGH)
-            wz, Pz = jnp.linalg.eigh(gz)
-            vz = wz > 4.0 * float(jnp.finfo(f32).eps) * jnp.maximum(
-                wz[-1:], jnp.finfo(f32).tiny
-            )
-            sz = jnp.where(
-                vz, 1.0 / jnp.sqrt(jnp.maximum(wz, 1e-30)), 0.0
-            )
-            Qz = jnp.einsum(
-                "ni,ik->nk", Z, Pz * sz[None, :], precision=_HIGH
-            )
+            # Z is fully replicated — reuse the batched rank-revealing
+            # orthonormalization (incl. its refinement pass) directly.
+            from ..ops.randomized import _orth_rank_revealing
+
+            Qz, okz = _orth_rank_revealing(Z[None])
+            ok = ok & okz[0]
             Y = jnp.einsum(
-                "mi,ik->mk", a_loc, Qz, precision=_HIGH
+                "mi,ik->mk", a_loc, Qz[0], precision=_HIGH
             )
         Q, okq = _orth_rank_revealing_dist(Y, axis)
         ok = ok & okq
@@ -347,5 +341,9 @@ def distributed_randomized_svd(
         out_specs=P(axis, None),
     )(Q, Ucore)
     eps = float(jnp.finfo(f32).eps)
-    valid = s > (max(M, n) * eps) * jnp.maximum(s[:1], 1e-30)
+    # Rank floor relative to s[0]: scale with the SAMPLE width ell (the
+    # Gram/QDWH roundoff that creates spurious tiny values), NOT the
+    # row count — an M-scaled threshold goes all-False at M ≳ 1/eps,
+    # exactly the huge-M regime this op targets.
+    valid = s > (ell * eps) * jnp.maximum(s[:1], 1e-30)
     return DistributedRSVD(U, s, V, valid, ok & core.ok[0])
