@@ -82,4 +82,17 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally drops between rounds; a transient
+    # backend-init failure should not cost the round's benchmark.
+    import time
+    import traceback
+
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception:
+            if attempt == 2:
+                raise
+            traceback.print_exc()
+            time.sleep(60)
