@@ -137,6 +137,12 @@ from .randomized import (
     RandomizedSVD,
     randomized_svd_batched,
 )
+from .sign import (
+    SignResult,
+    eig_count_left_batched,
+    sign_batched,
+    spectral_projector_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -163,6 +169,8 @@ __all__ = [
     "det_complex_batched",
     "RootsResult", "roots_batched",
     "RandomizedSVD", "randomized_svd_batched",
+    "SignResult", "sign_batched", "eig_count_left_batched",
+    "spectral_projector_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
