@@ -102,9 +102,14 @@ from .sylvester import (
     sylvester_batched,
 )
 from .funm import (
+    LogmResult,
+    SqrtmResult,
     expm_batched,
+    logm_batched,
     logm_spd_batched,
+    powm_batched,
     powm_spd_batched,
+    sqrtm_batched,
     sqrtm_spd_batched,
 )
 from .spd import (
@@ -160,6 +165,8 @@ __all__ = [
     "SylvesterResult", "sylvester_batched", "lyapunov_batched",
     "expm_batched", "sqrtm_spd_batched", "logm_spd_batched",
     "powm_spd_batched",
+    "SqrtmResult", "sqrtm_batched", "LogmResult", "logm_batched",
+    "powm_batched",
     "CholeskyResult", "cholesky_batched", "cholesky_solve_batched",
     "cholesky_inverse_batched", "logdet_spd_batched",
     "TridiagResult", "tridiag_solve_batched",

@@ -1,4 +1,4 @@
-"""Batched matrix functions: expm (general), sqrtm/logm/powm (SPD).
+"""Batched matrix functions: expm/sqrtm/logm/powm (general + SPD).
 
 No counterpart in the reference (exact scalar domain); these round out
 the dense production surface.  TPU-first shapes:
@@ -9,16 +9,30 @@ the dense production surface.  TPU-first shapes:
   handled with a per-lane scale ``2^{-s_b}`` and a fixed-trip squaring
   loop that re-squares only lanes with remaining steps (jit-static
   control flow, per-lane ``where``).
+- ``sqrtm_batched`` — GENERAL principal square root via the coupled
+  Denman–Beavers iteration with determinantal scaling: each step is
+  two batched inverses + elementwise work (no QR/Schur), quadratically
+  convergent for any matrix with no eigenvalues on the closed negative
+  real axis.  The coupled form also yields ``A^{-1/2}`` for free.
+- ``logm_batched`` — GENERAL principal logarithm via inverse scaling
+  and squaring (Higham 2008 ch. 11): take per-lane square roots until
+  ``‖A^{1/2^s} − I‖₁ ≤ θ``, evaluate the [7/7] Padé approximant of
+  ``log(I + E)`` in Gauss–Legendre partial-fraction form (7 batched
+  solves), and scale back by ``2^s`` per lane.
+- ``powm_batched`` — general real power ``A^p = expm(p · logm A)``.
 - ``sqrtm_spd_batched`` / ``logm_spd_batched`` / ``powm_spd_batched``
-  — spectral functions of symmetric positive (semi-)definite input
-  through one ``eigh`` (exactly orthogonal basis, so
-  ``f(A) = V f(Λ) Vᵀ`` is backward stable); the general non-normal
-  sqrtm/logm (quasi-triangular Parlett recurrences) are out of scope.
+  — cheaper spectral forms for symmetric positive (semi-)definite
+  input through one ``eigh`` (exactly orthogonal basis, so
+  ``f(A) = V f(Λ) Vᵀ`` is backward stable); the general entry points
+  above handle the non-normal case.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +115,165 @@ def expm_batched(a: jax.Array) -> jax.Array:
 
     _, r = lax.while_loop(cond, body, (jnp.zeros((), jnp.int32), r))
     return r
+
+
+class SqrtmResult(NamedTuple):
+    """``Y ≈ A^{1/2}`` (principal), ``Yinv ≈ A^{-1/2}``, per-lane
+    ``converged``, and the Newton steps executed."""
+
+    Y: jax.Array
+    Yinv: jax.Array
+    converged: jax.Array
+    iters: jax.Array
+
+
+class LogmResult(NamedTuple):
+    """``L ≈ log A`` (principal), per-lane ``converged``, and the
+    per-lane inverse-scaling square-root counts ``roots``."""
+
+    L: jax.Array
+    converged: jax.Array
+    roots: jax.Array
+
+
+def _db_sqrt(a: jax.Array, max_iters: int):
+    """Coupled Denman–Beavers iteration with determinantal scaling.
+
+    Y ← (μY + (μZ)⁻¹)/2,  Z ← (μZ + (μY)⁻¹)/2,
+    μ = |det Y · det Z|^{-1/(2n)}.
+
+    Y → A^{1/2}, Z → A^{-1/2} quadratically for any A with no
+    eigenvalues on the closed negative real axis.  Each step is two
+    batched inverses + elementwise work — all MXU-friendly.  Converged
+    lanes freeze (further steps only stir roundoff).
+    """
+    B, n, _ = a.shape
+    dtype = a.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    eye = jnp.eye(n, dtype=dtype)
+    anorm = jnp.maximum(
+        jnp.max(jnp.abs(a), axis=(1, 2)), jnp.finfo(dtype).tiny
+    )
+
+    def relchange(Y_new, Y):
+        num = jnp.max(jnp.abs(Y_new - Y), axis=(1, 2))
+        den = jnp.maximum(jnp.max(jnp.abs(Y_new), axis=(1, 2)), 1e-30)
+        return num / den
+
+    def cond(st):
+        _, _, k, done = st
+        return (k < max_iters) & ~jnp.all(done)
+
+    def body(st):
+        Y, Z, k, done = st
+        sy, ly = jnp.linalg.slogdet(Y)
+        sz, lz = jnp.linalg.slogdet(Z)
+        mu = jnp.exp(-(ly + lz) / (2.0 * n))
+        mu = jnp.where(jnp.isfinite(mu) & (mu > 0), mu, 1.0)
+        mu = mu[:, None, None]
+        Yinv = jnp.linalg.inv(mu * Y)
+        Zinv = jnp.linalg.inv(mu * Z)
+        Y_new = 0.5 * (mu * Y + Zinv)
+        Z_new = 0.5 * (mu * Z + Yinv)
+        done_new = done | (relchange(Y_new, Y) <= 100.0 * eps)
+        Y = jnp.where(done[:, None, None], Y, Y_new)
+        Z = jnp.where(done[:, None, None], Z, Z_new)
+        return Y, Z, k + 1, done_new
+
+    Y0 = a
+    Z0 = jnp.broadcast_to(eye, (B, n, n))
+    done0 = jnp.zeros((B,), bool)
+    Y, Z, k, _ = lax.while_loop(
+        cond, body, (Y0, Z0, jnp.zeros((), jnp.int32), done0)
+    )
+    resid = jnp.max(jnp.abs(_mm(Y, Y) - a), axis=(1, 2)) / anorm
+    converged = resid <= 1e3 * n * eps
+    return Y, Z, converged, k
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+@f32_matmuls
+def sqrtm_batched(a: jax.Array, max_iters: int = 50) -> SqrtmResult:
+    """Principal square root of a GENERAL batched [B, n, n] real matrix
+    with no eigenvalues on the closed negative real axis (the scipy
+    ``sqrtm`` domain restricted to the principal branch; SPD callers
+    should prefer :func:`sqrtm_spd_batched`).  The coupled iteration
+    returns ``A^{-1/2}`` at no extra cost."""
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    Y, Z, conv, k = _db_sqrt(a.astype(dtype), max_iters)
+    return SqrtmResult(Y, Z, conv, k)
+
+
+#: [7/7] Padé of log(1+x) in Gauss–Legendre partial-fraction form:
+#: log(I+E) ≈ Σ wᵢ E (I + tᵢ E)⁻¹ with (tᵢ, wᵢ) the m-point GL rule on
+#: [0, 1].  θ = 0.25 keeps the [7/7] error below double-precision eps
+#: (Higham 2008, Table 11.1: θ₇ ≈ 0.264).
+_LOGM_THETA = 0.25
+_LOGM_NODES, _LOGM_WEIGHTS = (
+    lambda xw: ((xw[0] + 1.0) / 2.0, xw[1] / 2.0)
+)(np.polynomial.legendre.leggauss(7))
+
+
+@functools.partial(jax.jit, static_argnames=("max_roots", "max_iters"))
+@f32_matmuls
+def logm_batched(
+    a: jax.Array, max_roots: int = 24, max_iters: int = 50
+) -> LogmResult:
+    """Principal logarithm of a GENERAL batched real matrix with no
+    eigenvalues on the closed negative real axis, via inverse scaling
+    and squaring: per-lane repeated Denman–Beavers square roots until
+    ``‖A^{1/2^s} − I‖₁ ≤ θ``, a [7/7] Gauss–Legendre Padé evaluation
+    (7 batched solves), then ``L = 2^s · log(A^{1/2^s})``.  SPD callers
+    should prefer :func:`logm_spd_batched` (one eigh, no iteration)."""
+    B, n, _ = a.shape
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    X0 = a.astype(dtype)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def dist1(X):
+        return jnp.max(jnp.sum(jnp.abs(X - eye), axis=1), axis=1)
+
+    def cond(st):
+        X, s, k, ok = st
+        return (k < max_roots) & jnp.any(
+            ok & (dist1(X) > _LOGM_THETA)
+        )
+
+    def body(st):
+        X, s, k, ok = st
+        active = ok & (dist1(X) > _LOGM_THETA)
+        Y, _, conv, _ = _db_sqrt(X, max_iters)
+        X = jnp.where(active[:, None, None], Y, X)
+        ok = ok & (conv | ~active)
+        return X, s + active.astype(jnp.int32), k + 1, ok
+
+    ok0 = jnp.ones((B,), bool)
+    X, s, _, ok = lax.while_loop(
+        cond, body,
+        (X0, jnp.zeros((B,), jnp.int32), jnp.zeros((), jnp.int32), ok0),
+    )
+    ok = ok & (dist1(X) <= _LOGM_THETA)
+
+    E = X - eye
+    L = jnp.zeros_like(E)
+    for t, w in zip(_LOGM_NODES, _LOGM_WEIGHTS):
+        L = L + dtype.type(w) * _mm(
+            E, jnp.linalg.inv(eye + dtype.type(t) * E)
+        )
+    L = L * jnp.exp2(s.astype(dtype))[:, None, None]
+    return LogmResult(L, ok, s)
+
+
+@functools.partial(jax.jit, static_argnames=("max_roots", "max_iters"))
+@f32_matmuls
+def powm_batched(
+    a: jax.Array, p: float, max_roots: int = 24, max_iters: int = 50
+):
+    """General real matrix power ``A^p = expm(p · log A)`` (principal
+    branch; same domain as :func:`logm_batched`).  Returns ``(A^p,
+    converged)``.  SPD callers should prefer :func:`powm_spd_batched`."""
+    res = logm_batched(a, max_roots=max_roots, max_iters=max_iters)
+    return expm_batched(p * res.L), res.converged
 
 
 def _spd_spectral(a: jax.Array, f, floor: float):

@@ -7,8 +7,11 @@ import jax.numpy as jnp
 
 from linalg_solver_tpu.ops.funm import (
     expm_batched,
+    logm_batched,
     logm_spd_batched,
+    powm_batched,
     powm_spd_batched,
+    sqrtm_batched,
     sqrtm_spd_batched,
 )
 
@@ -102,4 +105,139 @@ class TestSPDFunctions:
         for i in range(2):
             np.testing.assert_allclose(
                 W[i] @ A[i] @ W[i], np.eye(12), atol=2e-3
+            )
+
+
+def general_right_halfplane(B, n, seed=0):
+    """Random non-normal batch with spectrum in the right half plane
+    (shifted Gaussian — eigenvalues fill a disk of radius ~√n around
+    the shift), the principal sqrtm/logm domain."""
+    rng = np.random.RandomState(seed)
+    G = rng.randn(B, n, n)
+    return G + 3.0 * np.sqrt(n) * np.eye(n)
+
+
+class TestGeneralSqrtm:
+    def test_matches_scipy(self):
+        from scipy.linalg import sqrtm
+
+        A = general_right_halfplane(4, 12, seed=7)
+        res = sqrtm_batched(jnp.asarray(A.astype(np.float32)))
+        assert bool(np.asarray(res.converged).all())
+        Y = np.asarray(res.Y, np.float64)
+        for i in range(4):
+            want = sqrtm(A[i])
+            scale = np.abs(want).max()
+            assert np.abs(Y[i] - want).max() / scale < 1e-4
+
+    def test_square_and_inverse_coupling(self):
+        A = general_right_halfplane(3, 16, seed=8)
+        res = sqrtm_batched(jnp.asarray(A.astype(np.float32)))
+        Y = np.asarray(res.Y, np.float64)
+        Z = np.asarray(res.Yinv, np.float64)
+        for i in range(3):
+            scale = np.abs(A[i]).max()
+            assert np.abs(Y[i] @ Y[i] - A[i]).max() / scale < 1e-4
+            # Z is the inverse square root
+            np.testing.assert_allclose(
+                Y[i] @ Z[i], np.eye(16), atol=1e-3
+            )
+
+    def test_nonnormal_and_complex_spectrum(self):
+        """Upper-triangular (defective-ish) and rotation-scaled inputs:
+        eigenvalues off the positive real axis but away from R⁻."""
+        from scipy.linalg import sqrtm
+
+        J = np.array([[[4.0, 10.0], [0.0, 4.1]]])
+        th = 2.0  # e^{±2i} — well off the real axis, not on R⁻
+        R = 3.0 * np.array(
+            [[[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]]
+        )
+        for A in (J, R):
+            res = sqrtm_batched(jnp.asarray(A.astype(np.float32)))
+            assert bool(np.asarray(res.converged).all())
+            Y = np.asarray(res.Y, np.float64)[0]
+            want = np.real_if_close(sqrtm(A[0]))
+            np.testing.assert_allclose(Y, want, atol=1e-4 * np.abs(want).max())
+
+    def test_spd_agrees_with_spectral_path(self):
+        A = spd(2, 10, seed=9)
+        Y = np.asarray(sqrtm_batched(jnp.asarray(A)).Y)
+        S = np.asarray(sqrtm_spd_batched(jnp.asarray(A)))
+        np.testing.assert_allclose(Y, S, atol=2e-3 * np.abs(S).max())
+
+
+class TestGeneralLogm:
+    def test_matches_scipy(self):
+        from scipy.linalg import logm
+
+        A = general_right_halfplane(4, 10, seed=10)
+        res = logm_batched(jnp.asarray(A.astype(np.float32)))
+        assert bool(np.asarray(res.converged).all())
+        L = np.asarray(res.L, np.float64)
+        for i in range(4):
+            want = logm(A[i])
+            assert np.abs(L[i] - want).max() < 1e-4 * max(
+                np.abs(want).max(), 1.0
+            )
+
+    def test_expm_inverts_logm(self):
+        A = general_right_halfplane(3, 12, seed=11)
+        res = logm_batched(jnp.asarray(A.astype(np.float32)))
+        back = np.asarray(
+            expm_batched(res.L), np.float64
+        )
+        for i in range(3):
+            scale = np.abs(A[i]).max()
+            assert np.abs(back[i] - A[i]).max() / scale < 1e-4
+
+    def test_mixed_magnitudes_per_lane_roots(self):
+        """One near-identity lane (s=0 roots) and one large-norm lane
+        (many roots) in the same batch exercise the per-lane inverse
+        scaling counts."""
+        from scipy.linalg import logm
+
+        rng = np.random.RandomState(12)
+        n = 8
+        A = np.stack([
+            np.eye(n) + 0.01 * rng.randn(n, n),
+            1000.0 * np.eye(n) + 5.0 * rng.randn(n, n),
+        ])
+        res = logm_batched(jnp.asarray(A.astype(np.float32)))
+        assert bool(np.asarray(res.converged).all())
+        roots = np.asarray(res.roots)
+        # 1000^(1/2^5) ≈ 1.24 is the first iterate inside θ = 0.25
+        assert roots[0] == 0 and roots[1] == 5
+        L = np.asarray(res.L, np.float64)
+        for i in range(2):
+            want = logm(A[i])
+            assert np.abs(L[i] - want).max() < 2e-3 * max(
+                np.abs(want).max(), 1.0
+            )
+
+    def test_spd_agrees_with_spectral_path(self):
+        A = spd(2, 10, seed=13)
+        L = np.asarray(logm_batched(jnp.asarray(A)).L)
+        S = np.asarray(logm_spd_batched(jnp.asarray(A)))
+        np.testing.assert_allclose(L, S, atol=2e-3 * np.abs(S).max())
+
+
+class TestGeneralPowm:
+    def test_half_power_is_sqrtm(self):
+        A = general_right_halfplane(2, 10, seed=14)
+        P, ok = powm_batched(jnp.asarray(A.astype(np.float32)), 0.5)
+        assert bool(np.asarray(ok).all())
+        Y = np.asarray(sqrtm_batched(jnp.asarray(A.astype(np.float32))).Y)
+        np.testing.assert_allclose(
+            np.asarray(P), Y, atol=1e-3 * np.abs(Y).max()
+        )
+
+    def test_inverse_power(self):
+        A = general_right_halfplane(2, 8, seed=15)
+        P, ok = powm_batched(jnp.asarray(A.astype(np.float32)), -1.0)
+        assert bool(np.asarray(ok).all())
+        P = np.asarray(P, np.float64)
+        for i in range(2):
+            np.testing.assert_allclose(
+                P[i] @ A[i], np.eye(8), atol=2e-3
             )
