@@ -142,6 +142,12 @@ from .randomized import (
     RandomizedSVD,
     randomized_svd_batched,
 )
+from .krylov import (
+    KrylovResult,
+    bicgstab_batched,
+    cg_batched,
+    gmres_batched,
+)
 from .sign import (
     SignResult,
     eig_count_left_batched,
@@ -176,6 +182,7 @@ __all__ = [
     "det_complex_batched",
     "RootsResult", "roots_batched",
     "RandomizedSVD", "randomized_svd_batched",
+    "KrylovResult", "cg_batched", "bicgstab_batched", "gmres_batched",
     "SignResult", "sign_batched", "eig_count_left_batched",
     "spectral_projector_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
