@@ -154,6 +154,7 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
     floor).  Zeroing at ulp·‖A‖ is backward-stable — the Hessenberg
     reduction already carries that same backward error."""
     B, npad, _ = H.shape
+    n = npad - 1
     dtype = H.dtype
     eps = jnp.finfo(dtype).eps
     tiny = jnp.finfo(dtype).tiny
@@ -233,6 +234,23 @@ def _deflate(H, hi, stagnant, anorm, strict: bool = False):
         # until the escalating breaker force-split it at 1e-3 cost.
         | ((jnp.abs(sub) <= eps * anorm[:, None])
            & (pert <= eps * anorm[:, None]))
+        # Ahues–Tisseur under a BACKWARD-ERROR magnitude gate: entries
+        # at the Hessenberg-reduction roundoff scale (≤ 4n·eps·‖A‖ —
+        # zeroing never exceeds the backward error the reduction
+        # already carries) whose AT product test certifies the local
+        # eigenvalue perturbation at ulp level.  This is the criterion
+        # that splits high-geometric-multiplicity spectra: a
+        # multiplicity-g eigenvalue forces ≥ g−1 EXACTLY zero
+        # subdiagonals in the unreduced Hessenberg form, which f32
+        # leaves bouncing at ~n·eps·‖A‖ — above both ulp·|diag| and the
+        # 1·eps·‖A‖ floor — and the bulge washes out crossing them
+        # (measured at 32×(256×256) multiplicity-85: 30/32 lanes
+        # stalled into the breaker at O(1) eigenvalue error; with this
+        # criterion every lane converges clean).  The gate keeps the
+        # companion-matrix protection: their O(1) subdiagonals with
+        # ~0 superdiagonals sit far above the roundoff scale.
+        | (small_at
+           & (jnp.abs(sub) <= (4.0 * n) * eps * anorm[:, None]))
     )
     stall_small = (
         stalled[:, None]

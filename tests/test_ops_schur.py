@@ -444,6 +444,33 @@ class TestClusteredSpectra:
         )
         assert np.abs(np.asarray(ev.imag)).max() < 1e-4
 
+    def test_high_multiplicity_large_n_converges_clean(self):
+        """Regression for the AT-floor criterion: multiplicity-85
+        spectra at n=256.  A multiplicity-g eigenvalue forces ≥ g−1
+        exactly-zero subdiagonals in the unreduced Hessenberg form; f32
+        leaves them bouncing at ~n·eps·‖A‖ — above ulp·|diag| and the
+        1·eps·‖A‖ floor — and without the backward-error-gated
+        Ahues–Tisseur deflation most lanes stalled into the escalating
+        breaker at O(1) eigenvalue error (clean=False), batch-size-
+        dependent (B=2 happened to converge, B=8/32 did not)."""
+        rng = np.random.RandomState(0)
+        n = 256
+        w = np.repeat([1.0, 2.0, 3.0], [86, 85, 85])
+        qs, _ = np.linalg.qr(rng.randn(4, n, n))
+        A = ((qs * w[None, None, :]) @ np.swapaxes(qs, 1, 2)).astype(
+            np.float32
+        )
+        res = schur.real_schur(jnp.asarray(A))
+        assert bool(np.asarray(res.converged).all())
+        assert bool(np.asarray(res.clean).all())
+        assert int(res.sweeps) < 40
+        re, _ = schur._eigvals_from_T(res.T)
+        got = np.sort(np.asarray(re), axis=1)
+        want = np.sort(np.repeat([1.0, 2.0, 3.0], [86, 85, 85]))
+        np.testing.assert_allclose(
+            got, np.broadcast_to(want, got.shape), atol=1e-3
+        )
+
     def test_nonsymmetric_multiplicity_clusters_converge(self):
         from linalg_solver_tpu.ops.generate import diagonalizable_batch
 
