@@ -148,6 +148,10 @@ from .krylov import (
     cg_batched,
     gmres_batched,
 )
+from .lobpcg import (
+    LOBPCGResult,
+    lobpcg_batched,
+)
 from .sign import (
     SignResult,
     eig_count_left_batched,
@@ -183,6 +187,7 @@ __all__ = [
     "RootsResult", "roots_batched",
     "RandomizedSVD", "randomized_svd_batched",
     "KrylovResult", "cg_batched", "bicgstab_batched", "gmres_batched",
+    "LOBPCGResult", "lobpcg_batched",
     "SignResult", "sign_batched", "eig_count_left_batched",
     "spectral_projector_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
