@@ -186,12 +186,10 @@ def bicgstab_batched(
         done = done | (~broke & (_nrm(r) / bnorm <= tol)) | broke
         return x, r, p, v, rho_new, alpha, omega, done, k + 1
 
-    x = lax.while_loop(cond, body, st0)[0]
-    k = max_iters  # iters not individually tracked past freeze
+    st = lax.while_loop(cond, body, st0)
+    x, k = st[0], st[-1]
     res = _nrm(b - _mv(a, x)) / bnorm
-    return KrylovResult(
-        x, res <= 4.0 * tol, jnp.asarray(k, jnp.int32), res
-    )
+    return KrylovResult(x, res <= 4.0 * tol, k, res)
 
 
 @functools.partial(
