@@ -36,7 +36,10 @@ _HIGH = jax.lax.Precision.HIGHEST
 
 class KrylovResult(NamedTuple):
     x: jax.Array          # [B, n] solution iterate
-    converged: jax.Array  # [B] relative residual ≤ tol
+    converged: jax.Array  # [B] final TRUE residual ≤ 4·tol (the
+    #                       recurrence residual is driven to tol; the
+    #                       4× margin absorbs the recurrence-vs-true
+    #                       drift of f32 short recurrences)
     iters: jax.Array      # [] i32 — iterations executed (max over lanes)
     resnorm: jax.Array    # [B] final ‖b − Ax‖ / ‖b‖
 
@@ -46,19 +49,33 @@ def _mv(a, x):
 
 
 def _nrm(x):
-    return jnp.sqrt(jnp.sum(x * x, axis=-1))
+    """Overflow/underflow-safe 2-norm along the last axis: f32 squares
+    of ~1e-20 entries flush to zero (a nonzero b then 'converged' at
+    x = 0 instantly), so scale by the max magnitude first."""
+    m = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    ms = jnp.maximum(m, jnp.finfo(x.dtype).tiny)
+    return m[..., 0] * jnp.sqrt(jnp.sum((x / ms) ** 2, axis=-1))
 
 
 def _prep(a, b, tol):
+    """Common setup; returns the RHS rescaled to unit max-norm per lane
+    (plus the scale to undo on x).  The rescaling keeps every internal
+    inner product (ρ, r·z, ‖r‖²) in f32 range even for ‖b‖ ~ 1e-20 /
+    1e+19 right sides — the solvers are exactly scale-equivariant in b,
+    so this is free.  (Pathologically scaled A is the caller's job —
+    equilibrate or use ``jacobi=True``.)"""
     dtype = jnp.result_type(a.dtype, jnp.float32)
     a = a.astype(dtype)
     b = b.astype(dtype)
+    bscale = jnp.max(jnp.abs(b), axis=-1, keepdims=True)
+    bscale = jnp.where(bscale > 0, bscale, 1.0)
+    b = b / bscale
     bnorm = jnp.maximum(_nrm(b), jnp.finfo(dtype).tiny)
     if tol is None:
         # ~100 ulp of the accumulated GEMV roundoff; the attainable
         # floor for f32 Krylov on well-conditioned systems.
         tol = 100.0 * float(jnp.finfo(dtype).eps)
-    return a, b, bnorm, jnp.asarray(tol, dtype)
+    return a, b, bnorm, jnp.asarray(tol, dtype), bscale
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
@@ -76,7 +93,7 @@ def cg_batched(
     helps badly scaled rows).  ``max_iters=0`` picks ``2n`` — in exact
     arithmetic CG terminates in n steps; the margin covers f32 drift.
     """
-    a, b, bnorm, tol = _prep(a, b, tol)
+    a, b, bnorm, tol, bscale = _prep(a, b, tol)
     B, n = b.shape
     if max_iters == 0:
         max_iters = 2 * n
@@ -120,7 +137,7 @@ def cg_batched(
         cond, body, (x0, r0, z0, p0, rz0, done0, jnp.zeros((), jnp.int32))
     )
     res = _nrm(b - _mv(a, x)) / bnorm
-    return KrylovResult(x, res <= 4.0 * tol, k, res)
+    return KrylovResult(x * bscale, res <= 4.0 * tol, k, res)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
@@ -135,7 +152,7 @@ def bicgstab_batched(
     """BiCGSTAB on a batched GENERAL square system (two GEMVs per
     step).  ``max_iters=0`` picks ``4n``.  Breakdown lanes (ρ ≈ 0)
     freeze and report ``converged=False`` unless already at tol."""
-    a, b, bnorm, tol = _prep(a, b, tol)
+    a, b, bnorm, tol, bscale = _prep(a, b, tol)
     B, n = b.shape
     if max_iters == 0:
         max_iters = 4 * n
@@ -164,7 +181,10 @@ def bicgstab_batched(
     def body(st):
         x, r, p, v, rho, alpha, omega, done, k = st
         rho_new = jnp.sum(rhat * r, axis=-1)
-        broke = jnp.abs(rho_new) <= jnp.finfo(a.dtype).tiny * 100
+        # serious breakdown: r has (numerically) lost all overlap with
+        # the shadow residual — relative test, scale-invariant.
+        eps = jnp.finfo(a.dtype).eps
+        broke = jnp.abs(rho_new) <= (eps * _nrm(rhat)) * (eps * _nrm(r))
         beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
             alpha / jnp.where(omega == 0, 1.0, omega)
         )
@@ -189,7 +209,7 @@ def bicgstab_batched(
     st = lax.while_loop(cond, body, st0)
     x, k = st[0], st[-1]
     res = _nrm(b - _mv(a, x)) / bnorm
-    return KrylovResult(x, res <= 4.0 * tol, k, res)
+    return KrylovResult(x * bscale, res <= 4.0 * tol, k, res)
 
 
 @functools.partial(
@@ -212,7 +232,7 @@ def gmres_batched(
     per lane via normal equations on host-sized matrices.  Converged
     lanes freeze across restarts.
     """
-    a, b, bnorm, tol = _prep(a, b, tol)
+    a, b, bnorm, tol, bscale = _prep(a, b, tol)
     B, n = b.shape
     m = min(restart, n)
     eps_tiny = jnp.finfo(a.dtype).tiny
@@ -294,4 +314,4 @@ def gmres_batched(
         (jnp.zeros_like(b), done0, jnp.zeros((), jnp.int32)),
     )
     res = _nrm(b - _mv(a, x)) / bnorm
-    return KrylovResult(x, res <= 4.0 * tol, k * m, res)
+    return KrylovResult(x * bscale, res <= 4.0 * tol, k * m, res)

@@ -115,18 +115,27 @@ def lobpcg_batched(
     m = 3 * k
     sign = -1.0 if largest else 1.0
 
-    def refresh_degenerate(S, it):
-        """Replace near-zero columns with fresh random directions —
-        keeps the basis full-rank with static shapes."""
+    def equilibrate(S, it):
+        """Unit-normalize every basis column (X columns are ~1 already;
+        R columns carry the ‖A‖·residual scale, P columns a fraction of
+        it — without equilibration the Gram ridge swamps the small
+        columns and the iteration is not scale-invariant: ‖A‖ ~ 1e-7
+        input never converged).  Exactly-zero columns (first-iteration
+        P, fully-converged residuals) become fresh random directions —
+        full-rank basis, static shapes."""
         colnorm = jnp.sqrt(jnp.sum(S * S, axis=1))          # [B, m]
         rnd = jax.random.normal(
             jax.random.fold_in(key, it), (B, n, m), dtype
         )
-        tinycol = (colnorm <= 1e-6)[:, None, :]
-        return jnp.where(tinycol, rnd, S)
+        rnd = rnd / jnp.sqrt(jnp.sum(rnd * rnd, axis=1))[:, None, :]
+        dead = (colnorm <= jnp.finfo(dtype).tiny ** 0.5)[:, None, :]
+        S = jnp.where(
+            dead, rnd, S / jnp.maximum(colnorm, 1e-30)[:, None, :]
+        )
+        return S
 
     def rayleigh_ritz(S, it):
-        S = refresh_degenerate(S, it)
+        S = equilibrate(S, it)
         Q = _chol_qr2(S, 10.0 * eps)
         AQ = _mm(a, Q)
         T = jnp.einsum("bji,bjk->bik", Q, AQ, precision=_HIGH)
@@ -156,30 +165,29 @@ def lobpcg_batched(
         R = _mm(a, X) - X * w[:, None, :]
         return R, jnp.sqrt(jnp.sum(R * R, axis=1)) / anorm[:, None]
 
-    R0, rn0 = residual(X, w)
-    done0 = jnp.all(rn0[:, :k_want] <= tol, axis=1)
+    R, rn = residual(X, w)
+    done0 = jnp.all(rn[:, :k_want] <= tol, axis=1)
 
     def cond(st):
-        X, P, w, done, it = st
+        X, P, w, R, rn, done, it = st
         return (it < max_iters) & ~jnp.all(done)
 
     def body(st):
-        X, P, w, done, it = st
-        R, _ = residual(X, w)
+        X, P, w, R, rn, done, it = st
         S = jnp.concatenate([X, R, P], axis=2)
         Xn, Pn, wn = rayleigh_ritz(S, it + 1)
         keep = done[:, None, None]
         X = jnp.where(keep, X, Xn)
         P = jnp.where(keep, P, Pn)
         w = jnp.where(done[:, None], w, wn)
-        _, rn = residual(X, w)
+        R, rn = residual(X, w)   # one A·X per iteration, reused as the
+        #                          next basis block AND the done check
         done = done | jnp.all(rn[:, :k_want] <= tol, axis=1)
-        return X, P, w, done, it + 1
+        return X, P, w, R, rn, done, it + 1
 
-    X, P, w, done, it = lax.while_loop(
-        cond, body, (X, P, w, done0, jnp.zeros((), jnp.int32))
+    X, P, w, R, rn, done, it = lax.while_loop(
+        cond, body, (X, P, w, R, rn, done0, jnp.zeros((), jnp.int32))
     )
-    _, rn = residual(X, w)
     # drop guards; internal order is extremal-first.
     w, X, rn = w[:, :k_want], X[:, :, :k_want], rn[:, :k_want]
     if largest:

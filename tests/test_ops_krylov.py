@@ -150,6 +150,47 @@ class TestGMRES:
         assert np.abs(np.asarray(res.x)).max() == 0.0
 
 
+class TestScaleInvariance:
+    """Regressions: f32 squares of ~1e-20 entries flush to zero, so an
+    unscaled ‖b‖² made every solver return x = 0 with converged=True
+    for tiny nonzero right sides (and NaN for huge ones).  The solvers
+    are exactly scale-equivariant in b — _prep now normalizes."""
+
+    def test_tiny_rhs_actually_solved(self):
+        A = spd(2, 24, seed=20)
+        b = np.random.RandomState(21).randn(2, 24) * 1e-20
+        res = cg_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            tol=1e-5,
+        )
+        assert bool(np.asarray(res.converged).all())
+        x = np.asarray(res.x, np.float64)
+        assert np.abs(x).max() > 0.0  # NOT the zero vector
+        assert rel_res(A, x, b).max() < 1e-4
+
+    def test_huge_rhs_no_overflow(self):
+        A = spd(2, 24, seed=22)
+        b = np.random.RandomState(23).randn(2, 24) * 1e18
+        res = gmres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            tol=1e-5, restart=24,
+        )
+        x = np.asarray(res.x, np.float64)
+        assert np.isfinite(x).all()
+        assert bool(np.asarray(res.converged).all())
+        assert rel_res(A, x, b).max() < 1e-4
+
+    def test_bicgstab_tiny_rhs_no_spurious_breakdown(self):
+        A = general(2, 24, seed=24)
+        b = np.random.RandomState(25).randn(2, 24) * 1e-19
+        res = bicgstab_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            tol=1e-5,
+        )
+        assert bool(np.asarray(res.converged).all())
+        assert rel_res(A, np.asarray(res.x, np.float64), b).max() < 1e-4
+
+
 class TestHonestyContract:
     def test_singular_system_flagged(self):
         """A singular system cannot reach tol — converged must be

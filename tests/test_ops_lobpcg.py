@@ -69,6 +69,24 @@ class TestLOBPCG:
                 V[b].T @ V[b], np.eye(k), atol=1e-4
             )
 
+    def test_scale_invariance(self):
+        """Regression: an absolute column-degeneracy threshold replaced
+        every residual column with random noise for small-‖A‖ input
+        (A scaled by 1e-7 never converged; eigenvalue error 0.33)."""
+        n, k = 48, 4
+        w = np.linspace(1.0, 100.0, n)
+        A, _ = spd_with_spectrum(2, n, w, seed=7)
+        for scale in (1e-7, 1e5):
+            res = lobpcg_batched(
+                jnp.asarray(scale * A, jnp.float32), k, tol=1e-5
+            )
+            assert bool(np.asarray(res.converged).all()), scale
+            got = np.asarray(res.w)
+            np.testing.assert_allclose(
+                got, np.broadcast_to(scale * w[:k], got.shape),
+                rtol=2e-4,
+            )
+
     def test_needs_3k_leq_n(self):
         A = np.eye(8, dtype=np.float32)[None]
         with pytest.raises(ValueError):
