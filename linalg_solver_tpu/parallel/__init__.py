@@ -1,9 +1,15 @@
 """Mesh/sharding layer: dp (batch) × tp (contraction) scaling over ICI.
 
 Single-matrix scale-out lives in the submodules: ``distributed_lu``
-(square, column-block-cyclic) and ``distributed_tall`` (tall TSQR-class
-QR / least squares / polar / SVD, one [n, n] psum per pass)."""
+(square solves, column-block-cyclic), ``distributed_tall`` (tall
+TSQR-class QR / least squares / polar / SVD, one [n, n] psum per
+pass), and ``distributed_eigh`` (symmetric eigendecomposition by
+block-Jacobi over a ppermute ring)."""
 
+from .distributed_eigh import (
+    DistributedEigh,
+    distributed_eigh,
+)
 from .mesh import (
     batch_spec,
     batch_vec_spec,
@@ -36,4 +42,5 @@ __all__ = [
     "distributed_cholqr2", "distributed_lstsq",
     "distributed_polar_tall", "distributed_svd_tall",
     "distributed_randomized_svd",
+    "DistributedEigh", "distributed_eigh",
 ]

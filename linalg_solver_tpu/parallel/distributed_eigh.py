@@ -1,0 +1,229 @@
+"""Distributed symmetric eigendecomposition of ONE mesh-sharded matrix
+(two-sided block-Jacobi over a ppermute ring).
+
+Completes the single-matrix scale-out triad (``distributed_lu`` for
+square solves, ``distributed_tall`` for TSQR-class factorizations):
+an [n, n] symmetric matrix column-sharded over a mesh axis is
+diagonalized in place, with eigenvectors accumulated in the same
+sharding.
+
+Algorithm (block Jacobi, Brent–Luk round-robin): split the columns
+into 2p blocks of width w = n/(2p); device d starts with blocks
+(2d, 2d+1).  Each round, every device
+
+1. extracts its own 2w×2w pivot subproblem ``A[{I,J},{I,J}]`` (rows of
+   the LOCAL columns — free, columns are the shard),
+2. solves it with one tiny ``eigh`` (annihilating the off-diagonal
+   block exactly — the block-Jacobi rotation),
+3. applies the rotation to its columns (one [n,2w]×[2w,2w] GEMM),
+4. ``all_gather``s the p tiny rotations and applies every pair's
+   transpose to the matching LOCAL rows (p small GEMMs — this is the
+   left side of the similarity, local because rows are unsharded),
+5. rotates block contents one step around the ring (three ppermutes
+   of [n, w] blocks — the only O(n·w) communication).
+
+2p−1 rounds visit every block pair (one sweep) and return contents to
+their home devices; off-diagonal mass falls quadratically with sweeps.
+All FLOPs are GEMMs; the per-round subproblem eigh is w-sized.  No
+counterpart in the reference (single-process, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.precision import f32_matmuls
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+class DistributedEigh(NamedTuple):
+    w: jax.Array          # [n] eigenvalues, paired with V's columns
+    #                       (block-Jacobi order, NOT sorted)
+    V: jax.Array          # [n, n] orthonormal eigenvectors,
+    #                       column-sharded like the input
+    converged: jax.Array  # [] bool: off-diagonal mass ≤ tol·‖A‖_F
+    offnorm: jax.Array    # [] final ‖offdiag‖_F / ‖A‖_F
+
+
+def _rotate_ring(x, axis: str, p: int):
+    """One Brent–Luk circle-method step on the (top, bottom) content
+    ring: top[0] fixed; bottom[0]→top[1]; top[d]→top[d+1];
+    bottom[d]→bottom[d−1]; top[p−1]→bottom[p−1]."""
+    top, bottom = x
+    d = lax.axis_index(axis)
+    t_shift = lax.ppermute(
+        top, axis, [(e, e + 1) for e in range(p - 1)]
+    )
+    b_shift = lax.ppermute(
+        bottom, axis, [(e, e - 1) for e in range(1, p)]
+    )
+    b0_to_t1 = lax.ppermute(bottom, axis, [(0, 1)])
+    new_top = jnp.where(
+        d == 0, top, jnp.where(d == 1, b0_to_t1, t_shift)
+    )
+    new_bottom = jnp.where(d == p - 1, top, b_shift)
+    return new_top, new_bottom
+
+
+def _closest_to_identity(V):
+    """Column-reorder (greedy row-wise matching) + sign-fix so the
+    orthogonal ``V`` is as close to I as its column set allows.
+
+    CONVERGENCE-CRITICAL: ``eigh`` orders eigenvectors by ascending
+    eigenvalue, which makes the block rotation a near-PERMUTATION once
+    blocks are roughly sorted — permutations shuffle off-diagonal mass
+    between blocks without reducing it (the off-norm is invariant), and
+    the sweep iteration plateaus forever (measured: off-norm stuck at
+    0.49·initial after 8 sweeps in f64).  Reordered closest-to-identity,
+    the same subproblem solutions converge quadratically (off-norm
+    1.6 → 0.2 → 3e-4 → 1e-15 over four sweeps on the same input)."""
+    m = V.shape[0]
+    absV = jnp.abs(V)
+
+    def pick(i, st):
+        used, perm = st
+        row = jnp.where(used, -1.0, absV[i])
+        j = jnp.argmax(row).astype(jnp.int32)
+        return used.at[j].set(True), perm.at[i].set(j)
+
+    used0 = jnp.zeros((m,), bool)
+    perm0 = jnp.zeros((m,), jnp.int32)
+    _, perm = lax.fori_loop(0, m, pick, (used0, perm0))
+    W = jnp.take(V, perm, axis=1)
+    s = jnp.sign(jnp.diagonal(W))
+    return W * jnp.where(s == 0, 1.0, s)[None, :]
+
+
+def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
+    n = a_loc.shape[0]
+    dtype = a_loc.dtype
+    d = lax.axis_index(axis)
+    # initial block contents: columns (2d, 2d+1)
+    C_top, C_bot = a_loc[:, :w], a_loc[:, w:]
+    eyew = jnp.eye(w, dtype=dtype)
+    W_top = jnp.zeros((n, w), dtype)
+    W_bot = jnp.zeros((n, w), dtype)
+    W_top = lax.dynamic_update_slice(W_top, eyew, ((2 * d) * w, 0))
+    W_bot = lax.dynamic_update_slice(W_bot, eyew, ((2 * d + 1) * w, 0))
+    tid0 = (2 * d)[None].astype(jnp.int32)
+    bid0 = (2 * d + 1)[None].astype(jnp.int32)
+
+    rounds = max(2 * p - 1, 1)
+
+    def round_body(r, st):
+        C_top, C_bot, W_top, W_bot, tid, bid = st
+        C = jnp.concatenate([C_top, C_bot], axis=1)       # [n, 2w]
+        Wl = jnp.concatenate([W_top, W_bot], axis=1)
+        ti, bi = tid[0], bid[0]
+        rows_i = lax.dynamic_slice(C, (ti * w, 0), (w, 2 * w))
+        rows_j = lax.dynamic_slice(C, (bi * w, 0), (w, 2 * w))
+        S = jnp.concatenate([rows_i, rows_j], axis=0)     # [2w, 2w]
+        S = 0.5 * (S + S.T)
+        _, V = jnp.linalg.eigh(S)                          # [2w, 2w]
+        V = _closest_to_identity(V)
+        # right side of the similarity (and the eigenvector update)
+        C = jnp.einsum("nk,km->nm", C, V, precision=_HIGH)
+        Wl = jnp.einsum("nk,km->nm", Wl, V, precision=_HIGH)
+        # left side: every pair's Vᵀ hits the matching local rows
+        Vs = lax.all_gather(V, axis)                       # [p, 2w, 2w]
+        tis = lax.all_gather(ti, axis)                     # [p]
+        bis = lax.all_gather(bi, axis)
+        for e in range(p):
+            ri = lax.dynamic_slice(C, (tis[e] * w, 0), (w, 2 * w))
+            rj = lax.dynamic_slice(C, (bis[e] * w, 0), (w, 2 * w))
+            blk = jnp.concatenate([ri, rj], axis=0)
+            blk = jnp.einsum(
+                "km,kn->mn", Vs[e], blk, precision=_HIGH
+            )
+            C = lax.dynamic_update_slice(C, blk[:w], (tis[e] * w, 0))
+            C = lax.dynamic_update_slice(C, blk[w:], (bis[e] * w, 0))
+        C_top, C_bot = C[:, :w], C[:, w:]
+        W_top, W_bot = Wl[:, :w], Wl[:, w:]
+        if p > 1:
+            C_top, C_bot = _rotate_ring((C_top, C_bot), axis, p)
+            W_top, W_bot = _rotate_ring((W_top, W_bot), axis, p)
+            tid, bid = _rotate_ring((tid, bid), axis, p)
+        return C_top, C_bot, W_top, W_bot, tid, bid
+
+    st = (C_top, C_bot, W_top, W_bot, tid0, bid0)
+    st = lax.fori_loop(0, sweeps * rounds, round_body, st)
+    C_top, C_bot, W_top, W_bot, tid, bid = st
+    # contents are home again (the ring has period 2p−1 and we ran
+    # whole sweeps): tid == 2d, bid == 2d+1.
+
+    # eigenvalues: diagonal of the (block-diagonalized) matrix, written
+    # at the global positions of the local blocks; one psum replicates.
+    dt = jnp.diagonal(
+        lax.dynamic_slice(C_top, ((2 * d) * w, 0), (w, w))
+    )
+    db = jnp.diagonal(
+        lax.dynamic_slice(C_bot, ((2 * d + 1) * w, 0), (w, w))
+    )
+    wvec = jnp.zeros((n,), dtype)
+    wvec = lax.dynamic_update_slice(wvec, dt, ((2 * d) * w,))
+    wvec = lax.dynamic_update_slice(wvec, db, ((2 * d + 1) * w,))
+    wvec = lax.psum(wvec, axis)
+
+    # convergence: off-diagonal mass of the local columns (everything
+    # outside the two diagonal w×w blocks).  Summed DIRECTLY over the
+    # zeroed-block copy — a ``total − ondiag`` subtraction of two ~‖A‖²_F
+    # f32 sums cancels catastrophically (observed: junk magnitudes and
+    # small NEGATIVES whose sqrt reported NaN while the true off-norm
+    # was 8e-7).
+    C = jnp.concatenate([C_top, C_bot], axis=1)
+    zw = jnp.zeros((w, w), dtype)
+    Co = lax.dynamic_update_slice(C, zw, ((2 * d) * w, 0))
+    Co = lax.dynamic_update_slice(Co, zw, ((2 * d + 1) * w, w))
+    off = lax.psum(jnp.sum(Co * Co), axis)
+    fro = lax.psum(jnp.sum(C * C), axis)
+
+    V_loc = jnp.concatenate([W_top, W_bot], axis=1)
+    return wvec, V_loc, off, fro
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "sweeps", "tol")
+)
+@f32_matmuls
+def distributed_eigh(
+    a: jax.Array,
+    mesh: Mesh,
+    axis: str = "tp",
+    sweeps: int = 8,
+    tol: float = 1e-5,
+) -> DistributedEigh:
+    """Eigendecomposition ``A = V diag(w) Vᵀ`` of one symmetric
+    [n, n] matrix column-sharded over ``mesh[axis]``.
+
+    Requires ``n % (2p) == 0`` for ``p = mesh.shape[axis]``.
+    Eigenvalues come back UNSORTED (block-Jacobi order) but paired
+    with V's columns; sort on the host if order matters.  ``w`` is
+    replicated, ``V`` keeps the input's column sharding.
+    """
+    n = a.shape[0]
+    p = mesh.shape[axis]
+    if n % (2 * p) != 0:
+        raise ValueError(
+            f"distributed_eigh needs n divisible by 2·p; got n={n}, "
+            f"p={p}"
+        )
+    w = n // (2 * p)
+
+    wvec, V, off, fro = shard_map(
+        functools.partial(
+            _eigh_jacobi_local, axis=axis, p=p, w=w, sweeps=sweeps
+        ),
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=(P(), P(None, axis), P(), P()),
+        check_vma=False,
+    )(a)
+    offnorm = jnp.sqrt(off / jnp.maximum(fro, jnp.finfo(a.dtype).tiny))
+    return DistributedEigh(wvec, V, offnorm <= tol, offnorm)
