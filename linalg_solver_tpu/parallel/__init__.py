@@ -8,7 +8,9 @@ block-Jacobi over a ppermute ring)."""
 
 from .distributed_eigh import (
     DistributedEigh,
+    DistributedSVDJacobi,
     distributed_eigh,
+    distributed_svd_jacobi,
 )
 from .mesh import (
     batch_spec,
@@ -43,4 +45,5 @@ __all__ = [
     "distributed_polar_tall", "distributed_svd_tall",
     "distributed_randomized_svd",
     "DistributedEigh", "distributed_eigh",
+    "DistributedSVDJacobi", "distributed_svd_jacobi",
 ]

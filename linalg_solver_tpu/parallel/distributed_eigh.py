@@ -188,6 +188,120 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
     return wvec, V_loc, off, fro
 
 
+class DistributedSVDJacobi(NamedTuple):
+    U: jax.Array          # [m, n] left singular vectors, column-sharded
+    #                       (zero columns where s == 0)
+    s: jax.Array          # [n] singular values (Jacobi order, NOT
+    #                       sorted), replicated
+    V: jax.Array          # [n, n] right singular vectors, column-sharded
+    converged: jax.Array  # [] bool
+    offnorm: jax.Array    # [] final Gram off-diagonality
+
+
+def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
+    """One-sided block Jacobi: orthogonalize column blocks pairwise.
+    Columns are fully local (rows unsharded), so the 2w×2w Gram and the
+    rotation are communication-free — the ring rotation is the ONLY
+    collective."""
+    m = a_loc.shape[0]
+    dtype = a_loc.dtype
+    d = lax.axis_index(axis)
+    n = 2 * p * w
+    C_top, C_bot = a_loc[:, :w], a_loc[:, w:]
+    eyew = jnp.eye(w, dtype=dtype)
+    W_top = jnp.zeros((n, w), dtype)
+    W_bot = jnp.zeros((n, w), dtype)
+    W_top = lax.dynamic_update_slice(W_top, eyew, ((2 * d) * w, 0))
+    W_bot = lax.dynamic_update_slice(W_bot, eyew, ((2 * d + 1) * w, 0))
+
+    rounds = max(2 * p - 1, 1)
+
+    def round_body(r, st):
+        C_top, C_bot, W_top, W_bot = st
+        C = jnp.concatenate([C_top, C_bot], axis=1)       # [m, 2w]
+        Wl = jnp.concatenate([W_top, W_bot], axis=1)
+        G = jnp.einsum("mi,mk->ik", C, C, precision=_HIGH)
+        G = 0.5 * (G + G.T)
+        _, V = jnp.linalg.eigh(G)
+        V = _closest_to_identity(V)
+        C = jnp.einsum("nk,km->nm", C, V, precision=_HIGH)
+        Wl = jnp.einsum("nk,km->nm", Wl, V, precision=_HIGH)
+        C_top, C_bot = C[:, :w], C[:, w:]
+        W_top, W_bot = Wl[:, :w], Wl[:, w:]
+        if p > 1:
+            C_top, C_bot = _rotate_ring((C_top, C_bot), axis, p)
+            W_top, W_bot = _rotate_ring((W_top, W_bot), axis, p)
+        return C_top, C_bot, W_top, W_bot
+
+    st = (C_top, C_bot, W_top, W_bot)
+    st = lax.fori_loop(0, sweeps * rounds, round_body, st)
+    C_top, C_bot, W_top, W_bot = st
+    C = jnp.concatenate([C_top, C_bot], axis=1)
+    Wl = jnp.concatenate([W_top, W_bot], axis=1)
+
+    # singular values = column norms; U = normalized columns.
+    s_loc = jnp.sqrt(jnp.sum(C * C, axis=0))               # [2w]
+    U_loc = C / jnp.maximum(s_loc, jnp.finfo(dtype).tiny)[None, :]
+    U_loc = jnp.where(s_loc[None, :] > 0, U_loc, 0.0)
+    svec = jnp.zeros((n,), dtype)
+    svec = lax.dynamic_update_slice(svec, s_loc[:w], ((2 * d) * w,))
+    svec = lax.dynamic_update_slice(
+        svec, s_loc[w:], ((2 * d + 1) * w,)
+    )
+    svec = lax.psum(svec, axis)
+
+    # convergence: final Gram off-diagonality of the LOCAL pair (the
+    # pairwise criterion every pair satisfied at its last visit).
+    G = jnp.einsum("mi,mk->ik", C, C, precision=_HIGH)
+    dG = jnp.diagonal(G)
+    scale = jnp.sqrt(
+        jnp.maximum(dG[:, None] * dG[None, :], jnp.finfo(dtype).tiny)
+    )
+    offmax = jnp.max(
+        jnp.abs(G - jnp.diag(dG)) / scale
+    )
+    offmax = lax.pmax(offmax, axis)
+    return U_loc, svec, Wl, offmax
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "sweeps", "tol")
+)
+@f32_matmuls
+def distributed_svd_jacobi(
+    a: jax.Array,
+    mesh: Mesh,
+    axis: str = "tp",
+    sweeps: int = 10,
+    tol: float = 1e-4,
+) -> DistributedSVDJacobi:
+    """SVD ``A = U diag(s) Vᵀ`` of one [m, n] matrix COLUMN-sharded
+    over ``mesh[axis]`` (the wide/square complement of the row-sharded
+    ``distributed_tall.distributed_svd_tall``), by one-sided block
+    Jacobi: column blocks are pairwise orthogonalized through local
+    2w×2w Gram eigensolves; the only communication is the ring
+    rotation of [m, w] blocks.  Requires ``n % (2p) == 0``.  Singular
+    values come back unsorted but paired with U/V columns."""
+    m, n = a.shape
+    p = mesh.shape[axis]
+    if n % (2 * p) != 0:
+        raise ValueError(
+            f"distributed_svd_jacobi needs n divisible by 2·p; got "
+            f"n={n}, p={p}"
+        )
+    w = n // (2 * p)
+    U, s, V, off = shard_map(
+        functools.partial(
+            _svd_jacobi_local, axis=axis, p=p, w=w, sweeps=sweeps
+        ),
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=(P(None, axis), P(), P(None, axis), P()),
+        check_vma=False,
+    )(a)
+    return DistributedSVDJacobi(U, s, V, off <= tol, off)
+
+
 @functools.partial(
     jax.jit, static_argnames=("mesh", "axis", "sweeps", "tol")
 )

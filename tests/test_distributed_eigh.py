@@ -8,7 +8,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from linalg_solver_tpu.parallel.distributed_eigh import distributed_eigh
+from linalg_solver_tpu.parallel.distributed_eigh import (
+    distributed_eigh,
+    distributed_svd_jacobi,
+)
 from linalg_solver_tpu.parallel.mesh import make_mesh
 
 
@@ -98,3 +101,55 @@ class TestDistributedEigh:
         w_d = np.sort(np.asarray(res.w))
         w_b = np.sort(np.asarray(eigh_batched(jnp.asarray(A[None])).w[0]))
         np.testing.assert_allclose(w_d, w_b, atol=1e-4)
+
+
+class TestDistributedSVDJacobi:
+    @pytest.mark.parametrize("shards", [1, 2, 4, 8])
+    def test_matches_numpy(self, shards):
+        mesh = make_mesh(dp=shards, tp=8 // shards)
+        rng = np.random.RandomState(7)
+        A = rng.randn(40, 32).astype(np.float32)
+        res = distributed_svd_jacobi(jnp.asarray(A), mesh, axis="dp")
+        assert bool(res.converged), float(res.offnorm)
+        U = np.asarray(res.U, np.float64)
+        s = np.asarray(res.s, np.float64)
+        V = np.asarray(res.V, np.float64)
+        np.testing.assert_allclose(
+            (U * s[None, :]) @ V.T, A, atol=1e-4 * np.abs(A).max()
+        )
+        np.testing.assert_allclose(V.T @ V, np.eye(32), atol=1e-4)
+        np.testing.assert_allclose(U.T @ U, np.eye(32), atol=1e-3)
+        np.testing.assert_allclose(
+            np.sort(s)[::-1],
+            np.linalg.svd(A.astype(np.float64), compute_uv=False),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_rank_deficient(self):
+        rng = np.random.RandomState(8)
+        A = (rng.randn(24, 8) @ rng.randn(8, 16)).astype(np.float32)
+        mesh = make_mesh(dp=4, tp=2)
+        res = distributed_svd_jacobi(
+            jnp.asarray(A), mesh, axis="dp", sweeps=12
+        )
+        s = np.sort(np.asarray(res.s))[::-1]
+        want = np.linalg.svd(A.astype(np.float64), compute_uv=False)
+        np.testing.assert_allclose(s, want, atol=1e-3 * want[0])
+        assert (s[8:] < 1e-3 * want[0]).all()
+        U = np.asarray(res.U, np.float64)
+        V = np.asarray(res.V, np.float64)
+        np.testing.assert_allclose(
+            (U * np.asarray(res.s)[None, :]) @ V.T, A,
+            atol=1e-3 * want[0],
+        )
+
+    def test_square_matches_eigh_for_spd(self):
+        """For SPD input, singular values == eigenvalues."""
+        A = sym(32, seed=9, spectrum=np.linspace(1.0, 50.0, 32))
+        mesh = make_mesh(dp=2, tp=4)
+        res = distributed_svd_jacobi(jnp.asarray(A), mesh, axis="dp")
+        np.testing.assert_allclose(
+            np.sort(np.asarray(res.s)),
+            np.linspace(1.0, 50.0, 32),
+            rtol=1e-4,
+        )
