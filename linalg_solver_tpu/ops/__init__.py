@@ -123,6 +123,11 @@ from .tridiag import (
     TridiagResult,
     tridiag_solve_batched,
 )
+from .banded import (
+    BlockTridiagResult,
+    banded_solve_batched,
+    block_tridiag_solve_batched,
+)
 from .geig import (
     GeneralizedEigResult,
     GeneralizedEighResult,
@@ -180,6 +185,8 @@ __all__ = [
     "CholeskyResult", "cholesky_batched", "cholesky_solve_batched",
     "cholesky_inverse_batched", "logdet_spd_batched",
     "TridiagResult", "tridiag_solve_batched",
+    "BlockTridiagResult", "block_tridiag_solve_batched",
+    "banded_solve_batched",
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
     "solve_complex_batched", "inverse_complex_batched",
