@@ -150,8 +150,18 @@ from .randomized import (
 from .krylov import (
     KrylovResult,
     bicgstab_batched,
+    bicgstab_matvec,
     cg_batched,
+    cg_matvec,
     gmres_batched,
+    gmres_matvec,
+)
+from .toeplitz import (
+    make_toeplitz_matvec,
+    strang_precond,
+    toeplitz_dense_batched,
+    toeplitz_matvec_batched,
+    toeplitz_solve_batched,
 )
 from .lobpcg import (
     LOBPCGResult,
@@ -194,6 +204,9 @@ __all__ = [
     "RootsResult", "roots_batched",
     "RandomizedSVD", "randomized_svd_batched",
     "KrylovResult", "cg_batched", "bicgstab_batched", "gmres_batched",
+    "cg_matvec", "bicgstab_matvec", "gmres_matvec",
+    "toeplitz_solve_batched", "toeplitz_matvec_batched",
+    "toeplitz_dense_batched", "make_toeplitz_matvec", "strang_precond",
     "LOBPCGResult", "lobpcg_batched",
     "SignResult", "sign_batched", "eig_count_left_batched",
     "spectral_projector_batched",

@@ -10,10 +10,17 @@ repeatedly-solved systems — while staying TPU-first:
 - Fixed-trip ``lax.while_loop`` with per-lane ``done`` masks: converged
   lanes freeze (their updates are ``where``-ed out) so one slow lane
   doesn't perturb finished ones.
-- Optional Jacobi (diagonal) preconditioning — the only preconditioner
-  that is free on device; anything stronger should use the direct
-  factorizations in ``ops.lu`` / ``ops.spd`` as a preconditioner via
-  the ``matvec``-style composition in ``models``.
+- Optional Jacobi (diagonal) preconditioning on the dense entry points
+  — the only preconditioner that is free on device.
+
+Every solver also has a MATRIX-FREE entry point (``cg_matvec`` /
+``bicgstab_matvec`` / ``gmres_matvec``) taking an arbitrary batched
+``matvec(v: [B, n]) -> [B, n]`` closure (and an optional ``precond``
+closure) — the composition point for structured operators: FFT
+Toeplitz/circulant products (``ops.toeplitz``), banded stencils,
+factored preconditioners from ``ops.lu``/``ops.spd``.  The matvec
+entry points are NOT jitted (the closure is the caller's trace); wrap
+the call site in ``jax.jit``.
 
 All solvers return per-lane ``converged`` flags and final relative
 residual norms — the same honesty contract as the direct family
@@ -23,7 +30,7 @@ residual norms — the same honesty contract as the direct family
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +39,8 @@ from jax import lax
 from ..utils.precision import f32_matmuls
 
 _HIGH = jax.lax.Precision.HIGHEST
+
+MatVec = Callable[[jax.Array], jax.Array]
 
 
 class KrylovResult(NamedTuple):
@@ -44,8 +53,20 @@ class KrylovResult(NamedTuple):
     resnorm: jax.Array    # [B] final ‖b − Ax‖ / ‖b‖
 
 
-def _mv(a, x):
-    return jnp.einsum("bij,bj->bi", a, x, precision=_HIGH)
+def _mv_dense(a):
+    return lambda v: jnp.einsum("bij,bj->bi", a, v, precision=_HIGH)
+
+
+def _identity(v):
+    return v
+
+
+def _jacobi_precond(a):
+    dinv = 1.0 / jnp.maximum(
+        jnp.abs(jnp.diagonal(a, axis1=1, axis2=2)),
+        jnp.finfo(a.dtype).tiny,
+    )
+    return lambda v: dinv * v
 
 
 def _nrm(x):
@@ -57,15 +78,14 @@ def _nrm(x):
     return m[..., 0] * jnp.sqrt(jnp.sum((x / ms) ** 2, axis=-1))
 
 
-def _prep(a, b, tol):
-    """Common setup; returns the RHS rescaled to unit max-norm per lane
-    (plus the scale to undo on x).  The rescaling keeps every internal
-    inner product (ρ, r·z, ‖r‖²) in f32 range even for ‖b‖ ~ 1e-20 /
-    1e+19 right sides — the solvers are exactly scale-equivariant in b,
-    so this is free.  (Pathologically scaled A is the caller's job —
-    equilibrate or use ``jacobi=True``.)"""
-    dtype = jnp.result_type(a.dtype, jnp.float32)
-    a = a.astype(dtype)
+def _prep_b(b, tol):
+    """RHS rescaled to unit max-norm per lane (plus the scale to undo
+    on x).  The rescaling keeps every internal inner product (ρ, r·z,
+    ‖r‖²) in f32 range even for ‖b‖ ~ 1e-20 / 1e+19 right sides — the
+    solvers are exactly scale-equivariant in b, so this is free.
+    (Pathologically scaled A is the caller's job — equilibrate or use
+    ``jacobi=True`` / a ``precond``.)"""
+    dtype = jnp.result_type(b.dtype, jnp.float32)
     b = b.astype(dtype)
     bscale = jnp.max(jnp.abs(b), axis=-1, keepdims=True)
     bscale = jnp.where(bscale > 0, bscale, 1.0)
@@ -75,40 +95,33 @@ def _prep(a, b, tol):
         # ~100 ulp of the accumulated GEMV roundoff; the attainable
         # floor for f32 Krylov on well-conditioned systems.
         tol = 100.0 * float(jnp.finfo(dtype).eps)
-    return a, b, bnorm, jnp.asarray(tol, dtype), bscale
+    return b, bnorm, jnp.asarray(tol, dtype), bscale
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
-@f32_matmuls
-def cg_batched(
-    a: jax.Array,
+# --------------------------------------------------------------------
+# cores (matvec-based)
+# --------------------------------------------------------------------
+
+
+def cg_matvec(
+    matvec: MatVec,
     b: jax.Array,
     tol: Optional[float] = None,
     max_iters: int = 0,
-    jacobi: bool = False,
+    precond: Optional[MatVec] = None,
 ) -> KrylovResult:
-    """Conjugate gradients on a batched SPD system ``[B, n, n] x = b``.
-
-    ``jacobi=True`` preconditions with ``diag(A)⁻¹`` (free on device;
-    helps badly scaled rows).  ``max_iters=0`` picks ``2n`` — in exact
-    arithmetic CG terminates in n steps; the margin covers f32 drift.
-    """
-    a, b, bnorm, tol, bscale = _prep(a, b, tol)
+    """Conjugate gradients on SPD operators given only a batched
+    ``matvec`` (and optional SPD ``precond``) — the matrix-free entry
+    point.  ``max_iters=0`` picks ``2n``."""
+    b, bnorm, tol, bscale = _prep_b(b, tol)
     B, n = b.shape
     if max_iters == 0:
         max_iters = 2 * n
-    dinv = (
-        1.0 / jnp.maximum(
-            jnp.abs(jnp.diagonal(a, axis1=1, axis2=2)),
-            jnp.finfo(a.dtype).tiny,
-        )
-        if jacobi
-        else jnp.ones((B, n), a.dtype)
-    )
+    M = precond or _identity
 
     x0 = jnp.zeros_like(b)
     r0 = b
-    z0 = dinv * r0
+    z0 = M(r0)
     p0 = z0
     rz0 = jnp.sum(r0 * z0, axis=-1)
     done0 = _nrm(r0) / bnorm <= tol
@@ -119,13 +132,13 @@ def cg_batched(
 
     def body(st):
         x, r, z, p, rz, done, k = st
-        ap = _mv(a, p)
+        ap = matvec(p)
         pap = jnp.sum(p * ap, axis=-1)
         alpha = rz / jnp.where(pap != 0, pap, 1.0)
         alpha = jnp.where(done | (pap == 0), 0.0, alpha)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * ap
-        z = dinv * r
+        z = M(r)
         rz_new = jnp.sum(r * z, axis=-1)
         beta = rz_new / jnp.where(rz != 0, rz, 1.0)
         beta = jnp.where(done | (rz == 0), 0.0, beta)
@@ -136,40 +149,32 @@ def cg_batched(
     x, r, _, _, _, done, k = lax.while_loop(
         cond, body, (x0, r0, z0, p0, rz0, done0, jnp.zeros((), jnp.int32))
     )
-    res = _nrm(b - _mv(a, x)) / bnorm
+    res = _nrm(b - matvec(x)) / bnorm
     return KrylovResult(x * bscale, res <= 4.0 * tol, k, res)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
-@f32_matmuls
-def bicgstab_batched(
-    a: jax.Array,
+def bicgstab_matvec(
+    matvec: MatVec,
     b: jax.Array,
     tol: Optional[float] = None,
     max_iters: int = 0,
-    jacobi: bool = False,
+    precond: Optional[MatVec] = None,
 ) -> KrylovResult:
-    """BiCGSTAB on a batched GENERAL square system (two GEMVs per
-    step).  ``max_iters=0`` picks ``4n``.  Breakdown lanes (ρ ≈ 0)
+    """BiCGSTAB on GENERAL square operators given only a batched
+    ``matvec`` (two matvecs per step; ``precond`` applies on the
+    right).  ``max_iters=0`` picks ``4n``.  Breakdown lanes (ρ ≈ 0)
     freeze and report ``converged=False`` unless already at tol."""
-    a, b, bnorm, tol, bscale = _prep(a, b, tol)
+    b, bnorm, tol, bscale = _prep_b(b, tol)
     B, n = b.shape
     if max_iters == 0:
         max_iters = 4 * n
-    dinv = (
-        1.0 / jnp.maximum(
-            jnp.abs(jnp.diagonal(a, axis1=1, axis2=2)),
-            jnp.finfo(a.dtype).tiny,
-        )
-        if jacobi
-        else jnp.ones((B, n), a.dtype)
-    )
+    M = precond or _identity
 
     x0 = jnp.zeros_like(b)
     r0 = b
     rhat = r0
     done0 = _nrm(r0) / bnorm <= tol
-    ones = jnp.ones((B,), a.dtype)
+    ones = jnp.ones((B,), b.dtype)
     st0 = (
         x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
         ones, ones, ones, done0, jnp.zeros((), jnp.int32),
@@ -183,19 +188,19 @@ def bicgstab_batched(
         rho_new = jnp.sum(rhat * r, axis=-1)
         # serious breakdown: r has (numerically) lost all overlap with
         # the shadow residual — relative test, scale-invariant.
-        eps = jnp.finfo(a.dtype).eps
+        eps = jnp.finfo(b.dtype).eps
         broke = jnp.abs(rho_new) <= (eps * _nrm(rhat)) * (eps * _nrm(r))
         beta = (rho_new / jnp.where(rho == 0, 1.0, rho)) * (
             alpha / jnp.where(omega == 0, 1.0, omega)
         )
         p = r + beta[:, None] * (p - omega[:, None] * v)
-        phat = dinv * p
-        v = _mv(a, phat)
+        phat = M(p)
+        v = matvec(phat)
         rv = jnp.sum(rhat * v, axis=-1)
         alpha = rho_new / jnp.where(rv == 0, 1.0, rv)
         s = r - alpha[:, None] * v
-        shat = dinv * s
-        t = _mv(a, shat)
+        shat = M(s)
+        t = matvec(shat)
         tt = jnp.sum(t * t, axis=-1)
         omega = jnp.sum(t * s, axis=-1) / jnp.where(tt == 0, 1.0, tt)
         x_new = x + alpha[:, None] * phat + omega[:, None] * shat
@@ -208,53 +213,44 @@ def bicgstab_batched(
 
     st = lax.while_loop(cond, body, st0)
     x, k = st[0], st[-1]
-    res = _nrm(b - _mv(a, x)) / bnorm
+    res = _nrm(b - matvec(x)) / bnorm
     return KrylovResult(x * bscale, res <= 4.0 * tol, k, res)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("restart", "max_restarts", "jacobi")
-)
-@f32_matmuls
-def gmres_batched(
-    a: jax.Array,
+def gmres_matvec(
+    matvec: MatVec,
     b: jax.Array,
     tol: Optional[float] = None,
     restart: int = 32,
     max_restarts: int = 8,
-    jacobi: bool = False,
+    precond: Optional[MatVec] = None,
 ) -> KrylovResult:
-    """Restarted GMRES(m) on a batched GENERAL square system.
+    """Restarted GMRES(m) on GENERAL square operators given only a
+    batched ``matvec`` (``precond`` applies on the right).
 
     Arnoldi with modified Gram–Schmidt over a fixed ``restart``-wide
-    basis ``V [B, m+1, n]`` (static shapes — one GEMV + m dot/axpy
+    basis ``V [B, m+1, n]`` (static shapes — one matvec + m dot/axpy
     pairs per step), then the small ``(m+1) × m`` least-squares problem
     per lane via normal equations on host-sized matrices.  Converged
     lanes freeze across restarts.
     """
-    a, b, bnorm, tol, bscale = _prep(a, b, tol)
+    b, bnorm, tol, bscale = _prep_b(b, tol)
     B, n = b.shape
     m = min(restart, n)
-    eps_tiny = jnp.finfo(a.dtype).tiny
-    dinv = (
-        1.0 / jnp.maximum(
-            jnp.abs(jnp.diagonal(a, axis1=1, axis2=2)), eps_tiny
-        )
-        if jacobi
-        else jnp.ones((B, n), a.dtype)
-    )
+    eps_tiny = jnp.finfo(b.dtype).tiny
+    M = precond or _identity
 
     def one_cycle(x):
-        r = b - _mv(a, x)
+        r = b - matvec(x)
         beta = _nrm(r)
-        V = jnp.zeros((B, m + 1, n), a.dtype)
+        V = jnp.zeros((B, m + 1, n), b.dtype)
         V = V.at[:, 0].set(r / jnp.maximum(beta, eps_tiny)[:, None])
-        H = jnp.zeros((B, m + 1, m), a.dtype)
+        H = jnp.zeros((B, m + 1, m), b.dtype)
 
         def arnoldi(j, carry):
             V, H = carry
             vj = lax.dynamic_index_in_dim(V, j, axis=1, keepdims=False)
-            w = _mv(a, dinv * vj)
+            w = matvec(M(vj))
             # MGS against all m+1 slots; rows > j are still zero so
             # their projections vanish — static shapes, masked math.
             hcol = jnp.einsum(
@@ -283,17 +279,16 @@ def gmres_batched(
         # full column rank unless the Krylov space degenerated, in
         # which case the ridge term keeps the solve finite and the
         # residual check catches it.
-        g = jnp.zeros((B, m + 1), a.dtype).at[:, 0].set(beta)
+        g = jnp.zeros((B, m + 1), b.dtype).at[:, 0].set(beta)
         HtH = jnp.einsum("bkm,bkl->bml", H, H, precision=_HIGH)
         Htg = jnp.einsum("bkm,bk->bm", H, g, precision=_HIGH)
         ridge = 1e-7 * jnp.trace(HtH, axis1=1, axis2=2)
         y = jnp.linalg.solve(
-            HtH + ridge[:, None, None] * jnp.eye(m, dtype=a.dtype),
+            HtH + ridge[:, None, None] * jnp.eye(m, dtype=b.dtype),
             Htg[..., None],
         )[..., 0]
-        dx = jnp.einsum(
-            "bm,bmn->bn", y, V[:, :m] * dinv[:, None, :],
-            precision=_HIGH,
+        dx = M(
+            jnp.einsum("bm,bmn->bn", y, V[:, :m], precision=_HIGH)
         )
         return x + dx
 
@@ -305,7 +300,7 @@ def gmres_batched(
         x, done, k = st
         x_new = one_cycle(x)
         x = jnp.where(done[:, None], x, x_new)
-        done = done | (_nrm(b - _mv(a, x)) / bnorm <= tol)
+        done = done | (_nrm(b - matvec(x)) / bnorm <= tol)
         return x, done, k + 1
 
     done0 = _nrm(b) / bnorm <= tol
@@ -313,5 +308,73 @@ def gmres_batched(
         cond, body,
         (jnp.zeros_like(b), done0, jnp.zeros((), jnp.int32)),
     )
-    res = _nrm(b - _mv(a, x)) / bnorm
+    res = _nrm(b - matvec(x)) / bnorm
     return KrylovResult(x * bscale, res <= 4.0 * tol, k * m, res)
+
+
+# --------------------------------------------------------------------
+# dense entry points
+# --------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
+@f32_matmuls
+def cg_batched(
+    a: jax.Array,
+    b: jax.Array,
+    tol: Optional[float] = None,
+    max_iters: int = 0,
+    jacobi: bool = False,
+) -> KrylovResult:
+    """Conjugate gradients on a batched SPD system ``[B, n, n] x = b``.
+
+    ``jacobi=True`` preconditions with ``diag(A)⁻¹`` (free on device;
+    helps badly scaled rows).  ``max_iters=0`` picks ``2n`` — in exact
+    arithmetic CG terminates in n steps; the margin covers f32 drift.
+    """
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    return cg_matvec(
+        _mv_dense(a), b, tol=tol, max_iters=max_iters,
+        precond=_jacobi_precond(a) if jacobi else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
+@f32_matmuls
+def bicgstab_batched(
+    a: jax.Array,
+    b: jax.Array,
+    tol: Optional[float] = None,
+    max_iters: int = 0,
+    jacobi: bool = False,
+) -> KrylovResult:
+    """BiCGSTAB on a batched GENERAL square system (two GEMVs per
+    step).  ``max_iters=0`` picks ``4n``.  Breakdown lanes (ρ ≈ 0)
+    freeze and report ``converged=False`` unless already at tol."""
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    return bicgstab_matvec(
+        _mv_dense(a), b, tol=tol, max_iters=max_iters,
+        precond=_jacobi_precond(a) if jacobi else None,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("restart", "max_restarts", "jacobi")
+)
+@f32_matmuls
+def gmres_batched(
+    a: jax.Array,
+    b: jax.Array,
+    tol: Optional[float] = None,
+    restart: int = 32,
+    max_restarts: int = 8,
+    jacobi: bool = False,
+) -> KrylovResult:
+    """Restarted GMRES(m) on a batched GENERAL square system (see
+    :func:`gmres_matvec` for the algorithm and the matrix-free form)."""
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    return gmres_matvec(
+        _mv_dense(a), b, tol=tol, restart=restart,
+        max_restarts=max_restarts,
+        precond=_jacobi_precond(a) if jacobi else None,
+    )
