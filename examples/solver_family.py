@@ -139,6 +139,64 @@ def main() -> None:
     ).max()
     print("complex solve resid:", float(rc_))
 
+    # --- general matrix functions (non-SPD) -----------------------------
+    from linalg_solver_tpu.ops import logm_batched, sqrtm_batched
+
+    Apos = (rng.randn(B, n, n) + 3 * np.sqrt(n) * np.eye(n)).astype(
+        np.float32
+    )
+    sq = sqrtm_batched(jnp.asarray(Apos))
+    sq_err = float(
+        jnp.max(jnp.abs(sq.Y @ sq.Y - jnp.asarray(Apos)))
+    )
+    print("general sqrtm Y@Y err:", sq_err,
+          "conv:", bool(np.asarray(sq.converged).all()))
+    lg = logm_batched(jnp.asarray(Apos))
+    print("general logm roots per lane:", np.asarray(lg.roots))
+
+    # --- iterative family: CG / GMRES / LOBPCG / Toeplitz ---------------
+    from linalg_solver_tpu.ops import (
+        cg_batched,
+        gmres_batched,
+        lobpcg_batched,
+        toeplitz_solve_batched,
+    )
+
+    cgr = cg_batched(jnp.asarray(S), jnp.asarray(b), tol=1e-5)
+    print("CG converged:", bool(np.asarray(cgr.converged).all()),
+          "resid:", float(np.asarray(cgr.resnorm).max()))
+    gm = gmres_batched(jnp.asarray(A), jnp.asarray(b), tol=1e-5)
+    print("GMRES converged:", bool(np.asarray(gm.converged).all()))
+    lp = lobpcg_batched(jnp.asarray(S), k=3, tol=1e-4)
+    print("LOBPCG smallest eigenvalues:",
+          np.round(np.asarray(lp.w)[0], 3))
+    decay = np.exp(-0.5 * np.arange(n)).astype(np.float32)
+    ct = (rng.randn(B, n) * decay).astype(np.float32)
+    rt = (rng.randn(B, n) * decay).astype(np.float32)
+    ct[:, 0] += 4.0
+    rt[:, 0] = ct[:, 0]
+    tp = toeplitz_solve_batched(
+        jnp.asarray(ct), jnp.asarray(rt), jnp.asarray(b), tol=1e-5
+    )
+    print("Toeplitz (FFT+GMRES) converged:",
+          bool(np.asarray(tp.converged).all()))
+
+    # --- banded (block cyclic reduction) --------------------------------
+    from linalg_solver_tpu.ops import banded_solve_batched
+
+    kb = 3
+    ab = rng.randn(B, 2 * kb + 1, n).astype(np.float32)
+    ab[:, kb] += 4.0 * (2 * kb + 1)
+    bd = banded_solve_batched(jnp.asarray(ab), jnp.asarray(b), kb=kb)
+    print("banded ok:", bool(np.asarray(bd.ok).all()))
+
+    # --- numpy.linalg-shaped namespace ----------------------------------
+    from linalg_solver_tpu import linalg as tla
+
+    x_np = tla.solve(jnp.asarray(A), jnp.asarray(b))
+    print("tla.solve shape:", x_np.shape,
+          "det sign:", np.sign(np.asarray(tla.det(jnp.asarray(A)))))
+
     # --- exact rational solve (device residues + host CRT) -------------
     Ai = rng.randint(-9, 10, (2, 6, 6)).astype(np.int32)
     bi = rng.randint(-9, 10, (2, 6)).astype(np.int32)

@@ -94,6 +94,26 @@ class TestBanded:
                 x[i], want, atol=1e-4 * max(np.abs(want).max(), 1.0)
             )
 
+    def test_block_width_invariance(self):
+        """Any nb >= kb packs the same system: solutions agree."""
+        from scipy.linalg import solve_banded
+
+        kb, N = 2, 24
+        rng = np.random.RandomState(42)
+        ab = rng.randn(1, 5, N).astype(np.float32)
+        ab[:, kb] += 20.0
+        b = rng.randn(1, N).astype(np.float32)
+        want = solve_banded((kb, kb), ab[0].astype(np.float64),
+                            b[0].astype(np.float64))
+        for nb in (2, 3, 8, 24):
+            res = banded_solve_batched(
+                jnp.asarray(ab), jnp.asarray(b), kb=kb, nb=nb
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.x)[0], want, atol=1e-4,
+                err_msg=f"nb={nb}",
+            )
+
     def test_band_edges_respected(self):
         """The out-of-band corners of the scipy storage are ignored
         (scipy convention: those entries are not referenced)."""
