@@ -97,6 +97,19 @@ class TestLargeSolveMixed:
             # unrefined solve: bf16-factor accuracy
             assert rel_res(A, x, b) < 1e-3
 
+    def test_dispatch_mixed_routes_large(self):
+        """backend='mixed' at N >= 1024 goes through the large-N path
+        (and solves correctly end to end)."""
+        from linalg_solver_tpu.ops import dispatch
+
+        N = 1024
+        A = wellcond(1, N, seed=14)
+        b = np.random.RandomState(15).randn(1, N).astype(np.float32)
+        x = dispatch.solve_batched(
+            jnp.asarray(A), jnp.asarray(b), backend="mixed"
+        )
+        assert rel_res(A, x, b) < 3e-7
+
     def test_matches_numpy_solution(self):
         B, N = 2, 192
         A = wellcond(B, N, seed=11)
