@@ -167,6 +167,19 @@ from .lobpcg import (
     LOBPCGResult,
     lobpcg_batched,
 )
+from .structured import (
+    CirculantSolve,
+    VandermondeSolve,
+    circulant_dense_batched,
+    circulant_matvec_batched,
+    circulant_solve_batched,
+    hankel_dense_batched,
+    hankel_matvec_batched,
+    hankel_solve_batched,
+    vandermonde_dense_batched,
+    vandermonde_solve_batched,
+    vandermonde_solve_t_batched,
+)
 from .sign import (
     SignResult,
     eig_count_left_batched,
@@ -208,6 +221,12 @@ __all__ = [
     "toeplitz_solve_batched", "toeplitz_matvec_batched",
     "toeplitz_dense_batched", "make_toeplitz_matvec", "strang_precond",
     "LOBPCGResult", "lobpcg_batched",
+    "CirculantSolve", "circulant_dense_batched",
+    "circulant_matvec_batched", "circulant_solve_batched",
+    "hankel_dense_batched", "hankel_matvec_batched",
+    "hankel_solve_batched",
+    "VandermondeSolve", "vandermonde_dense_batched",
+    "vandermonde_solve_batched", "vandermonde_solve_t_batched",
     "SignResult", "sign_batched", "eig_count_left_batched",
     "spectral_projector_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
