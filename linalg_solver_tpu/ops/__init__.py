@@ -167,6 +167,11 @@ from .lobpcg import (
     LOBPCGResult,
     lobpcg_batched,
 )
+from .arnoldi import (
+    ArnoldiEigs,
+    eigs_arnoldi_batched,
+    eigs_arnoldi_matvec,
+)
 from .structured import (
     CirculantSolve,
     VandermondeSolve,
@@ -221,6 +226,7 @@ __all__ = [
     "toeplitz_solve_batched", "toeplitz_matvec_batched",
     "toeplitz_dense_batched", "make_toeplitz_matvec", "strang_precond",
     "LOBPCGResult", "lobpcg_batched",
+    "ArnoldiEigs", "eigs_arnoldi_batched", "eigs_arnoldi_matvec",
     "CirculantSolve", "circulant_dense_batched",
     "circulant_matvec_batched", "circulant_solve_batched",
     "hankel_dense_batched", "hankel_matvec_batched",
