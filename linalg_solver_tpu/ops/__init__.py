@@ -102,9 +102,12 @@ from .sylvester import (
     sylvester_batched,
 )
 from .funm import (
+    ExpmvResult,
     LogmResult,
     SqrtmResult,
     expm_batched,
+    expm_multiply_batched,
+    expm_multiply_matvec,
     logm_batched,
     logm_spd_batched,
     powm_batched,
@@ -206,7 +209,8 @@ __all__ = [
     "cond2_batched", "rank_svd_batched",
     "PolarResult", "polar_batched",
     "SylvesterResult", "sylvester_batched", "lyapunov_batched",
-    "expm_batched", "sqrtm_spd_batched", "logm_spd_batched",
+    "expm_batched", "ExpmvResult", "expm_multiply_batched",
+    "expm_multiply_matvec", "sqrtm_spd_batched", "logm_spd_batched",
     "powm_spd_batched",
     "SqrtmResult", "sqrtm_batched", "LogmResult", "logm_batched",
     "powm_batched",

@@ -310,3 +310,95 @@ def powm_spd_batched(a: jax.Array, p: float) -> jax.Array:
     inverse square root p = −1/2 used for whitening)."""
     floor = 0.0 if p >= 0 else float(jnp.finfo(jnp.float32).tiny)
     return _spd_spectral(a, lambda w: jnp.power(w, p), floor)
+
+
+class ExpmvResult(NamedTuple):
+    """``x ≈ expm(t·A) v``.  ``segments`` is the per-lane scaling count
+    actually used; ``ok=False`` marks lanes whose norm bound demanded
+    more than ``max_segments`` (the result there is a truncated-time
+    propagation — accurate for ``t · max_segments / segments_needed``)."""
+
+    x: jax.Array         # [B, n]
+    segments: jax.Array  # [B] i32
+    ok: jax.Array        # [B] bool
+
+
+def expm_multiply_matvec(
+    matvec,
+    v: jax.Array,
+    norm_bound: jax.Array,
+    t: float = 1.0,
+    taylor_m: int = 12,
+    max_segments: int = 4096,
+) -> ExpmvResult:
+    """Action ``expm(t·A) v`` WITHOUT forming ``expm`` (Al-Mohy–Higham
+    2011 style scaling + truncated Taylor): split ``t`` into ``s``
+    segments with ``‖t·A‖/s ≤ 1`` and apply the degree-``taylor_m``
+    Taylor polynomial of each segment by ``taylor_m`` matvecs.
+
+    O(s · taylor_m) matvecs total — for operators too large to densify
+    (the dense counterpart is ``expm_batched @ v``).  ``norm_bound``
+    ``[B]`` must upper-bound ``‖A‖`` per lane (any norm; looser bounds
+    only cost extra segments, never accuracy).  With ``‖B‖ ≤ 1`` the
+    degree-12 remainder is ≤ e/13! ≈ 4e-10 — below f32 resolution.
+    Lanes finish at their own ``s`` and freeze (per-lane masking, one
+    global while loop of the batch maximum).
+    """
+    dtype = jnp.result_type(v.dtype, jnp.float32)
+    v = v.astype(dtype)
+    B = v.shape[0]
+    need = jnp.ceil(jnp.abs(t) * norm_bound).astype(jnp.int32)
+    s = jnp.clip(need, 1, max_segments)
+    ok = need <= max_segments
+    h = t / s.astype(dtype)  # [B] per-lane segment step
+
+    def taylor(w):
+        def term_step(j, carry):
+            term, acc = carry
+            term = matvec(term) * (h / j.astype(dtype))[:, None]
+            return term, acc + term
+
+        _, acc = jax.lax.fori_loop(
+            1, taylor_m + 1, term_step, (w, w)
+        )
+        return acc
+
+    def cond(carry):
+        _, seg = carry
+        return jnp.any(seg < s)
+
+    def body(carry):
+        w, seg = carry
+        active = (seg < s)[:, None]
+        return jnp.where(active, taylor(w), w), seg + 1
+
+    x, _ = jax.lax.while_loop(
+        cond, body, (v, jnp.zeros((B,), jnp.int32))
+    )
+    return ExpmvResult(x=x.astype(v.dtype), segments=s, ok=ok)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t", "taylor_m", "max_segments")
+)
+@f32_matmuls
+def expm_multiply_batched(
+    a: jax.Array,
+    v: jax.Array,
+    t: float = 1.0,
+    taylor_m: int = 12,
+    max_segments: int = 4096,
+) -> ExpmvResult:
+    """Dense-matrix wrapper for ``expm_multiply_matvec``: exact batched
+    1-norm, batched GEMV matvec.  Beats ``expm_batched`` whenever only
+    the action on a few vectors is needed (O(s·m·n²) vs O(n³) with a
+    large Padé constant)."""
+    norm1 = jnp.max(jnp.sum(jnp.abs(a), axis=1), axis=1)  # [B]
+
+    def matvec(w):
+        return jnp.einsum("bij,bj->bi", a, w, precision=_HIGH)
+
+    return expm_multiply_matvec(
+        matvec, v, norm1, t=t, taylor_m=taylor_m,
+        max_segments=max_segments,
+    )

@@ -241,3 +241,64 @@ class TestGeneralPowm:
             np.testing.assert_allclose(
                 P[i] @ A[i], np.eye(8), atol=2e-3
             )
+
+
+class TestExpmMultiply:
+    def _batch(self, seed=16):
+        rng = np.random.RandomState(seed)
+        A = rng.randn(3, 24, 24).astype(np.float32)
+        A[1] *= 6.0   # large-norm lane: many segments
+        A[2] *= 0.05  # small-norm lane: one segment
+        v = rng.randn(3, 24).astype(np.float32)
+        return A, v
+
+    def test_matches_scipy_expm_action(self):
+        from scipy.linalg import expm
+        from linalg_solver_tpu.ops.funm import expm_multiply_batched
+
+        A, v = self._batch()
+        for t in (1.0, -0.7):
+            res = expm_multiply_batched(jnp.asarray(A), jnp.asarray(v),
+                                        t=t)
+            assert bool(np.asarray(res.ok).all())
+            for b in range(3):
+                want = expm(t * A[b].astype(np.float64)) @ v[b]
+                got = np.asarray(res.x[b], np.float64)
+                rel = (np.linalg.norm(got - want)
+                       / np.linalg.norm(want))
+                assert rel < 5e-5, (t, b, rel)
+
+    def test_per_lane_segment_counts(self):
+        from linalg_solver_tpu.ops.funm import expm_multiply_batched
+
+        A, v = self._batch()
+        res = expm_multiply_batched(jnp.asarray(A), jnp.asarray(v))
+        seg = np.asarray(res.segments)
+        assert seg[1] > seg[0] > seg[2]  # scale with the lane's norm
+
+    def test_matvec_path_matches_dense(self):
+        from linalg_solver_tpu.ops.funm import (
+            expm_multiply_batched,
+            expm_multiply_matvec,
+        )
+
+        A, v = self._batch(seed=17)
+        aj = jnp.asarray(A)
+
+        def mv(w):
+            return jnp.einsum("bij,bj->bi", aj, w)
+
+        nb = jnp.max(jnp.sum(jnp.abs(aj), axis=1), axis=1)
+        r1 = expm_multiply_batched(aj, jnp.asarray(v))
+        r2 = expm_multiply_matvec(mv, jnp.asarray(v), nb)
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                                   atol=1e-5)
+
+    def test_segment_cap_flagged(self):
+        from linalg_solver_tpu.ops.funm import expm_multiply_batched
+
+        A, v = self._batch()
+        res = expm_multiply_batched(jnp.asarray(A), jnp.asarray(v),
+                                    max_segments=2)
+        assert not bool(np.asarray(res.ok).all())
+        assert np.isfinite(np.asarray(res.x)).all()
