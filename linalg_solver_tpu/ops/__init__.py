@@ -133,8 +133,10 @@ from .banded import (
 )
 from .geig import (
     GeneralizedEigResult,
+    GeneralizedEigShifted,
     GeneralizedEighResult,
     eig_generalized_batched,
+    eig_generalized_shifted_batched,
     eigh_generalized_batched,
 )
 from .complexlin import (
@@ -221,6 +223,7 @@ __all__ = [
     "banded_solve_batched",
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
+    "GeneralizedEigShifted", "eig_generalized_shifted_batched",
     "solve_complex_batched", "inverse_complex_batched",
     "det_complex_batched",
     "RootsResult", "roots_batched",
