@@ -20,6 +20,11 @@ from .mesh import (
     replicated_spec,
     shard_batch,
 )
+from .distributed_krylov import (
+    distributed_bicgstab,
+    distributed_cg,
+    distributed_gmres,
+)
 from .distributed_tall import (
     DistributedPolar,
     DistributedQR,
@@ -44,6 +49,7 @@ __all__ = [
     "distributed_cholqr2", "distributed_lstsq",
     "distributed_polar_tall", "distributed_svd_tall",
     "distributed_randomized_svd",
+    "distributed_cg", "distributed_bicgstab", "distributed_gmres",
     "DistributedEigh", "distributed_eigh",
     "DistributedSVDJacobi", "distributed_svd_jacobi",
 ]
