@@ -176,6 +176,7 @@ from .arnoldi import (
     ArnoldiEigs,
     eigs_arnoldi_batched,
     eigs_arnoldi_matvec,
+    eigs_arnoldi_shifted_batched,
 )
 from .structured import (
     CirculantSolve,
@@ -234,6 +235,7 @@ __all__ = [
     "toeplitz_dense_batched", "make_toeplitz_matvec", "strang_precond",
     "LOBPCGResult", "lobpcg_batched",
     "ArnoldiEigs", "eigs_arnoldi_batched", "eigs_arnoldi_matvec",
+    "eigs_arnoldi_shifted_batched",
     "CirculantSolve", "circulant_dense_batched",
     "circulant_matvec_batched", "circulant_solve_batched",
     "hankel_dense_batched", "hankel_matvec_batched",

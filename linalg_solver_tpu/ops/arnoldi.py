@@ -405,3 +405,71 @@ def eigs_arnoldi_batched(
         matvec, v0, k, which=which, m=m, tol=tol,
         max_restarts=max_restarts,
     )
+
+
+def eigs_arnoldi_shifted_batched(
+    a: jax.Array,
+    k: int,
+    sigma: float,
+    m: Optional[int] = None,
+    tol: Optional[float] = None,
+    max_restarts: int = 30,
+    v0: Optional[jax.Array] = None,
+) -> ArnoldiEigs:
+    """The ``k`` eigenvalues of ``a`` CLOSEST to the shift ``σ``
+    (interior eigenvalues), by shift-invert Arnoldi: one LU of
+    ``A − σI`` per batch, then Krylov–Schur on ``(A − σI)⁻¹`` whose
+    LM Ritz values ``μ`` map back through ``λ = σ + 1/μ`` with the
+    same eigenvectors.  This is THE convergence fix for interior /
+    smallest-magnitude targets (plain Arnoldi ``which="SM"`` stalls).
+
+    ``resid``/``converged`` are recomputed against A itself (not the
+    transformed operator) — honest flags for the reported pairs.
+    """
+    from .lu import lu_factor_batched, lu_solve_batched
+
+    B, n, _ = a.shape
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(dtype)
+    shifted = a - jnp.asarray(sigma, dtype) * jnp.eye(n, dtype=dtype)
+    fac = lu_factor_batched(shifted)
+
+    def matvec(v):
+        return lu_solve_batched(fac, v)
+
+    if v0 is None:
+        v0 = jax.random.normal(jax.random.PRNGKey(0), (B, n), dtype)
+    res = eigs_arnoldi_matvec(
+        matvec, v0, k, which="LM", m=m, tol=tol,
+        max_restarts=max_restarts,
+    )
+    if tol is None:
+        tol = 200.0 * float(jnp.finfo(dtype).eps)
+    mu_re, mu_im = res.real, res.imag
+    mu2 = jnp.maximum(mu_re * mu_re + mu_im * mu_im, 1e-38)
+    lam_re = sigma + mu_re / mu2
+    lam_im = -mu_im / mu2
+    # True residuals against A (the returned ones were for (A−σI)⁻¹).
+    with jax.default_matmul_precision("float32"):
+        Ar = jnp.einsum(
+            "bij,bjk->bik", a, res.vectors_real, precision=_HIGH
+        )
+        Ai = jnp.einsum(
+            "bij,bjk->bik", a, res.vectors_imag, precision=_HIGH
+        )
+    lr, li = lam_re[:, None, :], lam_im[:, None, :]
+    rr = Ar - (lr * res.vectors_real - li * res.vectors_imag)
+    ri = Ai - (lr * res.vectors_imag + li * res.vectors_real)
+    resid = jnp.sqrt(jnp.sum(rr * rr + ri * ri, axis=1))
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(a), axis=(1, 2)), 1e-30
+    )[:, None]
+    ok_lane = fac.ok[:, None]
+    return ArnoldiEigs(
+        real=lam_re, imag=lam_im,
+        vectors_real=res.vectors_real,
+        vectors_imag=res.vectors_imag,
+        resid=resid / scale,
+        converged=(resid <= tol * scale * n) & ok_lane,
+        restarts=res.restarts,
+    )
