@@ -139,6 +139,10 @@ from .geig import (
     eig_generalized_shifted_batched,
     eigh_generalized_batched,
 )
+from .quadeig import (
+    QuadEigResult,
+    quadeig_batched,
+)
 from .complexlin import (
     det_complex_batched,
     inverse_complex_batched,
@@ -225,6 +229,7 @@ __all__ = [
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
     "GeneralizedEigShifted", "eig_generalized_shifted_batched",
+    "QuadEigResult", "quadeig_batched",
     "solve_complex_batched", "inverse_complex_batched",
     "det_complex_batched",
     "RootsResult", "roots_batched",
