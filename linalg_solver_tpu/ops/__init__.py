@@ -117,10 +117,12 @@ from .funm import (
 )
 from .spd import (
     CholeskyResult,
+    PivotedCholesky,
     cholesky_batched,
     cholesky_inverse_batched,
     cholesky_solve_batched,
     logdet_spd_batched,
+    pivoted_cholesky_batched,
 )
 from .tridiag import (
     TridiagResult,
@@ -223,6 +225,7 @@ __all__ = [
     "powm_batched",
     "CholeskyResult", "cholesky_batched", "cholesky_solve_batched",
     "cholesky_inverse_batched", "logdet_spd_batched",
+    "PivotedCholesky", "pivoted_cholesky_batched",
     "TridiagResult", "tridiag_solve_batched",
     "BlockTridiagResult", "block_tridiag_solve_batched",
     "banded_solve_batched",

@@ -11,12 +11,15 @@ per-lane ``ok`` flag rather than a wrong answer.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..utils.precision import f32_matmuls
+
+_HIGH = jax.lax.Precision.HIGHEST
 
 
 
@@ -83,3 +86,100 @@ def logdet_spd_batched(a: jax.Array):
         res.L * jnp.eye(n, dtype=res.L.dtype), axis=-1
     )
     return 2.0 * jnp.sum(jnp.log(jnp.maximum(d, 1e-38)), axis=1), res.ok
+
+
+class PivotedCholesky(NamedTuple):
+    """Rank-revealing ``A ≈ L Lᵀ`` with ``L [B, n, r]`` built greedily
+    on the largest remaining diagonal (LAPACK pstrf's pivot rule).
+    ``piv[b, :rank[b]]`` are the chosen pivot indices in order;
+    columns ≥ rank are exactly zero.  ``resid_diag`` is the trace of
+    the unfactored remainder (the Nyström/trace error bound
+    ``‖A − L Lᵀ‖_tr``)."""
+
+    L: jax.Array           # [B, n, r]
+    piv: jax.Array         # [B, r] i32
+    rank: jax.Array        # [B] i32
+    resid_diag: jax.Array  # [B]
+    ok: jax.Array          # [B] no negative remaining diagonal beyond
+    #                        roundoff was hit (input was numerically PSD)
+
+
+@functools.partial(jax.jit, static_argnames=("max_rank", "rtol"))
+@f32_matmuls
+def pivoted_cholesky_batched(
+    a: jax.Array,
+    max_rank: int = 0,
+    rtol: float = 0.0,
+) -> PivotedCholesky:
+    """Batched diagonal-pivoted Cholesky of PSD matrices — the
+    rank-revealing / low-rank form (`scipy pstrf` semantics, early
+    stop at ``max_rank`` for Nyström-style kernel approximation).
+
+    Per step: pick the largest remaining diagonal (per lane), form the
+    Schur-complement column against the already-built columns (one
+    [B, n, r]·[B, r] GEMV — MXU work), normalize, downdate the
+    diagonal.  Lanes stop when the remaining diagonal falls below
+    ``rtol · trace(A)`` (default: PSD roundoff floor ``n·eps``) and
+    freeze; ``rank`` is where each lane stopped.
+    """
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(f32)
+    a = 0.5 * (a + jnp.swapaxes(a, 1, 2))
+    B, n, _ = a.shape
+    r = n if max_rank == 0 else min(max_rank, n)
+    eps = float(jnp.finfo(f32).eps)
+    if rtol == 0.0:
+        rtol = n * eps
+
+    d0 = jnp.diagonal(a, axis1=1, axis2=2)
+    trace0 = jnp.maximum(jnp.sum(d0, axis=1), 1e-30)
+    idx = jnp.arange(n)
+
+    def step(j, carry):
+        L, piv, D, rank, ok = carry
+        # Largest remaining diagonal; used pivots carry -inf.
+        p = jnp.argmax(D, axis=1).astype(jnp.int32)      # [B]
+        d = jnp.take_along_axis(D, p[:, None], axis=1)[:, 0]
+        active = (d > rtol * trace0) & (rank == j)
+        # Column p of A and row p of L (one-hot selects — per-lane
+        # dynamic index, MXU-friendly).
+        oh = (idx[None, :] == p[:, None]).astype(f32)    # [B, n]
+        col = jnp.einsum("bij,bj->bi", a, oh, precision=_HIGH)
+        lrow = jnp.einsum("bnr,bn->br", L, oh, precision=_HIGH)
+        col = col - jnp.einsum(
+            "bnr,br->bn", L, lrow, precision=_HIGH
+        )
+        d_safe = jnp.sqrt(jnp.maximum(d, 1e-30))
+        newcol = jnp.where(active[:, None], col / d_safe[:, None], 0.0)
+        # The pivot row of the new column is exactly sqrt(d); entries
+        # of already-used pivot rows are forced to zero (they are
+        # eliminated exactly in exact arithmetic).
+        used = D == -jnp.inf
+        newcol = jnp.where(used, 0.0, newcol)
+        newcol = jnp.where(
+            oh > 0, jnp.where(active[:, None], d_safe[:, None], 0.0),
+            newcol,
+        )
+        L = jax.lax.dynamic_update_slice(
+            L, newcol[:, :, None], (0, 0, j)
+        )
+        D = D - newcol * newcol
+        ok = ok & (jnp.min(jnp.where(used, 0.0, D), axis=1)
+                   > -64.0 * n * eps * trace0)
+        D = jnp.where((oh > 0) & active[:, None], -jnp.inf, D)
+        piv = jax.lax.dynamic_update_slice(
+            piv, p[:, None], (0, j)
+        )
+        rank = jnp.where(active, j + 1, rank)
+        return L, piv, D, rank, ok
+
+    L0 = jnp.zeros((B, n, r), f32)
+    piv0 = jnp.zeros((B, r), jnp.int32)
+    rank0 = jnp.zeros((B,), jnp.int32)
+    ok0 = jnp.ones((B,), bool)
+    L, piv, D, rank, ok = jax.lax.fori_loop(
+        0, r, step, (L0, piv0, d0, rank0, ok0)
+    )
+    resid = jnp.sum(jnp.where(D == -jnp.inf, 0.0, jnp.maximum(D, 0.0)),
+                    axis=1)
+    return PivotedCholesky(L, piv, rank, resid, ok)

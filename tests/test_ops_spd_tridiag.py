@@ -145,3 +145,68 @@ class TestTridiagPCR:
             jnp.asarray(b),
         )
         assert not bool(np.asarray(res.ok)[0])
+
+
+class TestPivotedCholesky:
+    def _batch(self, seed=0):
+        rng = np.random.RandomState(seed)
+        n = 32
+        G = rng.randn(n, n)
+        A0 = G @ G.T / n + np.eye(n)          # full rank
+        W = rng.randn(n, 10)
+        A1 = W @ W.T                          # exact rank 10
+        Q, _ = np.linalg.qr(rng.randn(n, n))
+        lam = 2.0 ** (-np.arange(n) / 2.0)
+        A2 = Q @ np.diag(lam) @ Q.T           # decaying spectrum
+        return np.stack([A0, A1, A2]).astype(np.float32)
+
+    def test_rank_detection_and_reconstruction(self):
+        from linalg_solver_tpu.ops.spd import pivoted_cholesky_batched
+
+        A = self._batch()
+        res = pivoted_cholesky_batched(jnp.asarray(A))
+        assert bool(np.asarray(res.ok).all())
+        rank = np.asarray(res.rank)
+        assert rank[0] == 32 and rank[1] == 10
+        L = np.asarray(res.L, np.float64)
+        for b in range(3):
+            err = np.abs(L[b] @ L[b].T - A[b]).max()
+            assert err < 1e-4 * max(np.abs(A[b]).max(), 1.0), (b, err)
+
+    def test_matches_lapack_pstrf_rank(self):
+        from scipy.linalg.lapack import spstrf
+        from linalg_solver_tpu.ops.spd import pivoted_cholesky_batched
+
+        A = self._batch(seed=1)
+        res = pivoted_cholesky_batched(jnp.asarray(A))
+        _, _, rank, _ = spstrf(A[1], lower=1)
+        assert int(np.asarray(res.rank)[1]) == rank
+
+    def test_early_stop_trace_bound(self):
+        """max_rank=k: reported resid_diag equals the true trace of
+        the remainder (the Nyström error bound)."""
+        from linalg_solver_tpu.ops.spd import pivoted_cholesky_batched
+
+        A = self._batch(seed=2)
+        res = pivoted_cholesky_batched(jnp.asarray(A), max_rank=5)
+        L = np.asarray(res.L, np.float64)
+        for b in range(3):
+            tr = np.trace(A[b] - L[b] @ L[b].T)
+            np.testing.assert_allclose(
+                float(np.asarray(res.resid_diag)[b]), tr,
+                rtol=1e-3, atol=1e-4,
+            )
+        # greedy diagonal pivoting decays the trace fastest on the
+        # decaying-spectrum lane
+        assert float(np.asarray(res.resid_diag)[2]) < 1.0
+
+    def test_indefinite_flagged(self):
+        from linalg_solver_tpu.ops.spd import pivoted_cholesky_batched
+
+        rng = np.random.RandomState(3)
+        n = 16
+        A = np.diag(np.concatenate([np.ones(8), -0.5 * np.ones(8)]))
+        A = A + 0.01 * rng.randn(n, n)
+        A = ((A + A.T) / 2)[None].astype(np.float32)
+        res = pivoted_cholesky_batched(jnp.asarray(A))
+        assert not bool(np.asarray(res.ok).all())
