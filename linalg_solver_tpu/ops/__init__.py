@@ -155,7 +155,11 @@ from .roots import (
     roots_batched,
 )
 from .randomized import (
+    CURDecomposition,
+    InterpolativeDecomposition,
     RandomizedSVD,
+    cur_batched,
+    interpolative_batched,
     randomized_svd_batched,
 )
 from .krylov import (
@@ -237,6 +241,8 @@ __all__ = [
     "det_complex_batched",
     "RootsResult", "roots_batched",
     "RandomizedSVD", "randomized_svd_batched",
+    "InterpolativeDecomposition", "interpolative_batched",
+    "CURDecomposition", "cur_batched",
     "KrylovResult", "cg_batched", "bicgstab_batched", "gmres_batched",
     "cg_matvec", "bicgstab_matvec", "gmres_matvec",
     "toeplitz_solve_batched", "toeplitz_matvec_batched",

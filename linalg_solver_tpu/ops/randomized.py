@@ -157,3 +157,107 @@ def randomized_svd_batched(
     # tiny values), not the matrix dimensions — see distributed twin.
     valid = s > (ell * eps) * jnp.maximum(s[:, :1], 1e-30)
     return RandomizedSVD(U, s, V, resid, ok & core.ok, valid)
+
+
+class InterpolativeDecomposition(NamedTuple):
+    """Column ID ``A ≈ A[:, cols] @ X``: the k most informative ACTUAL
+    columns (indices in greedy selection order) plus the interpolation
+    coefficients.  ``resid_fro`` is the exact relative Frobenius error
+    of the reconstruction."""
+
+    cols: jax.Array       # [B, k] i32
+    X: jax.Array          # [B, k, n]
+    resid_fro: jax.Array  # [B]
+    ok: jax.Array         # [B]
+
+
+class CURDecomposition(NamedTuple):
+    """``A ≈ C @ U @ R`` from actual columns and rows of A (the
+    interpretable low-rank factorization).  ``C = A[:, cols]``,
+    ``R = A[rows, :]``, U [B, k, k]."""
+
+    cols: jax.Array       # [B, k] i32
+    rows: jax.Array       # [B, k] i32
+    C: jax.Array          # [B, m, k]
+    U: jax.Array          # [B, k, k]
+    R: jax.Array          # [B, k, n]
+    resid_fro: jax.Array  # [B]
+    ok: jax.Array         # [B]
+
+
+def _select_columns_gram(a: jax.Array, k: int):
+    """Greedy column selection = diagonal-pivoted Cholesky on the Gram
+    matrix AᵀA (identical pivot order to column-pivoted QR on A, at
+    pure-GEMM cost)."""
+    from .spd import pivoted_cholesky_batched
+
+    gram = jnp.einsum("bmi,bmj->bij", a, a, precision=_HIGH)
+    pc = pivoted_cholesky_batched(gram, max_rank=k)
+    return pc.piv, pc.ok
+
+
+def _gather_cols(a: jax.Array, cols: jax.Array):
+    """[B, m, k] actual columns via one-hot GEMM (TPU-friendly)."""
+    n = a.shape[2]
+    oh = (cols[:, :, None] == jnp.arange(n)[None, None, :]).astype(
+        a.dtype
+    )                                                   # [B, k, n]
+    return jnp.einsum("bmn,bkn->bmk", a, oh, precision=_HIGH)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+@f32_matmuls
+def interpolative_batched(
+    a: jax.Array, k: int
+) -> InterpolativeDecomposition:
+    """Rank-k column interpolative decomposition of ``[B, m, n]``
+    batches: pick k actual columns by Gram pivoted Cholesky, then
+    interpolate the rest by least squares (CholeskyQR2 + refinement).
+    All stages are batched GEMMs."""
+    from .lstsq import lstsq_batched
+
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(f32)
+    cols, ok = _select_columns_gram(a, k)
+    C = _gather_cols(a, cols)
+    ls = lstsq_batched(C, a)
+    X = ls.x                                            # [B, k, n]
+    rec = jnp.einsum("bmk,bkn->bmn", C, X, precision=_HIGH)
+    err = jnp.sqrt(jnp.sum((a - rec) ** 2, axis=(1, 2)))
+    nrm = jnp.maximum(jnp.sqrt(jnp.sum(a * a, axis=(1, 2))), 1e-30)
+    return InterpolativeDecomposition(
+        cols, X, err / nrm, ok & ls.ok
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+@f32_matmuls
+def cur_batched(a: jax.Array, k: int) -> CURDecomposition:
+    """Rank-k CUR decomposition: columns by Gram pivoted Cholesky of
+    AᵀA, rows of AAᵀ, and the core ``U = C⁺ A R⁺`` from two
+    least-squares solves — a low-rank factorization whose factors are
+    ROWS AND COLUMNS OF A ITSELF (interpretable, sparsity/sign
+    preserving, unlike the SVD's dense singular vectors)."""
+    from .lstsq import lstsq_batched
+
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(f32)
+    cols, okc = _select_columns_gram(a, k)
+    at = jnp.swapaxes(a, 1, 2)
+    rows, okr = _select_columns_gram(at, k)
+    C = _gather_cols(a, cols)                           # [B, m, k]
+    R = jnp.swapaxes(_gather_cols(at, rows), 1, 2)      # [B, k, n]
+    # U = C⁺ A R⁺: first Y = C⁺ A  [B, k, n], then U from R via the
+    # transposed system (Rᵀ Uᵀ = Yᵀ, minimum-norm).
+    ls1 = lstsq_batched(C, a)
+    Y = ls1.x
+    ls2 = lstsq_batched(jnp.swapaxes(R, 1, 2), jnp.swapaxes(Y, 1, 2))
+    U = jnp.swapaxes(ls2.x, 1, 2)                       # [B, k, k]
+    rec = jnp.einsum(
+        "bmk,bkj,bjn->bmn", C, U, R, precision=_HIGH
+    )
+    err = jnp.sqrt(jnp.sum((a - rec) ** 2, axis=(1, 2)))
+    nrm = jnp.maximum(jnp.sqrt(jnp.sum(a * a, axis=(1, 2))), 1e-30)
+    return CURDecomposition(
+        cols, rows, C, U, R, err / nrm, okc & okr & ls1.ok & ls2.ok
+    )

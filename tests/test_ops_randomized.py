@@ -109,3 +109,62 @@ class TestRandomizedSVD:
         np.testing.assert_allclose(
             U.T @ U, np.eye(kv), atol=1e-3
         )
+
+
+class TestInterpolativeCUR:
+    def test_id_exact_low_rank(self):
+        from linalg_solver_tpu.ops.randomized import (
+            interpolative_batched,
+        )
+
+        rng = np.random.RandomState(20)
+        B, m, n, r = 2, 48, 40, 6
+        A = (rng.randn(B, m, r) @ rng.randn(B, r, n)).astype(np.float32)
+        res = interpolative_batched(jnp.asarray(A), r)
+        assert bool(np.asarray(res.ok).all())
+        assert np.asarray(res.resid_fro).max() < 1e-5
+        # X really interpolates from ACTUAL columns of A
+        X = np.asarray(res.X, np.float64)
+        cols = np.asarray(res.cols)
+        for b in range(B):
+            C = A[b][:, cols[b]].astype(np.float64)
+            err = np.abs(C @ X[b] - A[b]).max()
+            assert err < 1e-4 * np.abs(A[b]).max()
+
+    def test_cur_exact_low_rank_and_factors_from_a(self):
+        from linalg_solver_tpu.ops.randomized import cur_batched
+
+        rng = np.random.RandomState(21)
+        B, m, n, r = 2, 40, 48, 5
+        A = (rng.randn(B, m, r) @ rng.randn(B, r, n)).astype(np.float32)
+        res = cur_batched(jnp.asarray(A), r)
+        assert bool(np.asarray(res.ok).all())
+        assert np.asarray(res.resid_fro).max() < 1e-5
+        cols = np.asarray(res.cols)
+        rows = np.asarray(res.rows)
+        for b in range(B):
+            np.testing.assert_allclose(
+                np.asarray(res.C)[b], A[b][:, cols[b]], atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.R)[b], A[b][rows[b], :], atol=1e-5
+            )
+
+    def test_near_optimal_on_decaying_spectrum(self):
+        from linalg_solver_tpu.ops.randomized import (
+            cur_batched,
+            interpolative_batched,
+        )
+
+        rng = np.random.RandomState(22)
+        m = n = 40
+        Q1, _ = np.linalg.qr(rng.randn(m, m))
+        Q2, _ = np.linalg.qr(rng.randn(n, n))
+        s = 2.0 ** (-np.arange(n).astype(float))
+        A = ((Q1[:, :n] * s[None, :]) @ Q2)[None].astype(np.float32)
+        k = 8
+        opt = np.sqrt((s[k:] ** 2).sum()) / np.sqrt((s**2).sum())
+        rid = interpolative_batched(jnp.asarray(A), k)
+        rcur = cur_batched(jnp.asarray(A), k)
+        assert float(rid.resid_fro[0]) < 4.0 * opt
+        assert float(rcur.resid_fro[0]) < 8.0 * opt
