@@ -49,8 +49,11 @@ def main():
     print(f"t={t*1e3:.3f} ms/call  resid={rel:.2e}")
 
     # ---------------- vandermonde BP at scale ------------------------
-    sect("vandermonde_solve 256x128")
-    B, n = 256, 128
+    sect("vandermonde_solve 256x24")
+    # n is bounded by conditioning, not compute: cond(V) grows
+    # exponentially in n, and past n≈30 the f32 BP intermediates
+    # overflow (flagged ok=False, regression-tested).
+    B, n = 256, 24
     base = np.cos(np.pi * (np.arange(n) + 0.5) / n)
     xs = np.sort(
         base[None] + 0.02 * rng.randn(B, n) / n, axis=1

@@ -228,7 +228,12 @@ def vandermonde_solve_batched(
     c = jax.lax.fori_loop(0, n - 1, horner_step, c)
 
     spread = jnp.max(x, axis=-1) - jnp.min(x, axis=-1)
-    ok = min_den > rtol * jnp.maximum(spread, 1e-30)
+    # Coincident nodes OR f32 overflow (BP intermediates grow like the
+    # Vandermonde condition number, exponential in n — large-n solves
+    # overflow honestly instead of silently returning garbage).
+    ok = (min_den > rtol * jnp.maximum(spread, 1e-30)) & jnp.all(
+        jnp.isfinite(c), axis=-1
+    )
     return VandermondeSolve(x=c.astype(f.dtype), ok=ok)
 
 
@@ -283,5 +288,7 @@ def vandermonde_solve_t_batched(
     )
 
     spread = jnp.max(x, axis=-1) - jnp.min(x, axis=-1)
-    ok = min_den > rtol * jnp.maximum(spread, 1e-30)
+    ok = (min_den > rtol * jnp.maximum(spread, 1e-30)) & jnp.all(
+        jnp.isfinite(w), axis=-1
+    )
     return VandermondeSolve(x=w.astype(b.dtype), ok=ok)

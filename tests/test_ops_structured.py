@@ -199,3 +199,19 @@ class TestVandermonde:
         res = vandermonde_solve_batched(jnp.asarray(x), jnp.asarray(f))
         assert bool(np.asarray(res.ok).all())
         np.testing.assert_allclose(np.asarray(res.x), f)
+
+
+class TestVandermondeOverflow:
+    def test_large_n_overflow_flagged(self):
+        """n = 128 Chebyshev-like nodes: cond(V) is astronomically
+        large and the f32 BP intermediates overflow — the lane must
+        report ok=False (measured silently-NaN on TPU before the
+        finiteness gate)."""
+        rng = np.random.RandomState(30)
+        n = 128
+        base = np.cos(np.pi * (np.arange(n) + 0.5) / n)
+        x = np.sort(base[None] + 0.02 * rng.randn(1, n) / n,
+                    axis=1).astype(np.float32)
+        f = rng.randn(1, n).astype(np.float32)
+        res = vandermonde_solve_batched(jnp.asarray(x), jnp.asarray(f))
+        assert not bool(np.asarray(res.ok).all())
