@@ -188,6 +188,14 @@ from .arnoldi import (
     eigs_arnoldi_matvec,
     eigs_arnoldi_shifted_batched,
 )
+from .blocksparse import (
+    BlockSparse,
+    blocksparse_eigs,
+    blocksparse_from_dense,
+    blocksparse_solve,
+    blocksparse_to_dense,
+    make_blocksparse_matvec,
+)
 from .structured import (
     CirculantSolve,
     VandermondeSolve,
@@ -250,6 +258,8 @@ __all__ = [
     "LOBPCGResult", "lobpcg_batched",
     "ArnoldiEigs", "eigs_arnoldi_batched", "eigs_arnoldi_matvec",
     "eigs_arnoldi_shifted_batched",
+    "BlockSparse", "blocksparse_from_dense", "blocksparse_to_dense",
+    "make_blocksparse_matvec", "blocksparse_solve", "blocksparse_eigs",
     "CirculantSolve", "circulant_dense_batched",
     "circulant_matvec_batched", "circulant_solve_batched",
     "hankel_dense_batched", "hankel_matvec_batched",
