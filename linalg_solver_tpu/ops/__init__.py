@@ -97,9 +97,15 @@ from .svd import (
     svd_batched,
 )
 from .sylvester import (
+    SteinResult,
     SylvesterResult,
     lyapunov_batched,
+    stein_batched,
     sylvester_batched,
+)
+from .riccati import (
+    CAREResult,
+    care_batched,
 )
 from .funm import (
     ExpmvResult,
@@ -230,6 +236,7 @@ __all__ = [
     "cond2_batched", "rank_svd_batched",
     "PolarResult", "polar_batched",
     "SylvesterResult", "sylvester_batched", "lyapunov_batched",
+    "SteinResult", "stein_batched", "CAREResult", "care_batched",
     "expm_batched", "ExpmvResult", "expm_multiply_batched",
     "expm_multiply_matvec", "sqrtm_spd_batched", "logm_spd_batched",
     "powm_spd_batched",

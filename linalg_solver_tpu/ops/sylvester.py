@@ -102,3 +102,70 @@ def sylvester_batched(
 def lyapunov_batched(a: jax.Array, q: jax.Array) -> SylvesterResult:
     """Solve the continuous Lyapunov equation ``a X + X aᵀ = q``."""
     return sylvester_batched(a, jnp.swapaxes(a, 1, 2), q)
+
+
+class SteinResult(NamedTuple):
+    """``X`` solves ``A X Aᵀ − X + Q = 0`` where ``ok``; lanes whose
+    spectral radius is not < 1 (the solvability condition) diverge the
+    doubling iteration and report ``ok=False``."""
+
+    X: jax.Array        # [B, n, n]
+    ok: jax.Array       # [B]
+    iters: jax.Array    # [] i32
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+@f32_matmuls
+def stein_batched(
+    a: jax.Array, q: jax.Array, max_iters: int = 30
+) -> SteinResult:
+    """Discrete Lyapunov (Stein) equation ``A X Aᵀ − X + Q = 0`` by
+    the Smith DOUBLING iteration: with ``ρ(A) < 1``,
+    ``X = Σ_k Aᵏ Q (Aᵀ)ᵏ`` and the partial sums double per step
+    (``X ← X + P X Pᵀ; P ← P²``) — log₂ convergence, every step two
+    batched GEMM pairs.  Divergence (ρ ≥ 1) is detected per lane from
+    the growth of ‖P‖ and flagged."""
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(f32)
+    q = q.astype(f32)
+    B = a.shape[0]
+
+    def nrm(x):
+        return jnp.max(jnp.abs(x), axis=(1, 2))
+
+    p_scale0 = jnp.maximum(nrm(a), 1e-30)
+
+    def cond(st):
+        X, P, k, done, ok = st
+        return (k < max_iters) & ~jnp.all(done | ~ok)
+
+    def body(st):
+        X, P, k, done, ok = st
+        PX = jnp.einsum("bij,bjk->bik", P, X, precision=_HIGH)
+        upd = jnp.einsum(
+            "bij,bkj->bik", PX, P, precision=_HIGH
+        )
+        X_new = X + upd
+        P_new = jnp.einsum("bij,bjk->bik", P, P, precision=_HIGH)
+        step = nrm(upd) / jnp.maximum(nrm(X_new), 1e-30)
+        done_new = step < 4.0 * jnp.finfo(f32).eps
+        # ρ(A) ≥ 1 ⇒ ‖P‖ = ‖A^{2^k}‖ blows past any poly factor.
+        ok_new = ok & (nrm(P_new) < 1e6 * p_scale0) & jnp.all(
+            jnp.isfinite(X_new), axis=(1, 2)
+        )
+        upd_mask = (~done & ok)[:, None, None]
+        return (
+            jnp.where(upd_mask, X_new, X),
+            jnp.where(upd_mask, P_new, P),
+            k + 1,
+            done | done_new,
+            ok_new,
+        )
+
+    X, P, iters, done, ok = jax.lax.while_loop(
+        cond, body,
+        (q, a, jnp.zeros((), jnp.int32), jnp.zeros((B,), bool),
+         jnp.ones((B,), bool)),
+    )
+    X = 0.5 * (X + jnp.swapaxes(X, 1, 2))
+    return SteinResult(X, ok & done, iters)

@@ -138,3 +138,107 @@ class TestLyapunov:
             assert sym_defect < 1e-3
             w = np.linalg.eigvalsh(0.5 * (X[i] + X[i].T))
             assert w.min() > -1e-4 * max(w.max(), 1.0)
+
+
+class TestStein:
+    def test_matches_scipy_discrete_lyapunov(self):
+        from scipy.linalg import solve_discrete_lyapunov
+        from linalg_solver_tpu.ops.sylvester import stein_batched
+
+        rng = np.random.RandomState(40)
+        B, n = 2, 24
+        A = rng.randn(B, n, n).astype(np.float32) * (0.5 / np.sqrt(n))
+        G = rng.randn(B, n, n)
+        Q = np.einsum("bij,bkj->bik", G, G).astype(np.float32) / n
+        res = stein_batched(jnp.asarray(A), jnp.asarray(Q))
+        assert bool(np.asarray(res.ok).all())
+        assert int(res.iters) <= 10  # doubling: log-depth
+        for b in range(B):
+            want = solve_discrete_lyapunov(
+                A[b].astype(np.float64), Q[b].astype(np.float64)
+            )
+            err = (np.abs(np.asarray(res.X[b], np.float64) - want).max()
+                   / np.abs(want).max())
+            assert err < 1e-5, (b, err)
+
+    def test_unstable_lane_flagged(self):
+        from linalg_solver_tpu.ops.sylvester import stein_batched
+
+        rng = np.random.RandomState(41)
+        n = 16
+        A = np.stack([
+            rng.randn(n, n) * (0.4 / np.sqrt(n)),      # stable
+            rng.randn(n, n) * (3.0 / np.sqrt(n)),      # rho > 1
+        ]).astype(np.float32)
+        Q = np.broadcast_to(np.eye(n), (2, n, n)).astype(np.float32)
+        res = stein_batched(jnp.asarray(A), jnp.asarray(Q.copy()))
+        ok = np.asarray(res.ok)
+        assert bool(ok[0]) and not bool(ok[1])
+
+
+class TestCARE:
+    def test_matches_scipy(self):
+        from scipy.linalg import solve_continuous_are
+        from linalg_solver_tpu.ops.riccati import care_batched
+
+        rng = np.random.RandomState(42)
+        B, n, m = 2, 12, 4
+        A = rng.randn(B, n, n).astype(np.float32) * 0.5
+        Bm = rng.randn(B, n, m).astype(np.float32)
+        G = rng.randn(B, n, n)
+        Q = (np.einsum("bij,bkj->bik", G, G) / n
+             + np.eye(n)).astype(np.float32)
+        R = np.broadcast_to(np.eye(m), (B, m, m)).astype(
+            np.float32
+        ).copy()
+        res = care_batched(jnp.asarray(A), jnp.asarray(Bm),
+                           jnp.asarray(Q), jnp.asarray(R))
+        assert bool(np.asarray(res.ok).all())
+        for b in range(B):
+            want = solve_continuous_are(
+                A[b].astype(np.float64), Bm[b].astype(np.float64),
+                Q[b].astype(np.float64), R[b].astype(np.float64),
+            )
+            err = (np.abs(np.asarray(res.X[b], np.float64) - want).max()
+                   / np.abs(want).max())
+            assert err < 1e-4, (b, err)
+
+    def test_solution_is_stabilizing(self):
+        """A − G X must be Hurwitz (all eigenvalues in the left
+        half-plane) — the defining property of the CARE solution."""
+        from linalg_solver_tpu.ops.riccati import care_batched
+
+        rng = np.random.RandomState(43)
+        n, m = 10, 3
+        A = (rng.randn(n, n) * 0.5 + 0.3 * np.eye(n))[None].astype(
+            np.float32
+        )  # slightly unstable open loop
+        Bm = rng.randn(1, n, m).astype(np.float32)
+        Q = np.eye(n)[None].astype(np.float32)
+        R = np.eye(m)[None].astype(np.float32)
+        res = care_batched(jnp.asarray(A), jnp.asarray(Bm),
+                           jnp.asarray(Q), jnp.asarray(R))
+        assert bool(np.asarray(res.ok).all())
+        X = np.asarray(res.X, np.float64)[0]
+        G = (Bm[0].astype(np.float64)
+             @ Bm[0].astype(np.float64).T)  # R = I
+        closed = A[0].astype(np.float64) - G @ X
+        assert np.linalg.eigvals(closed).real.max() < 0
+
+    def test_imaginary_axis_flagged(self):
+        """A Hamiltonian with imaginary-axis eigenvalues (uncontrollable
+        undamped mode) has no stabilizing solution: must flag."""
+        from linalg_solver_tpu.ops.riccati import care_batched
+
+        n = 4
+        # undamped oscillator block, B couples only to other states
+        A = np.zeros((n, n), np.float32)
+        A[0, 1], A[1, 0] = 1.0, -1.0       # eigenvalues ±i
+        A[2, 2] = A[3, 3] = -1.0
+        Bm = np.zeros((n, 1), np.float32)
+        Bm[2, 0] = 1.0                      # mode 0/1 uncontrollable
+        Q = np.zeros((n, n), np.float32)    # ... and unobserved
+        R = np.eye(1, dtype=np.float32)
+        res = care_batched(jnp.asarray(A[None]), jnp.asarray(Bm[None]),
+                           jnp.asarray(Q[None]), jnp.asarray(R[None]))
+        assert not bool(np.asarray(res.ok).all())
