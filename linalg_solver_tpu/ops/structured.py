@@ -17,7 +17,14 @@ asymptotically faster-than-LU algorithms:
   + synthetic division for ``V a = f``; the transposed elementary steps
   in reverse order for ``Vᵀ w = b``).  For mildly ill-conditioned nodes
   BP is famously *more* accurate than generic LU because every
-  intermediate is a difference quotient of the data.
+  intermediate is a difference quotient of the data.  The MONOMIAL
+  target basis is exponentially ill-conditioned, though: past n ≈ 16
+  the coefficients of a random-data interpolant exceed f32's useful
+  range (measured: |a|max ~ 1e7 and O(1) interpolation residuals at
+  n = 24, identical on CPU and TPU — conditioning, not a backend
+  artifact), and past n ≈ 30 the intermediates overflow outright
+  (flagged).  Large-n polynomial work belongs in a Chebyshev /
+  barycentric basis, not a Vandermonde solve.
 
 The reference has no structured families at all (its scaling axis is
 sparsity, SURVEY.md §5); these are TPU-native additions in the same
