@@ -105,7 +105,9 @@ from .sylvester import (
 )
 from .riccati import (
     CAREResult,
+    DAREResult,
     care_batched,
+    dare_batched,
 )
 from .funm import (
     ExpmvResult,
@@ -237,6 +239,7 @@ __all__ = [
     "PolarResult", "polar_batched",
     "SylvesterResult", "sylvester_batched", "lyapunov_batched",
     "SteinResult", "stein_batched", "CAREResult", "care_batched",
+    "DAREResult", "dare_batched",
     "expm_batched", "ExpmvResult", "expm_multiply_batched",
     "expm_multiply_matvec", "sqrtm_spd_batched", "logm_spd_batched",
     "powm_spd_batched",

@@ -242,3 +242,56 @@ class TestCARE:
         res = care_batched(jnp.asarray(A[None]), jnp.asarray(Bm[None]),
                            jnp.asarray(Q[None]), jnp.asarray(R[None]))
         assert not bool(np.asarray(res.ok).all())
+
+
+class TestDARE:
+    def test_matches_scipy(self):
+        from scipy.linalg import solve_discrete_are
+        from linalg_solver_tpu.ops.riccati import dare_batched
+
+        rng = np.random.RandomState(44)
+        B, n, m = 3, 12, 4
+        A = rng.randn(B, n, n).astype(np.float32) * (0.9 / np.sqrt(n))
+        A[1] *= 2.2  # unstable open loop, still stabilizable
+        Bm = rng.randn(B, n, m).astype(np.float32)
+        G = rng.randn(B, n, n)
+        Q = (np.einsum("bij,bkj->bik", G, G) / n
+             + np.eye(n)).astype(np.float32)
+        R = np.broadcast_to(np.eye(m), (B, m, m)).astype(
+            np.float32
+        ).copy()
+        res = dare_batched(jnp.asarray(A), jnp.asarray(Bm),
+                           jnp.asarray(Q), jnp.asarray(R))
+        assert bool(np.asarray(res.ok).all())
+        assert int(res.iters) <= 12  # doubling: quadratic
+        for b in range(B):
+            want = solve_discrete_are(
+                A[b].astype(np.float64), Bm[b].astype(np.float64),
+                Q[b].astype(np.float64), R[b].astype(np.float64),
+            )
+            err = (np.abs(np.asarray(res.X[b], np.float64) - want).max()
+                   / np.abs(want).max())
+            assert err < 1e-4, (b, err)
+
+    def test_closed_loop_is_schur_stable(self):
+        """A − B(R + BᵀXB)⁻¹BᵀXA must have spectral radius < 1."""
+        from linalg_solver_tpu.ops.riccati import dare_batched
+
+        rng = np.random.RandomState(45)
+        n, m = 10, 3
+        A = (rng.randn(n, n) * 0.5 + 0.5 * np.eye(n))[None].astype(
+            np.float32
+        )
+        Bm = rng.randn(1, n, m).astype(np.float32)
+        Q = np.eye(n)[None].astype(np.float32)
+        R = np.eye(m)[None].astype(np.float32)
+        res = dare_batched(jnp.asarray(A), jnp.asarray(Bm),
+                           jnp.asarray(Q), jnp.asarray(R))
+        assert bool(np.asarray(res.ok).all())
+        X = np.asarray(res.X, np.float64)[0]
+        A64, B64 = A[0].astype(np.float64), Bm[0].astype(np.float64)
+        K = np.linalg.solve(
+            np.eye(m) + B64.T @ X @ B64, B64.T @ X @ A64
+        )
+        closed = A64 - B64 @ K
+        assert np.abs(np.linalg.eigvals(closed)).max() < 1.0
