@@ -149,6 +149,16 @@ from .geig import (
     eig_generalized_shifted_batched,
     eigh_generalized_batched,
 )
+from .fitting import (
+    ProcrustesResult,
+    RidgeResult,
+    SubspaceAngles,
+    TLSResult,
+    procrustes_batched,
+    ridge_batched,
+    subspace_angles_batched,
+    tls_batched,
+)
 from .quadeig import (
     QuadEigResult,
     quadeig_batched,
@@ -255,6 +265,9 @@ __all__ = [
     "GeneralizedEigResult", "eig_generalized_batched",
     "GeneralizedEigShifted", "eig_generalized_shifted_batched",
     "QuadEigResult", "quadeig_batched",
+    "RidgeResult", "ridge_batched", "TLSResult", "tls_batched",
+    "ProcrustesResult", "procrustes_batched",
+    "SubspaceAngles", "subspace_angles_batched",
     "solve_complex_batched", "inverse_complex_batched",
     "det_complex_batched",
     "RootsResult", "roots_batched",
