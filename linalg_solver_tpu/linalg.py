@@ -53,11 +53,29 @@ def _batched(a, core_ndim=2):
 
 def solve(a, b):
     """``numpy.linalg.solve`` semantics: matrix or stacked-vector RHS,
-    any matching leading batch dims."""
+    any matching leading batch dims.  Complex input runs through the
+    real-embedding solver (``ops.complexlin``)."""
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     af, unf, lead = _batched(a)
     vector_rhs = b.ndim == a.ndim - 1
+    if jnp.iscomplexobj(af) or jnp.iscomplexobj(b):
+        from .ops import complexlin as _cx
+
+        af = af.astype(jnp.complex64) if not jnp.iscomplexobj(af) else af
+        n = af.shape[-1]
+        if vector_rhs:
+            bf = b.reshape((-1,) + b.shape[b.ndim - 1:])
+            xr, xi = _cx.solve_complex_batched(
+                jnp.real(af), jnp.imag(af), jnp.real(bf), jnp.imag(bf)
+            )
+            return unf(xr + 1j * xi)
+        bf = b.reshape((-1,) + b.shape[b.ndim - 2:])
+        # embedded matrix RHS: [Re b; Im b] stacked rows
+        M = _cx._embed(jnp.real(af), jnp.imag(af))
+        rhs = jnp.concatenate([jnp.real(bf), jnp.imag(bf)], axis=1)
+        x = _solve_matrix_rhs(M, rhs)
+        return unf(x[:, :n, :] + 1j * x[:, n:, :])
     if vector_rhs:
         bf = b.reshape((-1,) + b.shape[b.ndim - 1:])
         x = _dispatch.solve_batched(af, bf)
@@ -88,11 +106,21 @@ def _solve_matrix_rhs(af, bf):
 
 def inv(a):
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        ir, ii = _cx.inverse_complex_batched(jnp.real(af), jnp.imag(af))
+        return unf(ir + 1j * ii)
     return unf(_dispatch.inverse_batched(af))
 
 
 def det(a):
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        dr, di = _cx.det_complex_batched(jnp.real(af), jnp.imag(af))
+        return unf(dr + 1j * di)
     return unf(_dispatch.det_batched(af))
 
 
@@ -102,6 +130,13 @@ def slogdet(a):
     from .ops import lu as _lu
 
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        sr, si, la = _cx.slogdet_complex_batched(
+            jnp.real(af), jnp.imag(af)
+        )
+        return unf(sr + 1j * si), unf(la)
     res = _lu.lu_factor_batched(af)
     d = jnp.diagonal(res.lu, axis1=-2, axis2=-1)
     sign = jnp.prod(jnp.sign(d), axis=-1) * res.sign
@@ -111,14 +146,32 @@ def slogdet(a):
 
 def matrix_rank(a, tol=None):
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        s = _cx.svd_complex_batched(jnp.real(af), jnp.imag(af)).s
+        m, n = af.shape[-2:]
+        cut = (tol if tol is not None
+               else max(m, n) * float(jnp.finfo(s.dtype).eps)
+               * jnp.max(s, axis=1, keepdims=True))
+        return unf(jnp.sum(s > cut, axis=1))
     return unf(_svd.rank_svd_batched(af, tol=tol))
 
 
 def eig(a):
     """Complex eigenvalues and right eigenvectors (numpy layout:
     ``w [..., n]``, ``v [..., n, n]`` with ``v[..., :, i]`` the i-th
-    eigenvector)."""
+    eigenvector).  COMPLEX input is supported (routed through the
+    real-embedding eigensolver, ``ops.complexlin``)."""
+    a = jnp.asarray(a)
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        r = _cx.eig_complex_batched(jnp.real(af), jnp.imag(af))
+        w = r.real + 1j * r.imag
+        v = r.v_re + 1j * r.v_im
+        return unf(w), unf(v)
     r = _schur.eig_batched(af)
     w = r.real + 1j * r.imag
     v = r.vectors_real + 1j * r.vectors_imag
@@ -126,6 +179,9 @@ def eig(a):
 
 
 def eigvals(a):
+    a = jnp.asarray(a)
+    if jnp.iscomplexobj(a):
+        return eig(a)[0]
     af, unf, _ = _batched(a)
     r = _schur.eigvals_schur(af)
     return unf(r.real + 1j * r.imag)
@@ -133,13 +189,22 @@ def eigvals(a):
 
 def eigh(a):
     """Ascending eigenvalues + orthonormal eigenvectors of symmetric
-    input (numpy order)."""
+    (or complex HERMITIAN) input (numpy order)."""
+    a = jnp.asarray(a)
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        r = _cx.eigh_complex_batched(jnp.real(af), jnp.imag(af))
+        return unf(r.w), unf(r.v_re + 1j * r.v_im)
     r = _symmetric.eigh_batched(af)
     return unf(r.w), unf(r.V)
 
 
 def eigvalsh(a):
+    a = jnp.asarray(a)
+    if jnp.iscomplexobj(a):
+        return eigh(a)[0]
     af, unf, _ = _batched(a)
     return unf(_symmetric.eigh_batched(af).w)
 
@@ -153,6 +218,16 @@ def svd(a, full_matrices=False, compute_uv=True):
             "pass full_matrices=False"
         )
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        rc = _cx.svd_complex_batched(jnp.real(af), jnp.imag(af))
+        if not compute_uv:
+            return unf(rc.s)
+        vh = jnp.swapaxes(rc.v_re, -1, -2) - 1j * jnp.swapaxes(
+            rc.v_im, -1, -2
+        )
+        return unf(rc.u_re + 1j * rc.u_im), unf(rc.s), unf(vh)
     r = _svd.svd_batched(af)
     if not compute_uv:
         return unf(r.s)
@@ -163,12 +238,22 @@ def svd(a, full_matrices=False, compute_uv=True):
 def qr(a):
     """Thin QR (mode='reduced')."""
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        rc = _cx.qr_complex_batched(jnp.real(af), jnp.imag(af))
+        return unf(rc.q_re + 1j * rc.q_im), unf(rc.r_re + 1j * rc.r_im)
     r = _lstsq.qr_batched(af)
     return unf(r.Q), unf(r.R)
 
 
 def cholesky(a):
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        rc = _cx.chol_complex_batched(jnp.real(af), jnp.imag(af))
+        return unf(rc.l_re + 1j * rc.l_im)
     return unf(_spd.cholesky_batched(af).L)
 
 
@@ -181,6 +266,22 @@ def lstsq(a, b):
     af, unf, _ = _batched(a)
     vector_rhs = b.ndim == a.ndim - 1
     bf = b.reshape((-1,) + b.shape[b.ndim - (1 if vector_rhs else 2):])
+    if jnp.iscomplexobj(af) or jnp.iscomplexobj(bf):
+        from .ops import complexlin as _cx
+
+        af = af.astype(jnp.complex64)
+        bf = bf.astype(jnp.complex64)
+        if vector_rhs:
+            xr, xi, _ok = _cx.lstsq_complex_batched(
+                jnp.real(af), jnp.imag(af), jnp.real(bf), jnp.imag(bf)
+            )
+            return unf(xr + 1j * xi)
+        pr, pi, _ok = _cx.pinv_complex_batched(
+            jnp.real(af), jnp.imag(af)
+        )
+        P = pr + 1j * pi
+        return unf(jnp.einsum("bij,bjk->bik", P, bf,
+                              precision=jax.lax.Precision.HIGHEST))
     if vector_rhs:
         return unf(_lstsq.lstsq_batched(af, bf).x)
     x = jax.vmap(
@@ -191,6 +292,13 @@ def lstsq(a, b):
 
 def pinv(a, rcond=None):
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        pr, pi, _ok = _cx.pinv_complex_batched(
+            jnp.real(af), jnp.imag(af), rcond=rcond
+        )
+        return unf(pr + 1j * pi)
     return unf(_svd.pinv_batched(af, rcond=rcond))
 
 
@@ -202,6 +310,11 @@ def cond(a, p=None):
             "ops.cond.cond1_est_batched estimates p=1 from one LU"
         )
     af, unf, _ = _batched(a)
+    if jnp.iscomplexobj(af):
+        from .ops import complexlin as _cx
+
+        s = _cx.svd_complex_batched(jnp.real(af), jnp.imag(af)).s
+        return unf(s[:, 0] / jnp.maximum(s[:, -1], 1e-37))
     return unf(_svd.cond2_batched(af))
 
 
@@ -210,7 +323,15 @@ def matrix_power(a, n: int):
     first)."""
     af, unf, _ = _batched(a)
     if n < 0:
-        af = _dispatch.inverse_batched(af)
+        if jnp.iscomplexobj(af):
+            from .ops import complexlin as _cx
+
+            ir, ii = _cx.inverse_complex_batched(
+                jnp.real(af), jnp.imag(af)
+            )
+            af = ir + 1j * ii
+        else:
+            af = _dispatch.inverse_batched(af)
         n = -n
     size = af.shape[-1]
     out = jnp.broadcast_to(
@@ -230,3 +351,176 @@ def matrix_power(a, n: int):
                 precision=jax.lax.Precision.HIGHEST,
             )
     return unf(out)
+
+
+# ---------------------------------------------------------------------------
+# numpy 2.0 linalg additions + convenience wrappers
+# ---------------------------------------------------------------------------
+
+def svdvals(a):
+    """Singular values only (numpy 2.0 ``linalg.svdvals``)."""
+    return svd(a, compute_uv=False)
+
+
+def matrix_transpose(a):
+    return jnp.swapaxes(jnp.asarray(a), -1, -2)
+
+
+def matrix_norm(a, ord="fro"):
+    """Matrix norms over the trailing two axes (numpy 2.0 API).
+    ``ord=2`` (spectral) routes through the QDWH SVD; the elementwise
+    / row-column norms are pure reductions."""
+    a = jnp.asarray(a)
+    if ord == "fro":
+        return jnp.sqrt(jnp.sum(jnp.abs(a) ** 2, axis=(-2, -1)))
+    if ord == "nuc":
+        s = svd(a, compute_uv=False)
+        return jnp.sum(s, axis=-1)
+    if ord == 2:
+        s = svd(a, compute_uv=False)
+        return s[..., 0]
+    if ord == -2:
+        s = svd(a, compute_uv=False)
+        return s[..., -1]
+    if ord == 1:
+        return jnp.max(jnp.sum(jnp.abs(a), axis=-2), axis=-1)
+    if ord == -1:
+        return jnp.min(jnp.sum(jnp.abs(a), axis=-2), axis=-1)
+    if ord == jnp.inf or ord == float("inf"):
+        return jnp.max(jnp.sum(jnp.abs(a), axis=-1), axis=-1)
+    if ord == -jnp.inf or ord == float("-inf"):
+        return jnp.min(jnp.sum(jnp.abs(a), axis=-1), axis=-1)
+    raise ValueError(f"matrix_norm: unsupported ord {ord!r}")
+
+
+def vector_norm(x, ord=2, axis=None, keepdims=False):
+    return jnp.linalg.norm(
+        jnp.asarray(x), ord=ord, axis=axis, keepdims=keepdims
+    )
+
+
+def vecdot(x1, x2, axis=-1):
+    """Conjugating vector dot product over ``axis`` (numpy 2.0)."""
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    return jnp.sum(jnp.conj(x1) * x2, axis=axis)
+
+
+def outer(x1, x2):
+    return jnp.outer(jnp.asarray(x1), jnp.asarray(x2))
+
+
+def cross(x1, x2, axis=-1):
+    return jnp.cross(jnp.asarray(x1), jnp.asarray(x2), axis=axis)
+
+
+def diagonal(x, offset=0):
+    return jnp.diagonal(jnp.asarray(x), offset=offset, axis1=-2, axis2=-1)
+
+
+def trace(x, offset=0, dtype=None):
+    t = jnp.trace(jnp.asarray(x), offset=offset, axis1=-2, axis2=-1)
+    return t.astype(dtype) if dtype is not None else t
+
+
+def matmul(x1, x2):
+    return jnp.matmul(
+        jnp.asarray(x1), jnp.asarray(x2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def tensordot(x1, x2, axes=2):
+    return jnp.tensordot(
+        jnp.asarray(x1), jnp.asarray(x2), axes=axes,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def multi_dot(arrays):
+    """Chained matrix product with the classic O(k³) dynamic-program
+    parenthesization (numpy semantics: 1-D endpoints treated as
+    row/column vectors and squeezed from the result).  The DP runs on
+    host over static shapes; the device executes only the chosen
+    GEMMs."""
+    arrays = [jnp.asarray(a) for a in arrays]
+    if len(arrays) == 0:
+        raise ValueError("multi_dot: need at least one array")
+    if len(arrays) == 1:
+        return arrays[0]
+    head_vec = arrays[0].ndim == 1
+    tail_vec = arrays[-1].ndim == 1
+    mats = list(arrays)
+    if head_vec:
+        mats[0] = mats[0][None, :]
+    if tail_vec:
+        mats[-1] = mats[-1][:, None]
+    if any(m.ndim != 2 for m in mats):
+        raise ValueError("multi_dot: interior arrays must be 2-D")
+    dims = [m.shape[0] for m in mats] + [mats[-1].shape[1]]
+    k = len(mats)
+    INF = float("inf")
+    cost = [[0.0] * k for _ in range(k)]
+    split = [[0] * k for _ in range(k)]
+    for ln in range(2, k + 1):
+        for i in range(k - ln + 1):
+            j = i + ln - 1
+            cost[i][j] = INF
+            for s in range(i, j):
+                c = (cost[i][s] + cost[s + 1][j]
+                     + dims[i] * dims[s + 1] * dims[j + 1])
+                if c < cost[i][j]:
+                    cost[i][j] = c
+                    split[i][j] = s
+
+    def build(i, j):
+        if i == j:
+            return mats[i]
+        s = split[i][j]
+        return matmul(build(i, s), build(s + 1, j))
+
+    out = build(0, k - 1)
+    if head_vec:
+        out = out[0]
+    if tail_vec:
+        out = out[..., 0]
+    return out
+
+
+def tensorsolve(a, b, axes=None):
+    """``numpy.linalg.tensorsolve``: solve ``a x = b`` where ``a`` is
+    reshaped to square over the trailing ``x`` dimensions."""
+    import numpy as _np
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if axes is not None:
+        allaxes = list(range(a.ndim))
+        for ax in axes:
+            allaxes.remove(ax)
+            allaxes.append(ax)
+        a = jnp.transpose(a, allaxes)
+    rest = a.shape[b.ndim:]
+    prod = int(_np.prod(rest)) if rest else 1
+    if int(_np.prod(a.shape[: b.ndim])) != prod:
+        raise ValueError("tensorsolve: a is not square over x-dims")
+    A2 = a.reshape(prod, prod)
+    b2 = b.reshape(prod)
+    x = solve(A2, b2)
+    return x.reshape(rest)
+
+
+def tensorinv(a, ind=2):
+    """``numpy.linalg.tensorinv``: inverse under tensordot over the
+    first ``ind`` axes."""
+    import numpy as _np
+
+    a = jnp.asarray(a)
+    if ind <= 0:
+        raise ValueError("tensorinv: ind must be positive")
+    inv_shape = a.shape[ind:] + a.shape[:ind]
+    prod = int(_np.prod(a.shape[:ind]))
+    if int(_np.prod(a.shape[ind:])) != prod:
+        raise ValueError("tensorinv: a is not square over ind split")
+    ia = inv(a.reshape(prod, prod))
+    return ia.reshape(inv_shape)

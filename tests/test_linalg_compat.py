@@ -203,3 +203,94 @@ class TestMisc:
         np.testing.assert_allclose(
             float(tla.norm(jnp.asarray(x))), np.linalg.norm(x), rtol=1e-6
         )
+
+
+class TestNumpy2Additions:
+    """numpy 2.0 linalg API surface: svdvals, matrix/vector norms,
+    vecdot, multi_dot, tensorsolve/tensorinv, small wrappers."""
+
+    def test_svdvals_and_norms(self):
+        rng = np.random.RandomState(40)
+        a = rng.randn(2, 12, 12).astype(np.float32)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(tla.svdvals(jnp.asarray(a)))[0]),
+            np.sort(np.linalg.svd(a[0].astype(np.float64),
+                                  compute_uv=False)),
+            atol=1e-4,
+        )
+        for o in ["fro", "nuc", 2, -2, 1, -1, np.inf, -np.inf]:
+            got = float(np.asarray(
+                tla.matrix_norm(jnp.asarray(a), ord=o)
+            )[0])
+            want = float(np.linalg.norm(a[0].astype(np.float64), ord=o))
+            assert abs(got - want) / max(abs(want), 1.0) < 1e-4, o
+        np.testing.assert_allclose(
+            float(tla.vector_norm(jnp.asarray(a[0, 0]), ord=3)),
+            np.linalg.norm(a[0, 0].astype(np.float64), ord=3),
+            rtol=1e-5,
+        )
+
+    def test_multi_dot_and_vecdot(self):
+        rng = np.random.RandomState(41)
+        ms = [rng.randn(5, 40), rng.randn(40, 3),
+              rng.randn(3, 60), rng.randn(60, 7)]
+        got = np.asarray(tla.multi_dot(
+            [jnp.asarray(m.astype(np.float32)) for m in ms]
+        ), np.float64)
+        want = np.linalg.multi_dot(ms)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        v = rng.randn(40)
+        got_v = np.asarray(tla.multi_dot(
+            [jnp.asarray(v.astype(np.float32))]
+            + [jnp.asarray(m.astype(np.float32)) for m in ms[1:]]
+        ), np.float64)
+        np.testing.assert_allclose(
+            got_v, np.linalg.multi_dot([v] + ms[1:]), atol=1e-3
+        )
+        x = np.array([1 + 1j, 2j], np.complex64)
+        y = np.array([3.0, 4.0], np.complex64)
+        np.testing.assert_allclose(
+            np.asarray(tla.vecdot(jnp.asarray(x), jnp.asarray(y))),
+            np.vecdot(x, y),
+        )
+
+    def test_tensorsolve_tensorinv(self):
+        rng = np.random.RandomState(42)
+        a = rng.randn(4, 6, 8, 3).astype(np.float32)
+        b = rng.randn(4, 6).astype(np.float32)
+        x = np.asarray(tla.tensorsolve(jnp.asarray(a), jnp.asarray(b)),
+                       np.float64)
+        want = np.linalg.tensorsolve(a.astype(np.float64),
+                                     b.astype(np.float64))
+        assert x.shape == want.shape
+        np.testing.assert_allclose(x, want, atol=1e-3)
+        ti = np.asarray(tla.tensorinv(jnp.asarray(a), ind=2), np.float64)
+        np.testing.assert_allclose(
+            ti, np.linalg.tensorinv(a.astype(np.float64), ind=2),
+            atol=1e-3,
+        )
+
+    def test_small_wrappers(self):
+        rng = np.random.RandomState(43)
+        a = rng.randn(2, 5, 5).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(tla.trace(jnp.asarray(a))),
+            np.trace(a, axis1=-2, axis2=-1), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(tla.diagonal(jnp.asarray(a))),
+            np.diagonal(a, axis1=-2, axis2=-1), rtol=1e-6
+        )
+        assert np.asarray(
+            tla.matrix_transpose(jnp.asarray(a))
+        ).shape == (2, 5, 5)
+        u = np.array([1.0, 0, 0], np.float32)
+        v = np.array([0, 1.0, 0], np.float32)
+        np.testing.assert_allclose(
+            np.asarray(tla.cross(jnp.asarray(u), jnp.asarray(v))),
+            np.cross(u, v),
+        )
+        np.testing.assert_allclose(
+            np.asarray(tla.outer(jnp.asarray(u), jnp.asarray(v))),
+            np.outer(u, v),
+        )
