@@ -644,3 +644,134 @@ def lstsq_complex_batched(
     x_re = mv(p_re, b_re) - mv(p_im, b_im)
     x_im = mv(p_re, b_im) + mv(p_im, b_re)
     return x_re, x_im, ok
+
+
+# ---------------------------------------------------------------------------
+# Complex matrix functions + matrix equations through the embedding
+# ---------------------------------------------------------------------------
+
+def _extract(M: jax.Array, m: int, n: int):
+    """Read the (re, im) blocks off an (approximately) embedded
+    ``[B, 2m, 2n]`` matrix, plus the embedding-structure error (the
+    two re blocks / two im blocks must agree — a true embedded result
+    differs only by roundoff)."""
+    re = 0.5 * (M[:, :m, :n] + M[:, m:, n:])
+    im = 0.5 * (M[:, m:, :n] - M[:, :m, n:])
+    err = jnp.max(jnp.abs(M - _embed(re, im)), axis=(1, 2))
+    scale = jnp.maximum(jnp.max(jnp.abs(M), axis=(1, 2)), 1e-30)
+    return re, im, err / scale
+
+
+def expm_complex_batched(a_re: jax.Array, a_im: jax.Array):
+    """Complex matrix exponential: ``expm(embed(A)) = embed(expm(A))``
+    exactly (every real-coefficient power series commutes with the
+    embedding), so the tuned real Padé-13 scaling-and-squaring
+    (`ops.funm.expm_batched`) does the work.  Returns
+    ``(re, im, ok)`` with ``ok`` gating the embedded structure of the
+    result (violations mean the real path itself broke down)."""
+    from .funm import expm_batched
+
+    f32 = jnp.result_type(a_re.dtype, jnp.float32)
+    n = a_re.shape[-1]
+    E = expm_batched(_embed(a_re.astype(f32), a_im.astype(f32)))
+    re, im, err = _extract(E, n, n)
+    return re, im, (err < 1e-4) & jnp.all(jnp.isfinite(E), axis=(1, 2))
+
+
+def sqrtm_complex_batched(a_re: jax.Array, a_im: jax.Array):
+    """Principal complex matrix square root via the embedded
+    Denman–Beavers iteration (`ops.funm.sqrtm_batched`); defined for
+    the same lanes as the complex principal root (no eigenvalues on
+    ℝ⁻ — ``spec(embed A) = spec(A) ∪ conj(spec A)`` hits ℝ⁻ exactly
+    when spec(A) does).  Returns ``(re, im, ok)``."""
+    from .funm import sqrtm_batched
+
+    f32 = jnp.result_type(a_re.dtype, jnp.float32)
+    n = a_re.shape[-1]
+    r = sqrtm_batched(_embed(a_re.astype(f32), a_im.astype(f32)))
+    re, im, err = _extract(r.Y, n, n)
+    return re, im, r.converged & (err < 1e-4)
+
+
+def logm_complex_batched(a_re: jax.Array, a_im: jax.Array):
+    """Principal complex matrix logarithm via the embedded
+    inverse-scaling-and-squaring (`ops.funm.logm_batched`).  Returns
+    ``(re, im, ok)``."""
+    from .funm import logm_batched
+
+    f32 = jnp.result_type(a_re.dtype, jnp.float32)
+    n = a_re.shape[-1]
+    r = logm_batched(_embed(a_re.astype(f32), a_im.astype(f32)))
+    re, im, err = _extract(r.L, n, n)
+    return re, im, r.converged & (err < 1e-4)
+
+
+def funm_hermitian_batched(a_re: jax.Array, a_im: jax.Array, f):
+    """Apply a scalar function to a HERMITIAN complex matrix through
+    its eigendecomposition: ``f(A) = V f(Λ) Vᴴ`` (the complex
+    counterpart of `ops.funm`'s SPD spectral helpers).  ``f`` maps a
+    real eigenvalue array to a real array.  Returns ``(re, im, ok)``;
+    host-driven (the degenerate-eigh repair)."""
+    eh = eigh_complex_batched(a_re, a_im)
+    fw = f(eh.w)
+    vr = eh.v_re * fw[:, None, :]
+    vi = eh.v_im * fw[:, None, :]
+    # (V f(Λ)) Vᴴ
+    re, im = _cmatmul(
+        vr, vi, jnp.swapaxes(eh.v_re, 1, 2), -jnp.swapaxes(eh.v_im, 1, 2),
+    )
+    return re, im, eh.ok
+
+
+def sylvester_complex_batched(
+    a_re, a_im, b_re, b_im, c_re, c_im,
+):
+    """Solve the complex Sylvester equation ``A X + X B = C`` through
+    the embedded real equation ``embed(A) Z + Z embed(B) = embed(C)``
+    (`ops.sylvester.sylvester_batched`); its unique solution is
+    ``embed(X)`` whenever it exists.
+
+    CAVEAT (flagged, not silent): the embedded equation requires
+    ``(spec A ∪ conj spec A) ∩ −(spec B ∪ conj spec B) = ∅`` — e.g.
+    ``A = [i], B = [i]`` is complex-solvable but embeds singularly.
+    ``ok`` is a self-contained TRUE-RESIDUAL check
+    (``‖AX + XB − C‖ ≤ tol·scale``), so such lanes report False
+    rather than wrong answers."""
+    from .sylvester import sylvester_batched
+
+    f32 = jnp.result_type(a_re.dtype, jnp.float32)
+    n = a_re.shape[-1]
+    m = b_re.shape[-1]
+    a_re, a_im = a_re.astype(f32), a_im.astype(f32)
+    b_re, b_im = b_re.astype(f32), b_im.astype(f32)
+    c_re, c_im = c_re.astype(f32), c_im.astype(f32)
+    r = sylvester_batched(
+        _embed(a_re, a_im), _embed(b_re, b_im), _embed(c_re, c_im)
+    )
+    x_re, x_im, emb_err = _extract(r.X, n, m)
+    ax_re, ax_im = _cmatmul(a_re, a_im, x_re, x_im)
+    xb_re, xb_im = _cmatmul(x_re, x_im, b_re, b_im)
+    res = jnp.max(
+        jnp.abs(ax_re + xb_re - c_re) + jnp.abs(ax_im + xb_im - c_im),
+        axis=(1, 2),
+    )
+    scale = jnp.maximum(
+        (jnp.max(jnp.abs(a_re) + jnp.abs(a_im), axis=(1, 2))
+         + jnp.max(jnp.abs(b_re) + jnp.abs(b_im), axis=(1, 2)))
+        * jnp.maximum(
+            jnp.max(jnp.abs(x_re) + jnp.abs(x_im), axis=(1, 2)), 1.0
+        ),
+        1e-30,
+    )
+    ok = r.ok & (emb_err < 1e-3) & (res < 1e-3 * scale)
+    return x_re, x_im, ok
+
+
+def lyapunov_complex_batched(a_re, a_im, q_re, q_im):
+    """Continuous complex Lyapunov equation ``A X + X Aᴴ = Q``
+    (``Q`` Hermitian ⇒ ``X`` Hermitian) — Sylvester with ``B = Aᴴ``."""
+    return sylvester_complex_batched(
+        a_re, a_im,
+        jnp.swapaxes(a_re, 1, 2), -jnp.swapaxes(a_im, 1, 2),
+        q_re, q_im,
+    )

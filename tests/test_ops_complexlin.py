@@ -394,3 +394,114 @@ class TestLinalgNamespaceComplexFactorizations:
             np.asarray(tla.matrix_power(A, -2))
             - np.linalg.matrix_power(A128, -2)
         ).max() < 1e-3
+
+
+class TestComplexFunctionsAndEquations:
+    """Complex matrix functions + Sylvester/Lyapunov through the
+    embedding (reference has no complex float paths; scipy.linalg
+    complex semantics are the oracle)."""
+
+    def _c(self, *shape, seed):
+        rng = np.random.RandomState(seed)
+        return (rng.randn(*shape) + 1j * rng.randn(*shape)) \
+            / np.sqrt(shape[-1])
+
+    def test_expm_sqrtm_logm(self):
+        import scipy.linalg as sla
+
+        from linalg_solver_tpu.ops import complexlin as cx
+
+        A = self._c(2, 10, 10, seed=70)
+        Ar = jnp.asarray(A.real.astype(np.float32))
+        Ai = jnp.asarray(A.imag.astype(np.float32))
+        er, ei, ok = cx.expm_complex_batched(Ar, Ai)
+        assert bool(np.asarray(ok).all())
+        E = np.asarray(er, np.float64) + 1j * np.asarray(ei, np.float64)
+        for b in range(2):
+            assert np.abs(E[b] - sla.expm(A[b])).max() < 1e-4
+
+        As = A + 3 * np.eye(10)
+        Asr = jnp.asarray(As.real.astype(np.float32))
+        Asi = jnp.asarray(As.imag.astype(np.float32))
+        sr, si, ok = cx.sqrtm_complex_batched(Asr, Asi)
+        assert bool(np.asarray(ok).all())
+        S = np.asarray(sr, np.float64) + 1j * np.asarray(si, np.float64)
+        for b in range(2):
+            assert np.abs(S[b] @ S[b] - As[b]).max() < 1e-4
+        lr, li, ok = cx.logm_complex_batched(Asr, Asi)
+        assert bool(np.asarray(ok).all())
+        L = np.asarray(lr, np.float64) + 1j * np.asarray(li, np.float64)
+        for b in range(2):
+            assert np.abs(L[b] - sla.logm(As[b])).max() < 1e-4
+
+    def test_funm_hermitian(self):
+        import scipy.linalg as sla
+
+        from linalg_solver_tpu.ops import complexlin as cx
+
+        A = self._c(2, 10, 10, seed=71)
+        H = (A + A.conj().transpose(0, 2, 1)) / 2
+        fr, fi, ok = cx.funm_hermitian_batched(
+            jnp.asarray(H.real.astype(np.float32)),
+            jnp.asarray(H.imag.astype(np.float32)),
+            jnp.exp,
+        )
+        assert bool(np.asarray(ok).all())
+        F = np.asarray(fr, np.float64) + 1j * np.asarray(fi, np.float64)
+        for b in range(2):
+            assert np.abs(F[b] - sla.expm(H[b])).max() < 1e-4
+
+    def test_sylvester_lyapunov(self):
+        import scipy.linalg as sla
+
+        from linalg_solver_tpu.ops import complexlin as cx
+
+        A = self._c(2, 10, 10, seed=72) + 2 * np.eye(10)
+        Bm = self._c(2, 6, 6, seed=73) + 2 * np.eye(6)
+        rng = np.random.RandomState(74)
+        C = rng.randn(2, 10, 6) + 1j * rng.randn(2, 10, 6)
+        xr, xi, ok = cx.sylvester_complex_batched(
+            jnp.asarray(A.real.astype(np.float32)),
+            jnp.asarray(A.imag.astype(np.float32)),
+            jnp.asarray(Bm.real.astype(np.float32)),
+            jnp.asarray(Bm.imag.astype(np.float32)),
+            jnp.asarray(C.real.astype(np.float32)),
+            jnp.asarray(C.imag.astype(np.float32)),
+        )
+        assert bool(np.asarray(ok).all())
+        X = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+        for b in range(2):
+            Xw = sla.solve_sylvester(A[b], Bm[b], C[b])
+            assert np.abs(X[b] - Xw).max() < 1e-4
+
+        # Hermitian Lyapunov: A X + X Aᴴ = Q, stable A
+        Q = self._c(2, 10, 10, seed=75)
+        Q = Q @ Q.conj().transpose(0, 2, 1)
+        Astab = self._c(2, 10, 10, seed=76) - 3 * np.eye(10)
+        xr, xi, ok = cx.lyapunov_complex_batched(
+            jnp.asarray(Astab.real.astype(np.float32)),
+            jnp.asarray(Astab.imag.astype(np.float32)),
+            jnp.asarray(Q.real.astype(np.float32)),
+            jnp.asarray(Q.imag.astype(np.float32)),
+        )
+        assert bool(np.asarray(ok).all())
+        X = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+        for b in range(2):
+            res = np.abs(
+                Astab[b] @ X[b] + X[b] @ Astab[b].conj().T - Q[b]
+            ).max()
+            assert res < 1e-3
+            assert np.abs(X[b] - X[b].conj().T).max() < 1e-4
+
+    def test_embedded_singular_sylvester_flagged(self):
+        """A=[i], B=[i]: complex-solvable but the embedding is
+        singular — must flag ok=False, never return garbage
+        silently."""
+        from linalg_solver_tpu.ops import complexlin as cx
+
+        one = jnp.ones((1, 1, 1))
+        zero = jnp.zeros((1, 1, 1))
+        _, _, ok = cx.sylvester_complex_batched(
+            zero, one, zero, one, one, zero
+        )
+        assert not bool(np.asarray(ok)[0])
