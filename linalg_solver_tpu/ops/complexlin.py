@@ -775,3 +775,106 @@ def lyapunov_complex_batched(a_re, a_im, q_re, q_im):
         jnp.swapaxes(a_re, 1, 2), -jnp.swapaxes(a_im, 1, 2),
         q_re, q_im,
     )
+
+
+class ComplexGeigResult(NamedTuple):
+    """Complex generalized eigenproblem ``A v = λ B v`` (B invertible).
+    ``rcond_b`` estimates B's reciprocal condition from the embedded
+    LU — eigenvalue error scales with ``1/rcond_b``."""
+
+    real: jax.Array
+    imag: jax.Array
+    v_re: jax.Array
+    v_im: jax.Array
+    valid: jax.Array
+    ok: jax.Array
+    rcond_b: jax.Array
+
+
+def eig_generalized_complex_batched(
+    a_re, a_im, b_re, b_im,
+) -> ComplexGeigResult:
+    """Complex ``A v = λ B v`` by LU reduction to ``B⁻¹A`` (the same
+    strategy as the real `ops.geig.eig_generalized_batched`,
+    reference-free complex counterpart): one embedded solve with
+    embedded-A right-hand side gives ``embed(B⁻¹A)`` directly, then
+    `eig_complex_batched` finishes.  Eigenvector residuals are checked
+    against the TRUE pencil (``‖A v − λ B v‖``), not the reduced
+    matrix."""
+    from .cond import rcond_batched
+
+    f32 = jnp.result_type(a_re.dtype, jnp.float32)
+    n = a_re.shape[-1]
+    a_re, a_im = a_re.astype(f32), a_im.astype(f32)
+    b_re, b_im = b_re.astype(f32), b_im.astype(f32)
+    Be = _embed(b_re, b_im)
+    # Z = embed(B)⁻¹ embed(A) = embed(B⁻¹A), one blocked solve per RHS
+    from .lu_blocked import blocked_solve_batched
+    from .lu import lu_factor_batched, lu_solve_batched
+
+    Ae = _embed(a_re, a_im)
+    nn = 2 * n
+    nb = next((w for w in (64, 48, 32, 16, 8) if nn % w == 0), None)
+    if nb is not None and nn >= 16:
+        Z = blocked_solve_batched(Be, Ae, nb=nb)
+    else:
+        res = lu_factor_batched(Be)
+        Z = jax.vmap(
+            lambda c: lu_solve_batched(res, c), in_axes=2, out_axes=2
+        )(Ae)
+    m_re, m_im, emb_err = _extract(Z, n, n)
+    eg = eig_complex_batched(m_re, m_im)
+    # true pencil residuals ‖A v − λ B v‖ per column
+    av_re, av_im = _cmatmul(a_re, a_im, eg.v_re, eg.v_im)
+    bv_re, bv_im = _cmatmul(b_re, b_im, eg.v_re, eg.v_im)
+    lr, li = eg.real[:, None, :], eg.imag[:, None, :]
+    rr = av_re - (lr * bv_re - li * bv_im)
+    ri = av_im - (lr * bv_im + li * bv_re)
+    res_c = jnp.sqrt(jnp.sum(rr * rr + ri * ri, axis=1))
+    scale = jnp.maximum(
+        jnp.max(jnp.abs(a_re) + jnp.abs(a_im), axis=(1, 2))[:, None]
+        + jnp.sqrt((lr * lr + li * li)[:, 0, :])
+        * jnp.max(jnp.abs(b_re) + jnp.abs(b_im), axis=(1, 2))[:, None],
+        1e-30,
+    )
+    valid = eg.valid & (res_c < 1e-2 * scale)
+    rc = rcond_batched(Be)
+    ok = eg.ok & (emb_err < 1e-3) & (rc > 0)
+    return ComplexGeigResult(
+        eg.real, eg.imag, eg.v_re, eg.v_im, valid, ok, rc
+    )
+
+
+class ComplexRootsResult(NamedTuple):
+    real: jax.Array
+    imag: jax.Array
+    ok: jax.Array
+
+
+def roots_complex_batched(c_re: jax.Array, c_im: jax.Array):
+    """All d roots of batched degree-d polynomials with COMPLEX
+    coefficients (descending order, ``c[:, 0]`` leading) — complex
+    companion matrix through `eig_complex_batched` (the complex
+    counterpart of `ops.roots.roots_batched`)."""
+    B, dp1 = c_re.shape
+    d = dp1 - 1
+    if d < 1:
+        raise ValueError("need degree >= 1 (at least 2 coefficients)")
+    f32 = jnp.result_type(c_re.dtype, jnp.float32)
+    c_re = c_re.astype(f32)
+    c_im = c_im.astype(f32)
+    lead2 = c_re[:, 0] ** 2 + c_im[:, 0] ** 2
+    ok = lead2 > 0
+    safe = jnp.where(ok, lead2, 1.0)
+    # monic = c[1:] / c[0] (complex divide)
+    mr = (c_re[:, 1:] * c_re[:, 0:1] + c_im[:, 1:] * c_im[:, 0:1]) \
+        / safe[:, None]
+    mi = (c_im[:, 1:] * c_re[:, 0:1] - c_re[:, 1:] * c_im[:, 0:1]) \
+        / safe[:, None]
+    sub = jnp.eye(d, k=-1, dtype=f32)
+    first = (jnp.arange(d)[None, :, None] == 0).astype(f32)
+    comp_re = jnp.broadcast_to(sub, (B, d, d)) * (1 - first) \
+        - mr[:, None, :] * first
+    comp_im = -mi[:, None, :] * first
+    eg = eig_complex_batched(comp_re, comp_im)
+    return ComplexRootsResult(eg.real, eg.imag, ok & eg.ok)

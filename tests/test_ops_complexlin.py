@@ -505,3 +505,74 @@ class TestComplexFunctionsAndEquations:
             zero, one, zero, one, one, zero
         )
         assert not bool(np.asarray(ok)[0])
+
+
+class TestComplexGeneralizedEigAndRoots:
+    def test_generalized_eig(self):
+        import scipy.linalg as sla
+
+        from linalg_solver_tpu.ops.complexlin import (
+            eig_generalized_complex_batched,
+        )
+
+        rng = np.random.RandomState(80)
+        B, n = 2, 12
+        A = rng.randn(B, n, n) + 1j * rng.randn(B, n, n)
+        Bm = rng.randn(B, n, n) + 1j * rng.randn(B, n, n) \
+            + 4 * np.eye(n)
+        g = eig_generalized_complex_batched(
+            jnp.asarray(A.real.astype(np.float32)),
+            jnp.asarray(A.imag.astype(np.float32)),
+            jnp.asarray(Bm.real.astype(np.float32)),
+            jnp.asarray(Bm.imag.astype(np.float32)),
+        )
+        assert bool(np.asarray(g.ok).all())
+        assert bool(np.asarray(g.valid).all())
+        V = (np.asarray(g.v_re, np.float64)
+             + 1j * np.asarray(g.v_im, np.float64))
+        lam = (np.asarray(g.real, np.float64)
+               + 1j * np.asarray(g.imag, np.float64))
+        for b in range(B):
+            want = list(sla.eigvals(A[b], Bm[b]))
+            for l in lam[b]:
+                j = int(np.argmin(np.abs(np.array(want) - l)))
+                assert abs(want[j] - l) < 1e-4
+                want.pop(j)
+            res = np.abs(
+                A[b] @ V[b] - Bm[b] @ V[b] * lam[b][None, :]
+            ).max()
+            assert res < 1e-3
+
+    def test_complex_roots(self):
+        from linalg_solver_tpu.ops.complexlin import (
+            roots_complex_batched,
+        )
+
+        rng = np.random.RandomState(81)
+        c = (rng.randn(3, 7) + 1j * rng.randn(3, 7)).astype(
+            np.complex64
+        )
+        r = roots_complex_batched(
+            jnp.asarray(c.real), jnp.asarray(c.imag)
+        )
+        assert bool(np.asarray(r.ok).all())
+        for b in range(3):
+            got = (np.asarray(r.real, np.float64)[b]
+                   + 1j * np.asarray(r.imag, np.float64)[b])
+            want = list(np.roots(c[b].astype(np.complex128)))
+            for l in got:
+                j = int(np.argmin(np.abs(np.array(want) - l)))
+                assert abs(want[j] - l) < 1e-4
+                want.pop(j)
+
+    def test_zero_leading_coefficient_flagged(self):
+        from linalg_solver_tpu.ops.complexlin import (
+            roots_complex_batched,
+        )
+
+        c = np.zeros((1, 4), np.complex64)
+        c[0, 1:] = [1, 2, 3]
+        r = roots_complex_batched(
+            jnp.asarray(c.real), jnp.asarray(c.imag)
+        )
+        assert not bool(np.asarray(r.ok)[0])

@@ -709,3 +709,49 @@ class TestShiftedBacksolve:
                         A[b].astype(np.float64) @ v - lam[b][i] * v
                     ).max()
                     assert r / np.abs(A[b]).max() < 1e-4
+
+
+class TestEigCondition:
+    """Per-eigenvalue reciprocal condition numbers (dtrsna RCONDE
+    semantics): s = |y^H x| for unit right/left eigenvectors, left
+    vectors obtained by reusing _trevc_full on J T^T J."""
+
+    def test_matches_f64_oracle(self):
+        from linalg_solver_tpu.ops.schur import eig_condition_batched
+
+        rng = np.random.RandomState(5)
+        n = 16
+        A = rng.randn(2, n, n).astype(np.float32) / np.sqrt(n)
+        r = eig_condition_batched(jnp.asarray(A))
+        assert bool(np.asarray(r.converged).all())
+        assert bool(np.asarray(r.valid).all())
+        for b in range(2):
+            lam = (np.asarray(r.real, np.float64)[b]
+                   + 1j * np.asarray(r.imag, np.float64)[b])
+            w64, V = np.linalg.eig(A[b].astype(np.float64))
+            w2, W2 = np.linalg.eig(A[b].astype(np.float64).T)
+            got = np.asarray(r.s, np.float64)[b]
+            for i, l in enumerate(lam):
+                iv = int(np.argmin(np.abs(w64 - l)))
+                jw = int(np.argmin(np.abs(w2 - l)))
+                v = V[:, iv]
+                y = np.conj(W2[:, jw])
+                want = abs(np.vdot(y, v)) / (
+                    np.linalg.norm(v) * np.linalg.norm(y)
+                )
+                assert abs(got[i] - want) < 1e-4, (i, got[i], want)
+
+    def test_near_defective_flags_tiny_s(self):
+        from linalg_solver_tpu.ops.schur import eig_condition_batched
+
+        rng = np.random.RandomState(6)
+        n = 16
+        J = (np.eye(n) * 0.5 + np.eye(n, k=1)).astype(np.float32)
+        P = rng.randn(n, n).astype(np.float32)
+        A = np.linalg.solve(P, J @ P)[None].astype(np.float32)
+        r = eig_condition_batched(jnp.asarray(A))
+        # a Jordan chain has eigenvalue condition ~eps^{(k-1)/k}: the
+        # reciprocal condition must collapse and the error estimate
+        # must reach O(1) — honest "don't trust these eigenvalues".
+        assert float(np.asarray(r.s).min()) < 1e-3
+        assert float(np.asarray(r.err_est).max()) > 1e-2
