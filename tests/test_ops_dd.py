@@ -1,0 +1,123 @@
+"""Extended-precision (Ozaki slice-GEMM float-float) tests.
+
+f64-class results from pure f32/bf16 arithmetic — the TPU-native
+replacement for "just use f64" (no reference counterpart; the
+reference's float path IS host f64).  All accuracy checks are
+computed in float64 on the host.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from linalg_solver_tpu.ops.dd import (
+    dd_add_f32,
+    matmul_dd_batched,
+    solve_dd_batched,
+    two_sum,
+)
+
+
+class TestDDPrimitives:
+    def test_two_sum_exact(self):
+        a = jnp.asarray(np.float32(1.0))
+        b = jnp.asarray(np.float32(1e-9))
+        s, e = two_sum(a, b)
+        assert float(s) + float(e) == 1.0 + float(np.float32(1e-9))
+        assert float(e) != 0.0  # the bit that f32 addition loses
+
+    def test_dd_accumulation_beats_f32(self):
+        # sum 10_000 copies of 0.1: f32 drifts, dd stays exact-ish
+        t = jnp.asarray(np.float32(0.1))
+        hi = jnp.zeros(())
+        lo = jnp.zeros(())
+        f32sum = np.float32(0.0)
+        for _ in range(1000):
+            hi, lo = dd_add_f32(hi, lo, t)
+            f32sum += np.float32(0.1)
+        dd = float(np.float64(np.asarray(hi)) + np.float64(np.asarray(lo)))
+        want = 1000 * np.float64(np.float32(0.1))
+        assert abs(dd - want) < 1e-10
+        assert abs(float(f32sum) - want) > 1e-6  # plain f32 drifted
+
+
+class TestDDMatmul:
+    def test_f64_class_accuracy(self):
+        rng = np.random.RandomState(1)
+        A = rng.randn(2, 32, 256).astype(np.float32)
+        B = rng.randn(2, 256, 32).astype(np.float32)
+        r = matmul_dd_batched(jnp.asarray(A), jnp.asarray(B))
+        got = np.asarray(r.hi, np.float64) + np.asarray(r.lo, np.float64)
+        want = A.astype(np.float64) @ B.astype(np.float64)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-12, rel
+
+    def test_chunked_contraction(self):
+        rng = np.random.RandomState(2)
+        A = rng.randn(1, 16, 700).astype(np.float32)
+        B = rng.randn(1, 700, 16).astype(np.float32)
+        r = matmul_dd_batched(jnp.asarray(A), jnp.asarray(B))
+        got = np.asarray(r.hi, np.float64) + np.asarray(r.lo, np.float64)
+        want = A.astype(np.float64) @ B.astype(np.float64)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+    def test_t3_is_f32_class(self):
+        rng = np.random.RandomState(3)
+        A = rng.randn(1, 16, 64).astype(np.float32)
+        B = rng.randn(1, 64, 16).astype(np.float32)
+        r = matmul_dd_batched(jnp.asarray(A), jnp.asarray(B), t=3)
+        got = np.asarray(r.hi, np.float64) + np.asarray(r.lo, np.float64)
+        want = A.astype(np.float64) @ B.astype(np.float64)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-6  # 24 bits below row max
+
+    def test_scale_extremes(self):
+        # scaling is per row/column power-of-two: huge and tiny scales
+        # must round-trip exactly
+        rng = np.random.RandomState(4)
+        A = (rng.randn(1, 8, 32) * 1e18).astype(np.float32)
+        B = (rng.randn(1, 32, 8) * 1e-18).astype(np.float32)
+        r = matmul_dd_batched(jnp.asarray(A), jnp.asarray(B))
+        got = np.asarray(r.hi, np.float64) + np.asarray(r.lo, np.float64)
+        want = A.astype(np.float64) @ B.astype(np.float64)
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+
+class TestDDSolve:
+    def _system(self, B, n, kappa, seed):
+        rng = np.random.RandomState(seed)
+        U, _ = np.linalg.qr(rng.randn(B, n, n))
+        V, _ = np.linalg.qr(rng.randn(B, n, n))
+        s = np.logspace(0, -np.log10(kappa), n)
+        A = (U * s[None, None, :]) @ V.transpose(0, 2, 1)
+        x = rng.randn(B, n)
+        b = np.einsum("bij,bj->bi", A, x)
+        return A.astype(np.float32), b.astype(np.float32)
+
+    def test_f64_class_residual(self):
+        A, b = self._system(4, 64, kappa=10.0, seed=5)
+        s = solve_dd_batched(jnp.asarray(A), jnp.asarray(b))
+        assert bool(np.asarray(s.ok).all())
+        x = np.asarray(s.x_hi, np.float64) + np.asarray(s.x_lo, np.float64)
+        res = np.abs(
+            np.einsum("bij,bj->bi", A.astype(np.float64), x)
+            - b.astype(np.float64)
+        ).max() / np.abs(b).max()
+        assert res < 1e-12, res
+
+    def test_kappa_1e5_still_converges(self):
+        A, b = self._system(2, 64, kappa=1e5, seed=6)
+        s = solve_dd_batched(jnp.asarray(A), jnp.asarray(b))
+        assert bool(np.asarray(s.ok).all())
+        x = np.asarray(s.x_hi, np.float64) + np.asarray(s.x_lo, np.float64)
+        res = np.abs(
+            np.einsum("bij,bj->bi", A.astype(np.float64), x)
+            - b.astype(np.float64)
+        ).max() / np.abs(b).max()
+        assert res < 1e-11, res
+
+    def test_singular_lane_flagged(self):
+        A, b = self._system(2, 32, kappa=10.0, seed=7)
+        A[1] = 0.0
+        s = solve_dd_batched(jnp.asarray(A), jnp.asarray(b))
+        ok = np.asarray(s.ok)
+        assert bool(ok[0]) and not bool(ok[1])
