@@ -121,6 +121,84 @@ class DDMatmul(NamedTuple):
     lo: jax.Array
 
 
+class SlicedMatrix(NamedTuple):
+    """A matrix pre-split into Ozaki slices, reusable across many dd
+    products (the slicing is elementwise-heavy; ``solve_dd_batched``
+    slices A once and reuses it every refinement round)."""
+
+    slices: tuple     # t × [B, m, nc, KCHUNK] bf16 (row-sliced)
+    scale: jax.Array  # [B, m, 1]
+
+
+def slice_rows(a: jax.Array, t: int) -> SlicedMatrix:
+    """Slice ``[B, m, k]`` along rows (contraction on axis 2)."""
+    va, sa = _pow2_norm(a, axis=2)
+    sl = _slice_int8(va, t)
+    B, m, k = a.shape
+    nc = -(-k // _KCHUNK)
+    pad = nc * _KCHUNK - k
+    if pad:
+        z = jnp.zeros((B, m, pad), jnp.bfloat16)
+        sl = [jnp.concatenate([x, z], axis=2) for x in sl]
+    sl = [x.reshape(B, m, nc, _KCHUNK) for x in sl]
+    return SlicedMatrix(tuple(sl), sa)
+
+
+def slice_cols(b: jax.Array, t: int) -> SlicedMatrix:
+    """Slice ``[B, k, n]`` along columns (contraction on axis 1)."""
+    vb, sb = _pow2_norm(b, axis=1)
+    sl = _slice_int8(vb, t)
+    B, k, n = b.shape
+    nc = -(-k // _KCHUNK)
+    pad = nc * _KCHUNK - k
+    if pad:
+        z = jnp.zeros((B, pad, n), jnp.bfloat16)
+        sl = [jnp.concatenate([x, z], axis=1) for x in sl]
+    sl = [x.reshape(B, nc, _KCHUNK, n) for x in sl]
+    return SlicedMatrix(tuple(sl), sb)
+
+
+# bands s = i+j below this index are accumulated term-exactly (their
+# f32 pre-summation error 2^{-24-8s} would exceed the 2^-48 target);
+# higher bands are pre-summed in plain f32 before ONE dd add each.
+_EXACT_BANDS = 3
+
+
+def matmul_sliced_dd(sa: SlicedMatrix, sb: SlicedMatrix) -> DDMatmul:
+    """dd product of two pre-sliced operands (see
+    ``matmul_dd_batched``)."""
+    f32 = jnp.float32
+    t = len(sa.slices)
+    nc = sa.slices[0].shape[2]
+    hi = lo = None
+    for s in range(t):
+        parts = []
+        for i in range(s + 1):
+            j = s - i
+            g = jnp.einsum(
+                "bmck,bckn->bcmn", sa.slices[i], sb.slices[j],
+                preferred_element_type=f32,
+            )                                # [B, nc, m, n] exact
+            parts.extend(g[:, c] for c in range(nc))
+        ps = 2.0 ** (-_QBITS * (s + 2))
+        if hi is None:
+            hi = parts[0] * ps
+            lo = jnp.zeros_like(hi)
+            parts = parts[1:]
+        if s < _EXACT_BANDS:
+            for p in parts:
+                hi, lo = dd_add_f32(hi, lo, p * ps)
+        elif parts:
+            tot = parts[0]
+            for p in parts[1:]:
+                tot = tot + p
+            hi, lo = dd_add_f32(hi, lo, tot * ps)
+    # outer power-of-two scale applied ONCE at the end (exact, and
+    # 2 elementwise passes instead of one per term)
+    scale = sa.scale * sb.scale
+    return DDMatmul(hi * scale, lo * scale)
+
+
 @functools.partial(jax.jit, static_argnames=("t",))
 def matmul_dd_batched(a: jax.Array, b: jax.Array, t: int = 6) -> DDMatmul:
     """``a @ b`` for f32 batches ``[B, m, k] × [B, k, n]`` with
@@ -131,46 +209,13 @@ def matmul_dd_batched(a: jax.Array, b: jax.Array, t: int = 6) -> DDMatmul:
     (t=6 → 48 bits ≈ double precision normwise; t=3 → f32-class at a
     third of the cost).  Slice pairs with ``i + j ≥ t`` fall below the
     truncation floor and are skipped: ``t(t+1)/2`` GEMMs total, each a
-    native single-pass bf16 MXU op (cheaper than one HIGHEST f32
-    GEMM's 6 passes for t ≤ 3.5... and ~3.5× one for t = 6)."""
+    native single-pass bf16 MXU op.  The dd-accumulation chains are
+    HBM-bound, so bands past ``_EXACT_BANDS`` are pre-summed in plain
+    f32 (their rounding sits below 2⁻⁴⁸) — measured 2.3× on chip."""
     f32 = jnp.float32
-    a = a.astype(f32)
-    b = b.astype(f32)
-    B, m, k = a.shape
-    _, _, n = b.shape
-    va, sa = _pow2_norm(a, axis=2)          # sa [B, m, 1]
-    vb, sb = _pow2_norm(b, axis=1)          # sb [B, 1, n]
-    sl_a = _slice_int8(va, t)
-    sl_b = _slice_int8(vb, t)
-
-    # chunk the contraction to keep every accumulation window exact
-    nc = -(-k // _KCHUNK)
-    pad = nc * _KCHUNK - k
-    if pad:
-        zpa = jnp.zeros((B, m, pad), jnp.bfloat16)
-        zpb = jnp.zeros((B, pad, n), jnp.bfloat16)
-        sl_a = [jnp.concatenate([x, zpa], axis=2) for x in sl_a]
-        sl_b = [jnp.concatenate([x, zpb], axis=1) for x in sl_b]
-    sl_a = [x.reshape(B, m, nc, _KCHUNK) for x in sl_a]
-    sl_b = [x.reshape(B, nc, _KCHUNK, n) for x in sl_b]
-
-    hi = jnp.zeros((B, m, n), f32)
-    lo = jnp.zeros((B, m, n), f32)
-    scale = sa * sb                          # [B, m, n] (outer, exact)
-    # descending magnitude: (i + j) ascending
-    for s in range(2 * t - 1):
-        for i in range(t):
-            j = s - i
-            if j < 0 or j >= t or i + j >= t:
-                continue
-            g = jnp.einsum(
-                "bmck,bckn->bcmn", sl_a[i], sl_b[j],
-                preferred_element_type=f32,
-            )                                # [B, nc, m, n] exact
-            term_scale = scale * (2.0 ** (-_QBITS * (i + j + 2)))
-            for c in range(nc):
-                hi, lo = dd_add_f32(hi, lo, g[:, c] * term_scale)
-    return DDMatmul(hi, lo)
+    return matmul_sliced_dd(
+        slice_rows(a.astype(f32), t), slice_cols(b.astype(f32), t)
+    )
 
 
 class DDSolveResult(NamedTuple):
@@ -185,46 +230,258 @@ class DDSolveResult(NamedTuple):
     ok: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "t"))
-@f32_matmuls
-def solve_dd_batched(
-    a: jax.Array, b: jax.Array, iters: int = 4, t: int = 6,
-) -> DDSolveResult:
-    """Solve ``A x = b`` (``b`` vectors ``[B, n]``) to f64-CLASS
-    backward error on f32 hardware: one tuned f32 LU factorization +
-    ``iters`` rounds of iterative refinement with error-free-GEMM
-    (Ozaki) dd residuals, solution carried as a dd pair.
-
-    Convergence: each round multiplies the error by ~κ(A)·2⁻²⁴, so
-    κ ≲ 1e6 reaches ~1e-13 relative residual in 2-3 rounds (the plain
-    f32 path floors at ~1e-7).  The residual is COMPUTED, not assumed:
-    ``resid`` is the final dd residual norm."""
-    from .lu import lu_factor_batched, lu_solve_batched
-
+def _dd_refine(a, b, x_hi, solve_fn, iters, t):
+    """Shared dd refinement: slice A once, refine with error-free
+    residuals through ``solve_fn`` until every lane's residual is at
+    the dd floor (``lax.while_loop`` — well-conditioned batches exit
+    after ~2 rounds, κ ~ 1e5 takes ~8; ``iters`` caps the loop)."""
     f32 = jnp.float32
-    a = a.astype(f32)
-    b = b.astype(f32)
-    B, n = b.shape
-    fac = lu_factor_batched(a)
-    x_hi = lu_solve_batched(fac, b)
+    B = b.shape[0]
     x_lo = jnp.zeros_like(x_hi)
-    resid = jnp.zeros((B,), f32)
-    for _ in range(iters):
+    a_sl = slice_rows(a, t)     # slice A ONCE, reuse every round
+    amax = jnp.max(jnp.abs(a), axis=(1, 2))
+    bmax = jnp.max(jnp.abs(b), axis=1)
+
+    def one_round(x_hi, x_lo):
         # r = b − A·x_hi − A·x_lo  (dd; the x_lo product in plain
         # HIGHEST f32 — its own error is ~2⁻²⁴·|x_lo| ≈ 2⁻⁴⁸·|x|)
-        p = matmul_dd_batched(a, x_hi[:, :, None], t=t)
+        p = matmul_sliced_dd(a_sl, slice_cols(x_hi[:, :, None], t))
         r_hi, r_lo = dd_add_f32(-p.hi[:, :, 0], -p.lo[:, :, 0], b)
         ax_lo = jnp.einsum(
             "bij,bj->bi", a, x_lo, precision=_HIGH
         )
         r_hi, r_lo = dd_add_f32(r_hi, r_lo, -ax_lo)
-        d = lu_solve_batched(fac, r_hi + r_lo)
+        r = r_hi + r_lo
+        d = solve_fn(r)
         x_hi, x_lo = dd_add_f32(x_hi, x_lo, d)
-        resid = jnp.max(jnp.abs(r_hi + r_lo), axis=1)
+        return x_hi, x_lo, jnp.max(jnp.abs(r), axis=1)
+
+    def target(x_hi):
+        return 1e-12 * jnp.maximum(
+            jnp.maximum(amax * jnp.max(jnp.abs(x_hi), axis=1), bmax),
+            1e-30,
+        )
+
+    def cond(c):
+        k, x_hi, _, resid = c
+        return (k < iters) & jnp.any(resid > target(x_hi))
+
+    def body(c):
+        k, x_hi, x_lo, _ = c
+        x_hi, x_lo, resid = one_round(x_hi, x_lo)
+        return k + 1, x_hi, x_lo, resid
+
+    init = (0, x_hi, x_lo, jnp.full((B,), jnp.inf, f32))
+    _, x_hi, x_lo, resid = jax.lax.while_loop(cond, body, init)
+    return x_hi, x_lo, resid
+
+
+def _dd_ok(a, b, x_hi, resid, fac_ok):
     scale = jnp.maximum(
         jnp.max(jnp.abs(a), axis=(1, 2))
         * jnp.max(jnp.abs(x_hi), axis=1),
         jnp.max(jnp.abs(b), axis=1),
     )
-    ok = fac.ok & (resid <= 1e-10 * jnp.maximum(scale, 1e-30))
-    return DDSolveResult(x_hi, x_lo, resid, ok)
+    return fac_ok & (resid <= 1e-10 * jnp.maximum(scale, 1e-30))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "t", "nb", "interpret")
+)
+@f32_matmuls
+def _solve_dd_phases(a, b, iters, t, nb, interpret):
+    """Pallas-phase-factored dd solve (the fast path): ONE blocked
+    factorization (`lu_blocked._pallas_lu_phases`), correction solves
+    through the assembled-free block substitution — the same machinery
+    as `pallas_solve_mixed_batched`, with dd residuals."""
+    from .lu_blocked import (
+        _pallas_lu_phases,
+        _phases_backward,
+        _phases_solve,
+    )
+    from .select import onehot_rows
+
+    f32 = jnp.float32
+    B, N = b.shape
+    b3 = b[:, :, None]
+    ph = _pallas_lu_phases(a, nb, interpret, rhs=b3)
+    m = N // nb
+    later_masks = []
+    cum = jnp.zeros((B, N), f32)
+    for i in range(m):
+        cum = cum + jnp.sum(
+            onehot_rows(ph.piv_rows[i], N, f32), axis=1
+        )
+        later_masks.append((1.0 - cum)[:, :, None])
+    x_hi = _phases_backward(ph, ph.ys, m, nb)[:, :, 0]
+    x_hi, x_lo, resid = _dd_refine(
+        a, b, x_hi,
+        lambda r: _phases_solve(
+            ph, later_masks, r[:, :, None], m, nb
+        )[:, :, 0],
+        iters, t,
+    )
+    return DDSolveResult(
+        x_hi, x_lo, resid, _dd_ok(a, b, x_hi, resid, ph.ok)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "t"))
+@f32_matmuls
+def _solve_dd_loop(a, b, iters, t):
+    """Loop-LU dd solve (odd N the blocked panels can't tile)."""
+    from .lu import lu_factor_batched, lu_solve_batched
+
+    fac = lu_factor_batched(a)
+    x_hi = lu_solve_batched(fac, b)
+    x_hi, x_lo, resid = _dd_refine(
+        a, b, x_hi, lambda r: lu_solve_batched(fac, r), iters, t
+    )
+    return DDSolveResult(
+        x_hi, x_lo, resid, _dd_ok(a, b, x_hi, resid, fac.ok)
+    )
+
+
+def solve_dd_batched(
+    a: jax.Array, b: jax.Array, iters: int = 10, t: int = 6,
+    nb: int = None, interpret: bool = None,
+) -> DDSolveResult:
+    """Solve ``A x = b`` (``b`` vectors ``[B, n]``) to f64-CLASS
+    backward error on f32 hardware: one blocked Pallas-panel f32 LU +
+    ``iters`` rounds of iterative refinement with error-free-GEMM
+    (Ozaki) dd residuals, solution carried as a dd pair.
+
+    Convergence: each round multiplies the error by ~κ(A)·2⁻²⁴, so
+    κ ≲ 1e6 reaches ~1e-13 relative residual in 2-3 rounds (the plain
+    f32 path floors at ~1e-7; measured 3.4e-14 at κ=1e4 on chip).  The
+    residual is COMPUTED, not assumed: ``resid`` is the final dd
+    residual norm."""
+    f32 = jnp.float32
+    a = jnp.asarray(a).astype(f32)
+    b = jnp.asarray(b).astype(f32)
+    N = b.shape[1]
+    if nb is None:
+        nb = next(
+            (w for w in (64, 48, 32, 16, 8) if N % w == 0), None
+        )
+    if interpret is None:
+        from .pallas import is_supported
+
+        interpret = not is_supported()
+    if nb is None or N < 16:
+        return _solve_dd_loop(a, b, iters, t)
+    return _solve_dd_phases(a, b, iters, t, min(nb, N), interpret)
+
+
+class DDEighResult(NamedTuple):
+    """dd-refined symmetric eigenvalues.  ``w`` is the refined
+    (hi+lo collapsed to f32 pair) Rayleigh-quotient eigenvalue per
+    column; ``w_lo`` the trailing bits; ``resid`` = ‖A v − w v‖₂ per
+    column computed in dd (an honest a-posteriori bound:
+    |w − λ_true| ≤ resid for symmetric A, Kato–Temple gives resid²/gap
+    when the gap is known)."""
+
+    w: jax.Array       # [B, n]
+    w_lo: jax.Array    # [B, n]
+    V: jax.Array       # [B, n, n] f32 eigenvectors (unrefined)
+    resid: jax.Array   # [B, n]
+    converged: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+@f32_matmuls
+def eigh_dd_batched(a: jax.Array, t: int = 6) -> DDEighResult:
+    """Symmetric eigenvalues to (near-)f64 accuracy on f32 hardware.
+
+    One f32 ``eigh`` gives eigenvectors with residual ~ε₃₂·‖A‖; the
+    Rayleigh quotient ``vᵀAv / vᵀv`` evaluated in error-free slice
+    GEMMs + float-float arithmetic then carries eigenvalue error
+    O(resid²/gap) — for gaps ≳ 1e-3·‖A‖ that is ~1e-11·‖A‖, four
+    orders below the f32 eigensolver's own floor, with NO f64
+    hardware.  Clustered eigenvalues degrade gracefully toward the
+    f32 floor and are visible through ``resid``.
+
+    For symmetric matrices |w − λ| ≤ ‖Av − wv‖/‖v‖ ALWAYS (no gap
+    assumption) — ``resid`` is that bound, dd-computed."""
+    from .symmetric import eigh_batched
+
+    r = eigh_batched(a)
+    f32 = jnp.float32
+    a = a.astype(f32)
+    sym = (a + jnp.swapaxes(a, 1, 2)) * 0.5
+    V = r.V
+    # M = A·V in dd (one slice-GEMM product)
+    av = matmul_dd_batched(sym, V, t=t)
+    # num_i = v_iᵀ (A v_i) in dd: elementwise V*av summed over rows
+    # with TwoSum (products V[k,i]*av[k,i] are NOT exact in f32 —
+    # split them with TwoProd via fma-free Dekker: on TPU/XLA,
+    # jnp.multiply is correctly rounded and fma is unavailable, so use
+    # the two_prod split explicitly)
+    num_hi, num_lo = _dot_columns_dd(V, av.hi, av.lo)
+    den_hi, den_lo = _dot_columns_dd(V, V, jnp.zeros_like(V))
+    # w = num / den (den ≈ 1; one Newton step on the dd reciprocal).
+    # The Newton correction e = 1 − den·inv0 lives entirely BELOW
+    # f32 resolution, so den_hi·inv0 must be an exact TwoProd — a
+    # plain f32 product rounds e away and floors the whole quotient
+    # at ~6e-8 (measured before the fix).
+    inv0 = 1.0 / den_hi
+    p, pe = _two_prod(den_hi, inv0)
+    e_hi, e_lo = dd_add_f32(
+        -p, -(pe + den_lo * inv0), jnp.ones_like(den_hi)
+    )
+    q, qe = _two_prod(inv0, e_hi)
+    inv_hi, inv_lo = dd_add_f32(q, qe + inv0 * e_lo, inv0)
+    w_hi, w_lo = _dd_mul_dd(num_hi, num_lo, inv_hi, inv_lo)
+    # residual ‖Av − w v‖ per column, dd-computed then collapsed
+    rz_hi = av.hi - w_hi[:, None, :] * V
+    rz_lo = av.lo - w_lo[:, None, :] * V
+    resid = jnp.sqrt(jnp.sum((rz_hi + rz_lo) ** 2, axis=1))
+    return DDEighResult(w_hi, w_lo, V, resid, r.converged)
+
+
+def _two_prod(a, b):
+    """Dekker exact product: (p, e) with p = fl(a·b), p + e = a·b.
+    Split-based (no FMA dependency); exact in IEEE f32."""
+    p = a * b
+    c = jnp.float32(4097.0)  # 2^12 + 1 splitter for f32
+    a1 = a * c
+    ah = a1 - (a1 - a)
+    al = a - ah
+    b1 = b * c
+    bh = b1 - (b1 - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _dot_columns_dd(V, M_hi, M_lo):
+    """Column dot products ``Σ_k V[b,k,i]·M[b,k,i]`` in dd (M itself a
+    dd pair).  TwoProd for the hi products, plain multiply for the lo
+    side (already ≤ 2⁻²⁴ relative)."""
+    B, n, m = V.shape
+    hi = jnp.zeros((B, m), V.dtype)
+    lo = jnp.zeros((B, m), V.dtype)
+    p, e = _two_prod(V, M_hi)
+    pl = V * M_lo
+    # accumulate rows with a scan to keep the TwoSum chains exact
+
+    def body(carry, x):
+        hi, lo = carry
+        pr, er, plr = x
+        hi, lo = dd_add_f32(hi, lo, pr)
+        hi, lo = dd_add_f32(hi, lo, er + plr)
+        return (hi, lo), None
+
+    (hi, lo), _ = jax.lax.scan(
+        body, (hi, lo),
+        (jnp.moveaxis(p, 1, 0), jnp.moveaxis(e, 1, 0),
+         jnp.moveaxis(pl, 1, 0)),
+    )
+    return hi, lo
+
+
+def _dd_mul_dd(a_hi, a_lo, b_hi, b_lo):
+    """dd × dd product (error O(eps²))."""
+    p, e = _two_prod(a_hi, b_hi)
+    e = e + (a_hi * b_lo + a_lo * b_hi)
+    return fast_two_sum(p, e)

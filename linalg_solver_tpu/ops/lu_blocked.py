@@ -520,7 +520,9 @@ def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "ir_steps", "factor_precision", "interpret"),
+    static_argnames=(
+        "nb", "ir_steps", "factor_precision", "interpret", "fallback"
+    ),
 )
 def pallas_solve_mixed_batched(
     a: jax.Array,
@@ -529,6 +531,7 @@ def pallas_solve_mixed_batched(
     ir_steps: int = 2,
     factor_precision: str = "bfloat16",
     interpret: bool = False,
+    fallback: bool = True,
 ) -> jax.Array:
     """Mixed-precision factor + iteratively-refined solve (the HPL-AI /
     LAPACK ``dsgesv`` recipe, TPU-native).
@@ -547,9 +550,15 @@ def pallas_solve_mixed_batched(
     refined solution no longer carries the factorization's rounding.
 
     For ill-conditioned input (κ ≳ 1/u_factor ≈ 256 at bf16) the
-    iteration stops contracting; callers needing a guarantee should
-    check the residual (``models.solver.solve_checked``) or use
-    ``pallas_solve_batched``.  No counterpart in the reference (its
+    iteration stops contracting — and with κ ≫ that it DIVERGES
+    (measured 5e28 residual at κ=1e4 on chip; CPU interpret mode hides
+    this because the CPU backend ignores the bf16 matmul-precision
+    hint).  ``fallback=True`` (default) therefore verifies the final
+    residual per lane — one extra HIGHEST GEMV — and re-solves ONLY
+    the diverged lanes through the all-f32 fused path under
+    ``lax.cond`` (zero f32-path cost when every lane converged, which
+    is the common case this path is routed for).  No counterpart in
+    the reference (its
     scalars are exact rationals); this is the device-native answer to
     the same "cheap plan, exact execution" idea as its planner
     (reference determinant.rs:553-563).
@@ -589,6 +598,26 @@ def pallas_solve_mixed_batched(
             resid = b3 - a32 @ x
         with jax.default_matmul_precision(factor_precision):
             x = x + _phases_solve(ph, later_masks, resid, m, nb)
+
+    if fallback:
+        with jax.default_matmul_precision("float32"):
+            resid = b3 - a32 @ x
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(b3), axis=(1, 2)),
+            jnp.max(jnp.abs(a32), axis=(1, 2))
+            * jnp.max(jnp.abs(x), axis=(1, 2)),
+        )
+        bad = jnp.max(jnp.abs(resid), axis=(1, 2)) \
+            > 1e-5 * jnp.maximum(scale, 1e-30)
+
+        def _f32_rescue(_):
+            return pallas_solve_batched(a32, b3, nb=nb,
+                                        interpret=interpret)
+
+        y = jax.lax.cond(
+            jnp.any(bad), _f32_rescue, lambda _: x, operand=None
+        )
+        x = jnp.where(bad[:, None, None], y, x)
 
     return x[:, :, 0] if vector_input else x
 
