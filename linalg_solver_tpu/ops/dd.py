@@ -485,3 +485,103 @@ def _dd_mul_dd(a_hi, a_lo, b_hi, b_lo):
     p, e = _two_prod(a_hi, b_hi)
     e = e + (a_hi * b_lo + a_lo * b_hi)
     return fast_two_sum(p, e)
+
+
+class DDLstsqResult(NamedTuple):
+    """dd-refined least squares.  ``gnorm`` is the final dd-computed
+    normal-equations residual ‖Aᵀ(b − Ax)‖∞ per lane — the optimality
+    measure (zero at the exact minimizer)."""
+
+    x_hi: jax.Array
+    x_lo: jax.Array
+    gnorm: jax.Array
+    ok: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "t"))
+@f32_matmuls
+def lstsq_dd_batched(
+    a: jax.Array, b: jax.Array, iters: int = 10, t: int = 6,
+) -> DDLstsqResult:
+    """Full-rank least squares ``argmin ‖Ax − b‖`` (``a [B, m, n]``,
+    m ≥ n, ``b [B, m]``) to near-f64 accuracy on f32 hardware:
+    corrected semi-normal equations (Björck's CSNE) with ERROR-FREE dd
+    residuals.
+
+    One f32 CholeskyQR2 gives R; each round computes ``r = b − A·x``
+    and ``g = Aᵀr`` in dd (Ozaki slice GEMMs — both products reuse
+    pre-sliced operands), then corrects through two triangular solves
+    ``RᵀR d = g``.  Converges while κ(A)² · 2⁻²⁴ < 1 (κ ≲ 3e3; the
+    refinement's dd residual makes the LIMIT the iteration matrix, not
+    the residual precision — plain-f32 CSNE floors at ~κ·1e-7)."""
+    from .lstsq import qr_batched
+
+    f32 = jnp.float32
+    a = a.astype(f32)
+    b = b.astype(f32)
+    B, m, n = a.shape
+    qr = qr_batched(a)
+    R = qr.R
+    tri = functools.partial(
+        jax.lax.linalg.triangular_solve,
+        left_side=True, lower=False,
+    )
+
+    def corr(g):
+        # RᵀR d = g
+        y = tri(R, g[:, :, None], transpose_a=True)
+        return tri(R, y, transpose_a=False)[:, :, 0]
+
+    # x0 = R⁻¹ Qᵀ b
+    qtb = jnp.einsum("bmi,bm->bi", qr.Q, b, precision=_HIGH)
+    x_hi = tri(R, qtb[:, :, None])[:, :, 0]
+    x_lo = jnp.zeros_like(x_hi)
+
+    a_sl = slice_rows(a, t)
+    at_sl = slice_rows(jnp.swapaxes(a, 1, 2), t)
+    amax = jnp.max(jnp.abs(a), axis=(1, 2))
+    bmax = jnp.max(jnp.abs(b), axis=1)
+
+    def one_round(x_hi, x_lo):
+        p = matmul_sliced_dd(a_sl, slice_cols(x_hi[:, :, None], t))
+        r_hi, r_lo = dd_add_f32(-p.hi[:, :, 0], -p.lo[:, :, 0], b)
+        ax_lo = jnp.einsum("bij,bj->bi", a, x_lo, precision=_HIGH)
+        r_hi, r_lo = dd_add_f32(r_hi, r_lo, -ax_lo)
+        # g = Aᵀ·(r_hi + r_lo): unlike the square-solve case, the
+        # least-squares residual is NOT small at the optimum — the
+        # cancellation happens INSIDE Aᵀr — so r_lo must flow through
+        # its own product, not be collapsed into r_hi first.
+        g = matmul_sliced_dd(at_sl, slice_cols(r_hi[:, :, None], t))
+        at_rlo = jnp.einsum(
+            "bij,bj->bi", jnp.swapaxes(a, 1, 2), r_lo,
+            precision=_HIGH,
+        )
+        g_hi, g_lo = dd_add_f32(
+            g.hi[:, :, 0], g.lo[:, :, 0], at_rlo
+        )
+        g1 = g_hi + g_lo
+        d = corr(g1)
+        x_hi, x_lo = dd_add_f32(x_hi, x_lo, d)
+        return x_hi, x_lo, jnp.max(jnp.abs(g1), axis=1)
+
+    def target(x_hi):
+        return 1e-10 * jnp.maximum(
+            amax * jnp.maximum(
+                amax * jnp.max(jnp.abs(x_hi), axis=1), bmax
+            ),
+            1e-30,
+        )
+
+    def cond(c):
+        k, x_hi, _, gn = c
+        return (k < iters) & jnp.any(gn > target(x_hi))
+
+    def body(c):
+        k, x_hi, x_lo, _ = c
+        x_hi, x_lo, gn = one_round(x_hi, x_lo)
+        return k + 1, x_hi, x_lo, gn
+
+    init = (0, x_hi, x_lo, jnp.full((B,), jnp.inf, f32))
+    _, x_hi, x_lo, gn = jax.lax.while_loop(cond, body, init)
+    ok = qr.ok & (gn <= target(x_hi))
+    return DDLstsqResult(x_hi, x_lo, gn, ok)

@@ -170,3 +170,60 @@ class TestDDEigh:
             np.abs(w - want)
             <= np.asarray(r.resid, np.float64) * 1.1 + 1e-12
         ).all())
+
+
+class TestDDLstsq:
+    """Corrected semi-normal equations with dd residuals: the
+    least-squares residual is NOT small at the optimum, so r_lo must
+    flow through its own A^T product (collapsing r to f32 stalls the
+    iteration at ~1e-7 — regression-tested by the kappa=10 bound)."""
+
+    def _system(self, B, m, n, kappa, seed):
+        rng = np.random.RandomState(seed)
+        U, _ = np.linalg.qr(rng.randn(B, m, n))
+        V, _ = np.linalg.qr(rng.randn(B, n, n))
+        s = np.logspace(0, -np.log10(kappa), n)
+        A = ((U * s[None, None, :]) @ V.transpose(0, 2, 1)).astype(
+            np.float32
+        )
+        b = rng.randn(B, m).astype(np.float32)
+        return A, b
+
+    def test_f64_class_minimizer(self):
+        from linalg_solver_tpu.ops.dd import lstsq_dd_batched
+
+        A, b = self._system(2, 96, 48, kappa=10.0, seed=2)
+        r = lstsq_dd_batched(jnp.asarray(A), jnp.asarray(b))
+        assert bool(np.asarray(r.ok).all())
+        x = np.asarray(r.x_hi, np.float64) + np.asarray(r.x_lo, np.float64)
+        want = np.stack([
+            np.linalg.lstsq(
+                A[i].astype(np.float64), b[i].astype(np.float64),
+                rcond=None,
+            )[0]
+            for i in range(2)
+        ])
+        assert np.abs(x - want).max() < 1e-11
+
+    def test_kappa_1e3(self):
+        from linalg_solver_tpu.ops.dd import lstsq_dd_batched
+        from linalg_solver_tpu.ops.lstsq import lstsq_batched
+
+        A, b = self._system(2, 96, 48, kappa=1e3, seed=3)
+        r = lstsq_dd_batched(jnp.asarray(A), jnp.asarray(b))
+        assert bool(np.asarray(r.ok).all())
+        x = np.asarray(r.x_hi, np.float64) + np.asarray(r.x_lo, np.float64)
+        want = np.stack([
+            np.linalg.lstsq(
+                A[i].astype(np.float64), b[i].astype(np.float64),
+                rcond=None,
+            )[0]
+            for i in range(2)
+        ])
+        dd_err = np.abs(x - want).max()
+        f32_err = np.abs(
+            np.asarray(lstsq_batched(jnp.asarray(A), jnp.asarray(b)).x,
+                       np.float64) - want
+        ).max()
+        assert dd_err < 1e-7
+        assert dd_err < f32_err / 1e3
