@@ -157,6 +157,11 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
 
 
 def inverse_batched(a: jax.Array, backend: str = "auto"):
+    if backend == "dd":
+        from . import dd as _dd
+
+        r = _dd.inverse_dd_batched(a)
+        return r.x_hi + r.x_lo
     be = _resolve(backend, "inverse", a.shape[-1])
     if be == "pallas":
         from . import pallas

@@ -227,3 +227,39 @@ class TestDDLstsq:
         ).max()
         assert dd_err < 1e-7
         assert dd_err < f32_err / 1e3
+
+
+class TestDDInverse:
+    def test_newton_refined_inverse(self):
+        from linalg_solver_tpu.ops.dd import inverse_dd_batched
+        from linalg_solver_tpu.ops.dispatch import inverse_batched
+
+        rng = np.random.RandomState(4)
+        B, n = 2, 64
+        U, _ = np.linalg.qr(rng.randn(B, n, n))
+        V, _ = np.linalg.qr(rng.randn(B, n, n))
+        s = np.logspace(0, -4, n)
+        A = ((U * s[None, None, :]) @ V.transpose(0, 2, 1)).astype(
+            np.float32
+        )
+        r = inverse_dd_batched(jnp.asarray(A))
+        assert bool(np.asarray(r.ok).all())
+        X = np.asarray(r.x_hi, np.float64) + np.asarray(r.x_lo, np.float64)
+        res = max(
+            np.abs(A[b].astype(np.float64) @ X[b] - np.eye(n)).max()
+            for b in range(B)
+        )
+        Xp = np.asarray(inverse_batched(jnp.asarray(A)), np.float64)
+        resp = max(
+            np.abs(A[b].astype(np.float64) @ Xp[b] - np.eye(n)).max()
+            for b in range(B)
+        )
+        assert res < 1e-9, res        # kappa=1e4
+        assert res < resp / 100
+
+    def test_singular_flagged(self):
+        from linalg_solver_tpu.ops.dd import inverse_dd_batched
+
+        A = np.zeros((1, 32, 32), np.float32)
+        r = inverse_dd_batched(jnp.asarray(A))
+        assert not bool(np.asarray(r.ok)[0])
