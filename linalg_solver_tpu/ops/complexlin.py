@@ -878,3 +878,23 @@ def roots_complex_batched(c_re: jax.Array, c_im: jax.Array):
     comp_im = -mi[:, None, :] * first
     eg = eig_complex_batched(comp_re, comp_im)
     return ComplexRootsResult(eg.real, eg.imag, ok & eg.ok)
+
+
+def solve_complex_dd_batched(
+    a_re: jax.Array, a_im: jax.Array,
+    b_re: jax.Array, b_im: jax.Array,
+):
+    """Complex solve to f64-CLASS backward error on f32 hardware: the
+    real embedding composed with the extended-precision dd solver
+    (`ops.dd.solve_dd_batched` — error-free Ozaki slice-GEMM residual
+    refinement).  Returns ``(x_re, x_im, resid, ok)`` with the real
+    parts carrying the collapsed dd solution (the embedding is exact,
+    so the complex backward error equals the real one)."""
+    from .dd import solve_dd_batched
+
+    n = a_re.shape[-1]
+    M = _embed(a_re, a_im)
+    rhs = jnp.concatenate([b_re, b_im], axis=1)
+    r = solve_dd_batched(M, rhs)
+    x = r.x_hi + r.x_lo
+    return x[:, :n], x[:, n:], r.resid, r.ok

@@ -344,3 +344,32 @@ class TestMixedPrecisionSolve:
         out = dispatch.solve_batched(A, b, backend="mixed")
         assert called["nb"] == 64 and out is b
         assert dispatch._resolve("auto", "solve", 64) != "mixed"
+
+
+class TestBlockedSolveStability:
+    """Regression: the block substitution's explicit diagonal-block
+    inverse-applications leave a kappa(U11)*eps residual term (measured
+    1.7e-2 absolute at kappa~1e3, 64x64, vs 2.6e-5 for the loop LU).
+    The XLA path now uses true triangular solves + one refinement
+    round; residuals must sit at the substitution-stable level."""
+
+    def test_moderate_kappa_backward_stable(self):
+        from linalg_solver_tpu.ops.lu_blocked import (
+            blocked_solve_batched,
+        )
+
+        rng = np.random.RandomState(5)
+        G = rng.randn(2, 64, 64).astype(np.float32)  # kappa ~ 1e3
+        b = rng.randn(2, 64).astype(np.float32)
+        for nb in (64, 32, 16):
+            x = np.asarray(
+                blocked_solve_batched(
+                    jnp.asarray(G), jnp.asarray(b)[:, :, None], nb=nb
+                ),
+                np.float64,
+            )[:, :, 0]
+            r = np.abs(
+                np.einsum("bij,bj->bi", G.astype(np.float64), x) - b
+            ).max()
+            scale = np.abs(G).max() * np.abs(x).max()
+            assert r < 64 * 1.2e-7 * scale * 4, (nb, r)
