@@ -723,6 +723,41 @@ def funm_hermitian_batched(a_re: jax.Array, a_im: jax.Array, f):
     return re, im, eh.ok
 
 
+def funm_complex_batched(a_re: jax.Array, a_im: jax.Array, f):
+    """Apply an arbitrary analytic scalar function to a GENERAL complex
+    matrix through its eigendecomposition ``f(A) = V f(Λ) V⁻¹`` (the
+    complex counterpart of ``ops.funm.funm_batched``).  ``f`` receives
+    a complex [B, n] eigenvalue array and returns complex.  Returns
+    ``(re, im, resid, ok)`` with ``resid`` the per-lane relative
+    reconstruction error of the diagonalization (grows with κ(V);
+    near-defective input should use the Padé/Newton specialisations).
+    Host-driven (the eigendecomposition's chunked driver)."""
+    r = eig_complex_batched(a_re, a_im)
+    f32 = jnp.result_type(a_re.dtype, jnp.float32)
+    lam = jax.lax.complex(r.real.astype(f32), r.imag.astype(f32))
+    fd = f(lam)
+    fr = jnp.real(fd).astype(f32)
+    fi = jnp.imag(fd).astype(f32)
+    vinv_re, vinv_im = inverse_complex_batched(r.v_re, r.v_im)
+    w_re = r.v_re * fr[:, None, :] - r.v_im * fi[:, None, :]
+    w_im = r.v_re * fi[:, None, :] + r.v_im * fr[:, None, :]
+    F_re, F_im = _cmatmul(w_re, w_im, vinv_re, vinv_im)
+    # Reconstruction diagnostic with the same V, V⁻¹ (f = identity).
+    z_re = r.v_re * r.real[:, None, :] - r.v_im * r.imag[:, None, :]
+    z_im = r.v_re * r.imag[:, None, :] + r.v_im * r.real[:, None, :]
+    A_re, A_im = _cmatmul(z_re, z_im, vinv_re, vinv_im)
+    anorm = jnp.maximum(
+        jnp.max(jnp.abs(a_re) + jnp.abs(a_im), axis=(1, 2)), 1e-30
+    )
+    resid = jnp.max(
+        jnp.abs(A_re - a_re) + jnp.abs(A_im - a_im), axis=(1, 2)
+    ) / anorm
+    n = a_re.shape[-1]
+    eps = float(jnp.finfo(f32).eps)
+    ok = r.ok & (resid <= 1e3 * n * eps)
+    return F_re, F_im, resid, ok
+
+
 def sylvester_complex_batched(
     a_re, a_im, b_re, b_im, c_re, c_im,
 ):

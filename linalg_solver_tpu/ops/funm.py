@@ -20,6 +20,12 @@ the dense production surface.  TPU-first shapes:
   ``log(I + E)`` in Gauss–Legendre partial-fraction form (7 batched
   solves), and scale back by ``2^s`` per lane.
 - ``powm_batched`` — general real power ``A^p = expm(p · logm A)``.
+- ``cosm/sinm/tanm`` — ONE 2n expm of the skew embedding
+  ``[[0, A], [−A, 0]]`` yields cos AND sin (Euler without complex
+  arithmetic); ``coshm/sinhm/tanhm`` from one stacked-batch expm.
+- ``funm_batched`` — arbitrary analytic ``f`` via the complex
+  eigendecomposition ``V f(Λ) V⁻¹`` with an honest per-lane
+  reconstruction residual (the κ(V) sensitivity made visible).
 - ``sqrtm_spd_batched`` / ``logm_spd_batched`` / ``powm_spd_batched``
   — cheaper spectral forms for symmetric positive (semi-)definite
   input through one ``eigh`` (exactly orthogonal basis, so
@@ -310,6 +316,160 @@ def powm_spd_batched(a: jax.Array, p: float) -> jax.Array:
     inverse square root p = −1/2 used for whitening)."""
     floor = 0.0 if p >= 0 else float(jnp.finfo(jnp.float32).tiny)
     return _spd_spectral(a, lambda w: jnp.power(w, p), floor)
+
+
+@jax.jit
+@f32_matmuls
+def cosm_sinm_batched(a: jax.Array):
+    """Matrix cosine AND sine of a batched [B, n, n] real matrix from
+    ONE matrix exponential: for the skew embedding
+    ``M = [[0, A], [−A, 0]]`` (which is ``A ⊗ [[0,1],[−1,0]]``, so the
+    blocks commute), ``expm(M) = [[cos A, sin A], [−sin A, cos A]]``
+    exactly — Euler's formula without any complex arithmetic.  One
+    2n×2n ``expm_batched`` call (8× the flops of one n expm) buys both
+    functions with expm's backward stability; no eigendecomposition,
+    no diagonalizability assumption.  Returns ``(cos A, sin A)``."""
+    B, n, _ = a.shape
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(dtype)
+    z = jnp.zeros_like(a)
+    top = jnp.concatenate([z, a], axis=2)
+    bot = jnp.concatenate([-a, z], axis=2)
+    E = expm_batched(jnp.concatenate([top, bot], axis=1))
+    return E[:, :n, :n], E[:, :n, n:]
+
+
+def cosm_batched(a: jax.Array) -> jax.Array:
+    """Matrix cosine (see :func:`cosm_sinm_batched`)."""
+    return cosm_sinm_batched(a)[0]
+
+
+def sinm_batched(a: jax.Array) -> jax.Array:
+    """Matrix sine (see :func:`cosm_sinm_batched`)."""
+    return cosm_sinm_batched(a)[1]
+
+
+@jax.jit
+@f32_matmuls
+def tanm_batched(a: jax.Array) -> jax.Array:
+    """Matrix tangent ``cos(A)⁻¹ sin(A)`` (undefined when cos A is
+    singular, i.e. A has an eigenvalue at an odd multiple of π/2 —
+    the solve then returns inf/nan, self-signaling)."""
+    c, s = cosm_sinm_batched(a)
+    return jnp.linalg.solve(c, s)
+
+
+@jax.jit
+@f32_matmuls
+def coshm_sinhm_batched(a: jax.Array):
+    """Matrix cosh AND sinh: ``(expm(A) ± expm(−A)) / 2``, with the two
+    exponentials computed in ONE batched ``expm`` call on the stacked
+    ``[2B]`` batch (same MXU utilisation, half the dispatches).
+    Returns ``(cosh A, sinh A)``."""
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(dtype)
+    E = expm_batched(jnp.concatenate([a, -a], axis=0))
+    B = a.shape[0]
+    ep, en = E[:B], E[B:]
+    return 0.5 * (ep + en), 0.5 * (ep - en)
+
+
+def coshm_batched(a: jax.Array) -> jax.Array:
+    """Matrix hyperbolic cosine (see :func:`coshm_sinhm_batched`)."""
+    return coshm_sinhm_batched(a)[0]
+
+
+def sinhm_batched(a: jax.Array) -> jax.Array:
+    """Matrix hyperbolic sine (see :func:`coshm_sinhm_batched`)."""
+    return coshm_sinhm_batched(a)[1]
+
+
+@jax.jit
+@f32_matmuls
+def tanhm_batched(a: jax.Array) -> jax.Array:
+    """Matrix hyperbolic tangent ``cosh(A)⁻¹ sinh(A)``."""
+    c, s = coshm_sinhm_batched(a)
+    return jnp.linalg.solve(c, s)
+
+
+class FunmResult(NamedTuple):
+    """General matrix function ``f(A) = V f(Λ) V⁻¹``.
+
+    ``F``        — the (real part of the) result; for real input and a
+                   conjugate-symmetric ``f`` (``f(conj z) = conj f(z)``,
+                   true of every real-analytic function) the exact
+                   result is real and ``imag_max`` is pure roundoff.
+    ``imag_max`` — per-lane max |Im f(A)| (diagnostic; large values
+                   mean a non-conjugate-symmetric ``f``).
+    ``resid``    — per-lane relative reconstruction error
+                   ``‖V Λ V⁻¹ − A‖_max / ‖A‖_max``: the honest quality
+                   measure of the diagonalization itself (it grows with
+                   κ(V), i.e. near-defective A — exactly when the
+                   eigenbasis method loses accuracy).
+    ``ok``       — converged & all columns valid & ``resid`` at the
+                   f32 floor."""
+
+    F: jax.Array         # [B, n, n]
+    imag_max: jax.Array  # [B]
+    resid: jax.Array     # [B]
+    ok: jax.Array        # [B]
+
+
+def funm_batched(a: jax.Array, f) -> FunmResult:
+    """Apply an arbitrary analytic scalar function to a batched GENERAL
+    real matrix through the complex eigendecomposition:
+    ``A = V Λ V⁻¹  ⇒  f(A) = V f(Λ) V⁻¹`` (non-normal counterpart of
+    the reference's eigenvalue pipeline, `linalg.py:833-863`, applied
+    to scalar functions instead of diagonalization reports).
+
+    ``f`` receives a COMPLEX [B, n] eigenvalue array (elementwise jnp
+    complex math is fine on TPU — only matmuls need the real kernels)
+    and must be analytic on the spectrum.  Eigenbasis methods are only
+    as good as κ(V): ``resid`` reports the lane-wise reconstruction
+    error, and near-defective input should use the specialised routines
+    (``expm/sqrtm/logm/powm_batched`` — Padé/Newton, no eigenbasis).
+
+    Not jittable as-is (the eigensolver's host-chunked driver); wrap
+    shapes you care about, or call inside your own pipeline stage.
+    """
+    from .complexlin import _cmatmul, inverse_complex_batched
+    from .schur import eig_batched
+
+    dtype = jnp.result_type(a.dtype, jnp.float32)
+    a = a.astype(dtype)
+    r = eig_batched(a)
+    lam = jax.lax.complex(r.real, r.imag)
+    fd = f(lam)
+    fr = jnp.real(fd).astype(dtype)
+    fi = jnp.imag(fd).astype(dtype)
+
+    vinv_re, vinv_im = inverse_complex_batched(
+        r.vectors_real, r.vectors_imag
+    )
+    # W = V·diag(f(λ)) — column scaling in complex arithmetic.
+    w_re = r.vectors_real * fr[:, None, :] - r.vectors_imag * fi[:, None, :]
+    w_im = r.vectors_real * fi[:, None, :] + r.vectors_imag * fr[:, None, :]
+    F_re, F_im = _cmatmul(w_re, w_im, vinv_re, vinv_im)
+
+    # Reconstruction diagnostic with the SAME V, V⁻¹: f = identity.
+    z_re = r.vectors_real * r.real[:, None, :] \
+        - r.vectors_imag * r.imag[:, None, :]
+    z_im = r.vectors_real * r.imag[:, None, :] \
+        + r.vectors_imag * r.real[:, None, :]
+    A_re, A_im = _cmatmul(z_re, z_im, vinv_re, vinv_im)
+    anorm = jnp.maximum(jnp.max(jnp.abs(a), axis=(1, 2)), 1e-30)
+    resid = jnp.max(
+        jnp.abs(A_re - a) + jnp.abs(A_im), axis=(1, 2)
+    ) / anorm
+    imag_max = jnp.max(jnp.abs(F_im), axis=(1, 2))
+    n = a.shape[-1]
+    eps = float(jnp.finfo(dtype).eps)
+    ok = (
+        r.converged
+        & jnp.all(r.valid, axis=1)
+        & (resid <= 1e3 * n * eps)
+    )
+    return FunmResult(F_re, imag_max, resid, ok)
 
 
 class ExpmvResult(NamedTuple):

@@ -302,3 +302,176 @@ class TestExpmMultiply:
                                     max_segments=2)
         assert not bool(np.asarray(res.ok).all())
         assert np.isfinite(np.asarray(res.x)).all()
+
+
+class TestTrig:
+    """cosm/sinm/tanm + hyperbolic family vs scipy f64."""
+
+    def _batch(self, B=4, n=12, seed=3, scale=1.0):
+        rng = np.random.RandomState(seed)
+        return (scale * rng.randn(B, n, n) / np.sqrt(n)).astype(
+            np.float32
+        )
+
+    def test_cosm_sinm_match_scipy(self):
+        from scipy.linalg import cosm, sinm
+
+        from linalg_solver_tpu.ops.funm import cosm_sinm_batched
+
+        A = self._batch()
+        c, s = cosm_sinm_batched(jnp.asarray(A))
+        for b in range(A.shape[0]):
+            np.testing.assert_allclose(
+                np.asarray(c[b]), cosm(A[b].astype(np.float64)),
+                atol=5e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(s[b]), sinm(A[b].astype(np.float64)),
+                atol=5e-6,
+            )
+
+    def test_pythagorean_identity(self):
+        from linalg_solver_tpu.ops.funm import cosm_sinm_batched
+
+        A = self._batch(seed=11, scale=2.0)
+        c, s = cosm_sinm_batched(jnp.asarray(A))
+        c, s = np.asarray(c, np.float64), np.asarray(s, np.float64)
+        eye = np.eye(A.shape[-1])
+        for b in range(A.shape[0]):
+            np.testing.assert_allclose(
+                c[b] @ c[b] + s[b] @ s[b], eye, atol=5e-5
+            )
+
+    def test_tanm(self):
+        from scipy.linalg import tanm
+
+        from linalg_solver_tpu.ops.funm import tanm_batched
+
+        A = self._batch(seed=5, scale=0.7)
+        t = tanm_batched(jnp.asarray(A))
+        for b in range(A.shape[0]):
+            np.testing.assert_allclose(
+                np.asarray(t[b]), tanm(A[b].astype(np.float64)),
+                atol=1e-5,
+            )
+
+    def test_hyperbolic(self):
+        from scipy.linalg import coshm, sinhm, tanhm
+
+        from linalg_solver_tpu.ops.funm import (
+            coshm_sinhm_batched,
+            tanhm_batched,
+        )
+
+        A = self._batch(seed=7)
+        c, s = coshm_sinhm_batched(jnp.asarray(A))
+        t = tanhm_batched(jnp.asarray(A))
+        for b in range(A.shape[0]):
+            A64 = A[b].astype(np.float64)
+            np.testing.assert_allclose(
+                np.asarray(c[b]), coshm(A64), atol=5e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(s[b]), sinhm(A64), atol=5e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(t[b]), tanhm(A64), atol=1e-5
+            )
+
+    def test_hyperbolic_identity(self):
+        from linalg_solver_tpu.ops.funm import coshm_sinhm_batched
+
+        A = self._batch(seed=13, scale=1.5)
+        c, s = coshm_sinhm_batched(jnp.asarray(A))
+        c, s = np.asarray(c, np.float64), np.asarray(s, np.float64)
+        eye = np.eye(A.shape[-1])
+        for b in range(A.shape[0]):
+            np.testing.assert_allclose(
+                c[b] @ c[b] - s[b] @ s[b], eye, atol=5e-5
+            )
+
+
+class TestFunmGeneral:
+    """funm_batched (eigenbasis method) vs the specialised routines
+    and scipy.funm."""
+
+    def _batch(self, B=4, n=10, seed=2):
+        # Separated spectra: gaussian + distinct diagonal shifts keep
+        # kappa(V) modest so the eigenbasis method is in-domain.
+        rng = np.random.RandomState(seed)
+        A = rng.randn(B, n, n).astype(np.float32) / np.sqrt(n)
+        A += np.diag(np.linspace(1.0, 4.0, n)).astype(np.float32)
+        return A
+
+    def test_exp_matches_expm(self):
+        from linalg_solver_tpu.ops.funm import expm_batched, funm_batched
+
+        A = self._batch()
+        r = funm_batched(jnp.asarray(A), jnp.exp)
+        assert bool(np.asarray(r.ok).all()), np.asarray(r.resid)
+        want = np.asarray(expm_batched(jnp.asarray(A)), np.float64)
+        np.testing.assert_allclose(
+            np.asarray(r.F, np.float64), want, atol=2e-4
+        )
+        assert float(np.asarray(r.imag_max).max()) < 1e-4
+
+    def test_matches_scipy_funm(self):
+        from scipy.linalg import funm
+
+        from linalg_solver_tpu.ops.funm import funm_batched
+
+        A = self._batch(seed=9)
+        f = lambda z: z * jnp.exp(-z) + jnp.cos(z)
+        fn = lambda z: z * np.exp(-z) + np.cos(z)
+        r = funm_batched(jnp.asarray(A), f)
+        assert bool(np.asarray(r.ok).all())
+        for b in range(A.shape[0]):
+            want = funm(A[b].astype(np.float64), fn)
+            np.testing.assert_allclose(
+                np.asarray(r.F[b], np.float64), want.real, atol=5e-4
+            )
+
+    def test_complex_pair_spectrum(self):
+        # Rotation-heavy matrix: complex conjugate eigenvalues exercise
+        # the complex arithmetic path; result must still be real.
+        from scipy.linalg import funm
+
+        from linalg_solver_tpu.ops.funm import funm_batched
+
+        rng = np.random.RandomState(21)
+        B, n = 3, 8
+        A = (rng.randn(B, n, n) - rng.randn(B, n, n).transpose(0, 2, 1)
+             + 3.0 * np.eye(n)).astype(np.float32)
+        r = funm_batched(jnp.asarray(A), lambda z: 1.0 / z)
+        assert bool(np.asarray(r.ok).all())
+        for b in range(A.shape[0]):
+            want = np.linalg.inv(A[b].astype(np.float64))
+            np.testing.assert_allclose(
+                np.asarray(r.F[b], np.float64), want, atol=5e-5
+            )
+        assert float(np.asarray(r.imag_max).max()) < 1e-4
+
+
+class TestFunmComplex:
+    def test_general_complex_funm(self):
+        from scipy.linalg import funm
+
+        from linalg_solver_tpu.ops.complexlin import funm_complex_batched
+
+        rng = np.random.RandomState(4)
+        B, n = 3, 8
+        Ar = (rng.randn(B, n, n) / np.sqrt(n)
+              + np.diag(np.linspace(1, 3, n))).astype(np.float32)
+        Ai = (rng.randn(B, n, n) / np.sqrt(n)).astype(np.float32)
+        fr, fi, resid, ok = funm_complex_batched(
+            jnp.asarray(Ar), jnp.asarray(Ai), jnp.exp
+        )
+        assert bool(np.asarray(ok).all()), np.asarray(resid)
+        for b in range(B):
+            want = funm(
+                Ar[b].astype(np.float64) + 1j * Ai[b].astype(np.float64),
+                np.exp,
+            )
+            got = (np.asarray(fr[b], np.float64)
+                   + 1j * np.asarray(fi[b], np.float64))
+            assert np.abs(got - want).max() < 5e-4
