@@ -475,3 +475,110 @@ class TestFunmComplex:
             got = (np.asarray(fr[b], np.float64)
                    + 1j * np.asarray(fi[b], np.float64))
             assert np.abs(got - want).max() < 5e-4
+
+
+class TestExpmFrechet:
+    def test_matches_scipy_expm_frechet(self):
+        from scipy.linalg import expm_frechet
+
+        from linalg_solver_tpu.ops.funm import expm_frechet_batched
+
+        rng = np.random.RandomState(7)
+        B, n = 4, 12
+        A = (rng.randn(B, n, n) / np.sqrt(n)).astype(np.float32)
+        E = rng.randn(B, n, n).astype(np.float32)
+        r = expm_frechet_batched(jnp.asarray(A), jnp.asarray(E))
+        for b in range(B):
+            eA, L = expm_frechet(
+                A[b].astype(np.float64), E[b].astype(np.float64)
+            )
+            scale = max(np.abs(L).max(), 1.0)
+            np.testing.assert_allclose(
+                np.asarray(r.expm[b], np.float64), eA, atol=2e-5
+            )
+            assert (
+                np.abs(np.asarray(r.L[b], np.float64) - L).max() / scale
+                < 2e-5
+            )
+
+    def test_linearity_and_scale_invariance(self):
+        # L(A, cE) = c L(A, E), including very large/small c — the
+        # internal E-normalization must make the answer c-independent.
+        from linalg_solver_tpu.ops.funm import expm_frechet_batched
+
+        rng = np.random.RandomState(11)
+        B, n = 2, 8
+        A = (rng.randn(B, n, n) / np.sqrt(n)).astype(np.float32)
+        E = rng.randn(B, n, n).astype(np.float32)
+        base = np.asarray(
+            expm_frechet_batched(jnp.asarray(A), jnp.asarray(E)).L,
+            np.float64,
+        )
+        for c in (1e6, 1e-6, -3.0):
+            got = np.asarray(
+                expm_frechet_batched(jnp.asarray(A), jnp.asarray(c * E)).L,
+                np.float64,
+            )
+            np.testing.assert_allclose(
+                got, c * base, rtol=2e-5, atol=2e-5 * abs(c)
+            )
+
+    def test_zero_direction(self):
+        from linalg_solver_tpu.ops.funm import expm_frechet_batched
+
+        rng = np.random.RandomState(3)
+        A = rng.randn(2, 6, 6).astype(np.float32)
+        E = np.zeros_like(A)
+        r = expm_frechet_batched(jnp.asarray(A), jnp.asarray(E))
+        assert float(np.abs(np.asarray(r.L)).max()) == 0.0
+
+    def test_commuting_direction_identity(self):
+        # E = A commutes with A: L(A, A) = A expm(A) exactly.
+        from linalg_solver_tpu.ops.funm import expm_frechet_batched
+
+        rng = np.random.RandomState(5)
+        B, n = 3, 10
+        A = (rng.randn(B, n, n) / np.sqrt(n)).astype(np.float32)
+        r = expm_frechet_batched(jnp.asarray(A), jnp.asarray(A))
+        for b in range(B):
+            A64 = A[b].astype(np.float64)
+            import scipy.linalg
+
+            want = A64 @ scipy.linalg.expm(A64)
+            np.testing.assert_allclose(
+                np.asarray(r.L[b], np.float64), want, atol=5e-5
+            )
+
+
+class TestExpmCond:
+    def test_matches_scipy_expm_cond(self):
+        from scipy.linalg import expm_cond
+
+        from linalg_solver_tpu.ops.funm import expm_cond_batched
+
+        rng = np.random.RandomState(13)
+        B, n = 4, 10
+        A = (rng.randn(B, n, n) / np.sqrt(n)).astype(np.float32)
+        # One deliberately worse-conditioned lane (large non-normality).
+        A[1] += 4.0 * np.triu(np.ones((n, n), np.float32), 1) / n
+        kappa, _ = expm_cond_batched(jnp.asarray(A), iters=12)
+        kappa = np.asarray(kappa, np.float64)
+        for b in range(B):
+            want = expm_cond(A[b].astype(np.float64))
+            # Power iteration estimates from below; condition numbers
+            # are order-of-magnitude quantities.
+            assert kappa[b] <= want * 1.05, (b, kappa[b], want)
+            assert kappa[b] >= 0.5 * want, (b, kappa[b], want)
+
+    def test_normal_matrix_floor(self):
+        # For normal A, kappa_exp >= ~1 (equality for A = 0); a
+        # symmetric matrix must report a small, >= 1-ish value.
+        from linalg_solver_tpu.ops.funm import expm_cond_batched
+
+        rng = np.random.RandomState(17)
+        n = 8
+        G = rng.randn(2, n, n).astype(np.float32)
+        A = (G + G.transpose(0, 2, 1)) / 2
+        kappa, _ = expm_cond_batched(jnp.asarray(A), iters=10)
+        kappa = np.asarray(kappa)
+        assert (kappa > 0.8).all() and (kappa < 50).all()
