@@ -110,10 +110,13 @@ from .riccati import (
     dare_batched,
 )
 from .funm import (
+    ExpmFrechetResult,
     ExpmvResult,
     LogmResult,
     SqrtmResult,
     expm_batched,
+    expm_cond_batched,
+    expm_frechet_batched,
     expm_multiply_batched,
     expm_multiply_matvec,
     logm_batched,
@@ -233,6 +236,15 @@ from .sign import (
     sign_batched,
     spectral_projector_batched,
 )
+from .ordschur import (
+    ComplexSchur,
+    InvariantSubspace,
+    OrderedSchur,
+    invariant_subspace_batched,
+    rsf2csf_batched,
+    schur_reorder_batched,
+    schur_sort_batched,
+)
 
 __all__ = [
     "SchurResult", "SchurEigvals", "SchurVectors", "EigResult",
@@ -251,6 +263,7 @@ __all__ = [
     "SteinResult", "stein_batched", "CAREResult", "care_batched",
     "DAREResult", "dare_batched",
     "expm_batched", "ExpmvResult", "expm_multiply_batched",
+    "ExpmFrechetResult", "expm_frechet_batched", "expm_cond_batched",
     "expm_multiply_matvec", "sqrtm_spd_batched", "logm_spd_batched",
     "powm_spd_batched",
     "SqrtmResult", "sqrtm_batched", "LogmResult", "logm_batched",
@@ -291,6 +304,9 @@ __all__ = [
     "vandermonde_solve_batched", "vandermonde_solve_t_batched",
     "SignResult", "sign_batched", "eig_count_left_batched",
     "spectral_projector_batched",
+    "ComplexSchur", "rsf2csf_batched",
+    "OrderedSchur", "schur_reorder_batched", "schur_sort_batched",
+    "InvariantSubspace", "invariant_subspace_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",
