@@ -85,8 +85,33 @@ def solve(a, b):
     return unf(x)
 
 
+@jax.custom_vjp
 def _solve_matrix_rhs(af, bf):
-    # One factorization, k solves.
+    # One factorization, k solves.  Custom VJP (one transposed-system
+    # matrix solve): the blocked/vmapped-LU bodies below hold fori_loop
+    # state XLA would otherwise have to checkpoint per iteration.
+    return _solve_matrix_rhs_impl(af, bf)
+
+
+def _solve_matrix_rhs_fwd(af, bf):
+    x = _solve_matrix_rhs_impl(af, bf)
+    return x, (af, x)
+
+
+def _solve_matrix_rhs_bwd(res, g):
+    af, x = res
+    at = jnp.swapaxes(af, -1, -2)
+    gy = _solve_matrix_rhs_impl(at, g)
+    abar = -jnp.einsum(
+        "...ik,...jk->...ij", gy, x, precision=jax.lax.Precision.HIGHEST
+    )
+    return abar.astype(af.dtype), gy.astype(x.dtype)
+
+
+_solve_matrix_rhs.defvjp(_solve_matrix_rhs_fwd, _solve_matrix_rhs_bwd)
+
+
+def _solve_matrix_rhs_impl(af, bf):
     k = bf.shape[-1]
     if k == 1:
         return _dispatch.solve_batched(af, bf[..., 0])[..., None]
@@ -137,11 +162,38 @@ def slogdet(a):
             jnp.real(af), jnp.imag(af)
         )
         return unf(sr + 1j * si), unf(la)
+    sign, logabs = _slogdet_core(af)
+    return unf(sign), unf(logabs)
+
+
+@jax.custom_vjp
+def _slogdet_core(af):
+    return _slogdet_impl(af)
+
+
+def _slogdet_impl(af):
+    from .ops import lu as _lu
+
     res = _lu.lu_factor_batched(af)
     d = jnp.diagonal(res.lu, axis1=-2, axis2=-1)
     sign = jnp.prod(jnp.sign(d), axis=-1) * res.sign
     logabs = jnp.sum(jnp.log(jnp.abs(d)), axis=-1)
-    return unf(sign), unf(logabs)
+    return sign, logabs
+
+
+def _slogdet_fwd(af):
+    out = _slogdet_impl(af)
+    return out, af
+
+
+def _slogdet_bwd(af, g):
+    # d log|det A| = tr(A⁻¹ dA); sign is locally constant.
+    _, g_logabs = g
+    inv_t = jnp.swapaxes(_dispatch.inverse_batched(af), -1, -2)
+    return (g_logabs[..., None, None] * inv_t,)
+
+
+_slogdet_core.defvjp(_slogdet_fwd, _slogdet_bwd)
 
 
 def matrix_rank(a, tol=None):

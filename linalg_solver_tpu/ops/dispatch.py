@@ -19,6 +19,7 @@ Backends:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -103,6 +104,47 @@ def lu_factor_batched(a: jax.Array, backend: str = "auto"):
 
 
 def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
+    """Batched linear solve ``A x = b`` (vector or matrix RHS on the
+    ``xla`` branch; vector RHS elsewhere).
+
+    DIFFERENTIABLE: carries a custom VJP reusing the solve itself —
+    ``ȳ = A⁻ᵀ x̄`` (one extra solve of the transposed system through
+    the SAME backend), ``Ā = −ȳ xᵀ``, ``b̄ = ȳ`` — so reverse-mode AD
+    never unrolls the factorization loops (the Pallas/blocked/mixed/dd
+    paths contain ``fori_loop``/``while_loop`` bodies that XLA cannot
+    reverse-differentiate, and gradients of a refined solve are the
+    gradients of the exact solve to first order)."""
+    return _solve_vjp(a, b, backend)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _solve_vjp(a, b, backend):
+    return _solve_impl(a, b, backend)
+
+
+def _solve_fwd(a, b, backend):
+    x = _solve_impl(a, b, backend)
+    return x, (a, x)
+
+
+def _solve_bwd(backend, res, g):
+    a, x = res
+    at = jnp.swapaxes(a, -1, -2)
+    gy = _solve_impl(at, g, backend)
+    if x.ndim == a.ndim:     # matrix RHS
+        abar = -jnp.einsum(
+            "...ik,...jk->...ij", gy, x,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:                    # vector RHS
+        abar = -gy[..., :, None] * x[..., None, :]
+    return abar.astype(a.dtype), gy.astype(x.dtype)
+
+
+_solve_vjp.defvjp(_solve_fwd, _solve_bwd)
+
+
+def _solve_impl(a: jax.Array, b: jax.Array, backend: str = "auto"):
     if backend == "dd":
         # f64-class backward error from bf16/f32 arithmetic (Ozaki
         # slice-GEMM dd refinement) — measured 2.3e-14 residual at the
@@ -157,6 +199,34 @@ def solve_batched(a: jax.Array, b: jax.Array, backend: str = "auto"):
 
 
 def inverse_batched(a: jax.Array, backend: str = "auto"):
+    """Batched inverse.  DIFFERENTIABLE: custom VJP
+    ``Ā = −Xᵀ Ḡ Xᵀ`` (two GEMMs on the saved inverse — no extra
+    factorization, no loop unrolling)."""
+    return _inverse_vjp(a, backend)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _inverse_vjp(a, backend):
+    return _inverse_impl(a, backend)
+
+
+def _inverse_fwd(a, backend):
+    x = _inverse_impl(a, backend)
+    return x, x
+
+
+def _inverse_bwd(backend, x, g):
+    hp = jax.lax.Precision.HIGHEST
+    xt = jnp.swapaxes(x, -1, -2)
+    abar = -jnp.einsum("...ij,...jk,...kl->...il", xt, g, xt,
+                       precision=hp)
+    return (abar.astype(x.dtype),)
+
+
+_inverse_vjp.defvjp(_inverse_fwd, _inverse_bwd)
+
+
+def _inverse_impl(a: jax.Array, backend: str = "auto"):
     if backend == "dd":
         from . import dd as _dd
 
@@ -237,6 +307,34 @@ def rank_batched(a: jax.Array, backend: str = "auto", tol=None):
 
 
 def det_batched(a: jax.Array, backend: str = "auto"):
+    """Batched determinant.  DIFFERENTIABLE: custom VJP
+    ``Ā = ḡ · det(A) · A⁻ᵀ`` (Jacobi's formula; one inverse in the
+    backward pass).  Like ``jnp.linalg.det``, the gradient is only
+    defined at nonsingular inputs (the adjugate is not recovered from
+    a singular inverse)."""
+    return _det_vjp(a, backend)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _det_vjp(a, backend):
+    return _det_impl(a, backend)
+
+
+def _det_fwd(a, backend):
+    d = _det_impl(a, backend)
+    return d, (a, d)
+
+
+def _det_bwd(backend, res, g):
+    a, d = res
+    inv_t = jnp.swapaxes(_inverse_impl(a, backend), -1, -2)
+    return ((g * d)[..., None, None] * inv_t,)
+
+
+_det_vjp.defvjp(_det_fwd, _det_bwd)
+
+
+def _det_impl(a: jax.Array, backend: str = "auto"):
     be = _resolve(backend, "det", a.shape[-1])
     if be == "pallas":
         from . import pallas

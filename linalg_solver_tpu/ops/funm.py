@@ -77,7 +77,36 @@ def _mm(x, y):
 @jax.jit
 @f32_matmuls
 def expm_batched(a: jax.Array) -> jax.Array:
-    """Matrix exponential of a batched [B, n, n] real matrix."""
+    """Matrix exponential of a batched [B, n, n] real matrix.
+
+    DIFFERENTIABLE: carries a custom VJP through the Fréchet
+    derivative — the adjoint of ``E ↦ L(A, E)`` under the Frobenius
+    pairing is ``G ↦ L(Aᵀ, G)`` (Higham 2008, Thm. 10.17 real case),
+    computed by :func:`expm_frechet_batched` as one 2n×2n block
+    exponential.  The primal's per-lane squaring ``while_loop`` is
+    never reverse-differentiated."""
+    return _expm_core(a)
+
+
+@jax.custom_vjp
+def _expm_core(a: jax.Array) -> jax.Array:
+    return _expm_impl(a)
+
+
+def _expm_fwd(a):
+    return _expm_impl(a), a
+
+
+def _expm_bwd(a, g):
+    at = jnp.swapaxes(a, 1, 2)
+    return (expm_frechet_batched(at, g).L.astype(a.dtype),)
+
+
+_expm_core.defvjp(_expm_fwd, _expm_bwd)
+
+
+@f32_matmuls
+def _expm_impl(a: jax.Array) -> jax.Array:
     B, n, _ = a.shape
     dtype = jnp.result_type(a.dtype, jnp.float32)
     a = a.astype(dtype)
