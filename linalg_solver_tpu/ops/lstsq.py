@@ -92,6 +92,14 @@ def lstsq_batched(
 
     Square full-rank input degenerates to an ordinary solve (prefer
     ``dispatch.solve_batched`` — LU is cheaper).
+
+    DIFFERENTIABLE: ``x`` carries a custom VJP with the exact
+    full-rank adjoints (Golub–Pereyra), reusing the saved triangular
+    Gram factor — least-squares: ``z = (AᵀA)⁻¹x̄``, ``b̄ = A z``,
+    ``Ā = r zᵀ − (A z) xᵀ`` with ``r = b − A x``; minimum-norm:
+    ``u = (AAᵀ)⁻¹A x̄``, ``b̄ = u``, ``Ā = w (x̄ − Aᵀu)ᵀ − u xᵀ`` with
+    ``w = (AAᵀ)⁻¹ b``.  ``resid``/``ok`` are plain compositions of
+    ``x`` and differentiate through it.
     """
     B, m, n = a.shape
     vector_input = b.ndim == 2
@@ -100,6 +108,62 @@ def lstsq_batched(
     a = a.astype(f32)
     b3 = b3.astype(f32)
 
+    x = _lstsq_x(a, b3, ir_steps)
+    final = b3 - jnp.einsum("bij,bjk->bik", a, x, precision=_HIGH)
+    resid = jnp.sqrt(jnp.sum(final * final, axis=1))   # [B, k]
+    ok = jnp.all(jnp.isfinite(x), axis=(1, 2))
+    if vector_input:
+        return LstsqResult(x[:, :, 0], resid[:, 0], ok)
+    return LstsqResult(x, resid, ok)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _lstsq_x(a, b3, ir_steps):
+    x, _ = _lstsq_x_impl(a, b3, ir_steps)
+    return x
+
+
+def _lstsq_x_fwd(a, b3, ir_steps):
+    x, R = _lstsq_x_impl(a, b3, ir_steps)
+    return x, (a, b3, x, R)
+
+
+def _gram_solve(R, rhs):
+    """(RᵀR)⁻¹ rhs from the saved upper-triangular Gram factor."""
+    y = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(R, 1, 2), rhs, lower=True
+    )
+    return jax.scipy.linalg.solve_triangular(R, y, lower=False)
+
+
+def _lstsq_x_bwd(ir_steps, res, g):
+    a, b3, x, R = res
+    m, n = a.shape[-2], a.shape[-1]
+    if m >= n:
+        z = _gram_solve(R, g)                          # (AᵀA)⁻¹ x̄
+        az = jnp.einsum("bij,bjk->bik", a, z, precision=_HIGH)
+        r = b3 - jnp.einsum("bij,bjk->bik", a, x, precision=_HIGH)
+        abar = (
+            jnp.einsum("bik,bjk->bij", r, z, precision=_HIGH)
+            - jnp.einsum("bik,bjk->bij", az, x, precision=_HIGH)
+        )
+        return abar.astype(a.dtype), az.astype(b3.dtype)
+    ag = jnp.einsum("bij,bjk->bik", a, g, precision=_HIGH)   # A x̄
+    u = _gram_solve(R, ag)                                   # (AAᵀ)⁻¹A x̄
+    w = _gram_solve(R, b3)                                   # (AAᵀ)⁻¹ b
+    atu = jnp.einsum("bji,bjk->bik", a, u, precision=_HIGH)  # Aᵀ u
+    abar = (
+        jnp.einsum("bik,bjk->bij", w, g - atu, precision=_HIGH)
+        - jnp.einsum("bik,bjk->bij", u, x, precision=_HIGH)
+    )
+    return abar.astype(a.dtype), u.astype(b3.dtype)
+
+
+_lstsq_x.defvjp(_lstsq_x_fwd, _lstsq_x_bwd)
+
+
+def _lstsq_x_impl(a, b3, ir_steps):
+    B, m, n = a.shape
     if m >= n:
         Q, R, ok = _chol_qr2_tall(a)
 
@@ -129,11 +193,7 @@ def lstsq_batched(
             r = b3 - jnp.einsum("bij,bjk->bik", a, x, precision=_HIGH)
             x = x + solve_mn(r)
 
-    final = b3 - jnp.einsum("bij,bjk->bik", a, x, precision=_HIGH)
-    resid = jnp.sqrt(jnp.sum(final * final, axis=1))   # [B, k]
-    if vector_input:
-        return LstsqResult(x[:, :, 0], resid[:, 0], ok)
-    return LstsqResult(x, resid, ok)
+    return x, R
 
 
 class QRResult(NamedTuple):

@@ -232,3 +232,99 @@ class TestLinalgNamespaceGrad:
         np.testing.assert_allclose(
             np.asarray(gd, np.float64), want, rtol=1e-3, atol=1e-6
         )
+
+
+class TestLstsqVJP:
+    def test_overdetermined_grad(self):
+        from linalg_solver_tpu.ops.lstsq import lstsq_batched
+
+        rng = np.random.RandomState(9)
+        B, m, n = 2, 20, 6
+        A = rng.randn(B, m, n).astype(np.float32)
+        b = rng.randn(B, m).astype(np.float32)
+        G = rng.randn(B, n).astype(np.float32)
+
+        def f(a_, b_):
+            return jnp.sum(jnp.asarray(G) * lstsq_batched(a_, b_).x)
+
+        ga, gb = jax.grad(f, argnums=(0, 1))(
+            jnp.asarray(A), jnp.asarray(b)
+        )
+        for i in range(B):
+            A64 = A[i].astype(np.float64)
+            b64 = b[i].astype(np.float64)
+            g64 = G[i].astype(np.float64)
+            x = np.linalg.lstsq(A64, b64, rcond=None)[0]
+            z = np.linalg.solve(A64.T @ A64, g64)
+            r = b64 - A64 @ x
+            want_a = np.outer(r, z) - np.outer(A64 @ z, x)
+            np.testing.assert_allclose(
+                np.asarray(ga[i], np.float64), want_a, rtol=2e-3,
+                atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(gb[i], np.float64), A64 @ z, rtol=2e-3,
+                atol=1e-4,
+            )
+
+    def test_underdetermined_grad(self):
+        from linalg_solver_tpu.ops.lstsq import lstsq_batched
+
+        rng = np.random.RandomState(10)
+        B, m, n = 2, 6, 20
+        A = rng.randn(B, m, n).astype(np.float32)
+        b = rng.randn(B, m).astype(np.float32)
+        G = rng.randn(B, n).astype(np.float32)
+
+        def f(a_, b_):
+            return jnp.sum(jnp.asarray(G) * lstsq_batched(a_, b_).x)
+
+        ga, gb = jax.grad(f, argnums=(0, 1))(
+            jnp.asarray(A), jnp.asarray(b)
+        )
+        for i in range(B):
+            A64 = A[i].astype(np.float64)
+            b64 = b[i].astype(np.float64)
+            g64 = G[i].astype(np.float64)
+            Gm = A64 @ A64.T
+            w = np.linalg.solve(Gm, b64)
+            x = A64.T @ w
+            u = np.linalg.solve(Gm, A64 @ g64)
+            want_a = np.outer(w, g64 - A64.T @ u) - np.outer(u, x)
+            np.testing.assert_allclose(
+                np.asarray(ga[i], np.float64), want_a, rtol=2e-3,
+                atol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(gb[i], np.float64), u, rtol=2e-3, atol=1e-4
+            )
+
+    def test_resid_differentiates_through_x(self):
+        # resid is a plain composition of x — grad of the squared
+        # residual wrt A must match 2·r·(∂r/∂A) computed in f64.
+        from linalg_solver_tpu.ops.lstsq import lstsq_batched
+
+        rng = np.random.RandomState(11)
+        B, m, n = 1, 12, 4
+        A = rng.randn(B, m, n).astype(np.float32)
+        b = rng.randn(B, m).astype(np.float32)
+
+        def f(a_):
+            return jnp.sum(lstsq_batched(a_, jnp.asarray(b)).resid ** 2)
+
+        ga = np.asarray(jax.grad(f)(jnp.asarray(A)), np.float64)[0]
+        # f64 directional finite difference
+        d = rng.randn(m, n)
+        d /= np.abs(d).max()
+        eps = 1e-6
+
+        def f64(A_):
+            x = np.linalg.lstsq(A_, b[0].astype(np.float64),
+                                rcond=None)[0]
+            r = b[0].astype(np.float64) - A_ @ x
+            return float(r @ r)
+
+        A64 = A[0].astype(np.float64)
+        fd = (f64(A64 + eps * d) - f64(A64 - eps * d)) / (2 * eps)
+        got = float((ga * d).sum())
+        assert abs(got - fd) < 5e-3 * max(1.0, abs(fd)), (got, fd)
