@@ -237,11 +237,13 @@ from .sign import (
     spectral_projector_batched,
 )
 from .ordschur import (
+    ClusterCondition,
     ComplexSchur,
     InvariantSubspace,
     OrderedSchur,
     invariant_subspace_batched,
     rsf2csf_batched,
+    schur_cluster_cond_batched,
     schur_reorder_batched,
     schur_sort_batched,
 )
@@ -307,6 +309,7 @@ __all__ = [
     "ComplexSchur", "rsf2csf_batched",
     "OrderedSchur", "schur_reorder_batched", "schur_sort_batched",
     "InvariantSubspace", "invariant_subspace_batched",
+    "ClusterCondition", "schur_cluster_cond_batched",
     "BlockedRREF", "rref_blocked", "solve_affine_blocked_batched",
     "rank_blocked_batched",
     "RREFResult", "rref", "rref_batched",

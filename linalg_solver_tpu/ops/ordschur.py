@@ -499,3 +499,260 @@ def _invariant_subspace_from_schur(a, sv, select_fn, tol):
         V, m, jnp.diagonal(t_re, axis1=1, axis2=2),
         jnp.diagonal(t_im, axis1=1, axis2=2), resid, ok, sv.converged,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster condition numbers (dtrsen's s and sep)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("adjoint",))
+@f32_matmuls
+def _trsyl_masked(t_re, t_im, m, c_re, c_im, adjoint: bool = False):
+    """Solve the triangular Sylvester equation in GLOBAL coordinates of
+    one reordered complex Schur form ``T``: with ``T11 = T[:m, :m]``,
+    ``T22 = T[m:, m:]`` (``m`` per lane, masked — no dynamic shapes),
+
+        T11 X − X T22 = C          (adjoint=False)
+        T11ᴴ X − X T22ᴴ = C        (adjoint=True)
+
+    for ``X`` supported on rows ``< m`` × columns ``≥ m`` (``C`` is read
+    only there).  This is the ztrsyl kernel both dtrsen quantities need.
+
+    Structure: ``X[i, j]`` depends on rows below (T11 back-substitution)
+    and columns left (T22 coupling) — a row scan with an inner column
+    scan (n² sequential steps of O(n) vector work, O(n³) total; the
+    heavy per-row sum is one masked GEMV).  The adjoint case mirrors
+    both directions (T11ᴴ is lower triangular) and conjugates.
+    Near-singular denominators (eigenvalue shared between the clusters)
+    are floored at ``eps·‖T‖`` LAPACK-style and flagged.
+    """
+    B, n, _ = t_re.shape
+    dtype = t_re.dtype
+    idx = jnp.arange(n)
+    sel_row = (idx[None, :] < m[:, None]).astype(dtype)      # [B, n]
+    unsel_col = (idx[None, :] >= m[:, None]).astype(dtype)
+    diag_re = jnp.diagonal(t_re, axis1=1, axis2=2)
+    diag_im = jnp.diagonal(t_im, axis1=1, axis2=2)
+    if adjoint:
+        diag_im = -diag_im
+    smin = jnp.finfo(dtype).eps * jnp.maximum(
+        jnp.max(jnp.abs(t_re) + jnp.abs(t_im), axis=(1, 2)), 1.0
+    )
+
+    def outer(carry, t):
+        X_re, X_im, pert = carry
+        i = t if adjoint else n - 1 - t
+        if adjoint:
+            # column i of T, conjugated: (T11ᴴ X)_{i·} couples i' < i.
+            trow_re = lax.dynamic_slice(
+                t_re, (0, 0, i), (B, n, 1))[:, :, 0]
+            trow_im = -lax.dynamic_slice(
+                t_im, (0, 0, i), (B, n, 1))[:, :, 0]
+            done = (idx[None, :] < i).astype(dtype)
+        else:
+            trow_re = lax.dynamic_slice(
+                t_re, (0, i, 0), (B, 1, n))[:, 0, :]
+            trow_im = lax.dynamic_slice(
+                t_im, (0, i, 0), (B, 1, n))[:, 0, :]
+            done = (idx[None, :] > i).astype(dtype)
+        w_re = trow_re * done * sel_row
+        w_im = trow_im * done * sel_row
+        s1_re = jnp.einsum("bk,bkj->bj", w_re, X_re, precision=_HIGH) \
+            - jnp.einsum("bk,bkj->bj", w_im, X_im, precision=_HIGH)
+        s1_im = jnp.einsum("bk,bkj->bj", w_re, X_im, precision=_HIGH) \
+            + jnp.einsum("bk,bkj->bj", w_im, X_re, precision=_HIGH)
+        rhs_re = lax.dynamic_slice(
+            c_re, (0, i, 0), (B, 1, n))[:, 0, :] - s1_re
+        rhs_im = lax.dynamic_slice(
+            c_im, (0, i, 0), (B, 1, n))[:, 0, :] - s1_im
+
+        dii_re = jnp.take_along_axis(
+            diag_re, jnp.full((B, 1), i, jnp.int32), axis=1)[:, 0]
+        dii_im = jnp.take_along_axis(
+            diag_im, jnp.full((B, 1), i, jnp.int32), axis=1)[:, 0]
+        den_re = dii_re[:, None] - diag_re                   # [B, n]
+        den_im = dii_im[:, None] - diag_im
+        small = den_re * den_re + den_im * den_im < (smin * smin)[:, None]
+        den_re = jnp.where(
+            small, jnp.where(den_re < 0, -smin[:, None], smin[:, None]),
+            den_re,
+        )
+        den_im = jnp.where(small, 0.0, den_im)
+        den2 = den_re * den_re + den_im * den_im
+
+        row_active = sel_row[
+            jnp.arange(B), jnp.full((B,), i, jnp.int32)
+        ]                                                     # [B]
+        act = row_active[:, None] * unsel_col                 # [B, n]
+        pert = pert | jnp.any(small & (act > 0), axis=1)
+
+        # Inner column scan: x_j = (rhs_j + acc_j)/den_j, then feed the
+        # coupling to later columns — forward: acc += x_j·T[j, :] (row j
+        # of T22); adjoint: acc += x_j·conj(T[:, j]) (column j — the
+        # (X T22ᴴ)_{ij'} = Σ_k x_k·conj(T_{j'k}) pattern).
+        if adjoint:
+            tmove_re = jnp.moveaxis(t_re, 2, 0)               # [n, B, n]
+            tmove_im = -jnp.moveaxis(t_im, 2, 0)
+        else:
+            tmove_re = jnp.moveaxis(t_re, 1, 0)               # [n, B, n]
+            tmove_im = jnp.moveaxis(t_im, 1, 0)
+        order = jnp.arange(n - 1, -1, -1) if adjoint else jnp.arange(n)
+
+        def inner(acc, j):
+            acc_re, acc_im = acc
+            rr = jnp.take_along_axis(rhs_re, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            ri = jnp.take_along_axis(rhs_im, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            ar = jnp.take_along_axis(acc_re, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            ai = jnp.take_along_axis(acc_im, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            dr = jnp.take_along_axis(den_re, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            di = jnp.take_along_axis(den_im, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            d2 = jnp.take_along_axis(den2, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            aj = jnp.take_along_axis(act, j[None, None].repeat(B, 0),
+                                     axis=1)[:, 0]
+            nr = rr + ar
+            ni = ri + ai
+            x_re = (nr * dr + ni * di) / d2 * aj
+            x_im = (ni * dr - nr * di) / d2 * aj
+            # coupling row: (X T22)_{i j'} = Σ_k x_k T_{k j'} — after
+            # computing x_j, add x_j·T[j, :].  Adjoint: (X T22ᴴ)_{i j'}
+            # = Σ_k x_k conj(T_{j' k}) — add x_j·conj(T column j
+            # read as row of Tᵀ) = x_j·conj(T[:, j])ᵀ → use T[j2, :] of
+            # the TRANSPOSE; handled by passing tmove of swapaxes.
+            tr = tmove_re[j]
+            ti = tmove_im[j]
+            xr = x_re[:, None]
+            xi = x_im[:, None]
+            acc_re = acc_re + (xr * tr - xi * ti) * unsel_col
+            acc_im = acc_im + (xr * ti + xi * tr) * unsel_col
+            return (acc_re, acc_im), (x_re, x_im)
+
+        z = jnp.zeros((B, n), dtype)
+        (_, _), (xs_re, xs_im) = lax.scan(inner, (z, z), order)
+        # xs in scan order → scatter back to natural order.
+        inv = jnp.argsort(order)
+        xrow_re = jnp.moveaxis(xs_re, 0, 1)[:, inv]
+        xrow_im = jnp.moveaxis(xs_im, 0, 1)[:, inv]
+        X_re = lax.dynamic_update_slice(
+            X_re, xrow_re[:, None, :], (0, i, 0))
+        X_im = lax.dynamic_update_slice(
+            X_im, xrow_im[:, None, :], (0, i, 0))
+        return (X_re, X_im, pert), None
+
+    Z = jnp.zeros((B, n, n), dtype)
+    (X_re, X_im, pert), _ = lax.scan(
+        outer, (Z, Z, jnp.zeros((B,), bool)), jnp.arange(n)
+    )
+    return X_re, X_im, pert
+
+
+class ClusterCondition(NamedTuple):
+    """dtrsen-style condition numbers for a selected eigenvalue cluster
+    (all per lane):
+
+    - ``s``: reciprocal condition of the cluster average,
+      ``1/√(1 + ‖X‖²_F)`` with ``T11 X − X T22 = T12`` — a perturbation
+      ``E`` moves the cluster mean by ≲ ``‖E‖/s``.
+    - ``sep``: estimated ``sep(T11, T22) = σ_min(Z ↦ T11 Z − Z T22)``
+      (power iteration on the inverse operator — an upper-biased
+      estimate converging from above, usually within a few % after the
+      default iterations); the invariant subspace rotates by
+      ``θ ≲ 4‖E‖/sep``.
+    - ``p_fro``: Frobenius norm of the spectral projector
+      ``√(m + ‖X‖²_F)``.
+    - ``gap``: ``min |λ_sel − λ_unsel|`` — the naive spectral gap
+      (``sep ≤ gap``, sometimes much smaller for non-normal T).
+    - ``perturbed``: a shared/near-shared eigenvalue between the
+      clusters forced an ``eps·‖T‖`` denominator floor in the Sylvester
+      solve (the cluster split is ill-posed; ``sep`` ≈ 0 there).
+    """
+
+    s: jax.Array       # [B]
+    sep: jax.Array     # [B]
+    p_fro: jax.Array   # [B]
+    gap: jax.Array     # [B]
+    m: jax.Array       # [B] i32
+    perturbed: jax.Array  # [B] bool
+
+
+@functools.partial(jax.jit, static_argnames=("sep_iters",))
+@f32_matmuls
+def schur_cluster_cond_batched(
+    T: jax.Array, Q: jax.Array, select: jax.Array, sep_iters: int = 5,
+    key=None,
+) -> ClusterCondition:
+    """Condition numbers of the eigenvalue cluster picked by ``select``
+    (a [B, n] mask over the diagonal positions of the REAL Schur form
+    ``T``) — the LAPACK ``dtrsen`` job='B' quantities, batched.
+
+    Pipeline: complex reorder (selected first), one masked-triangular
+    Sylvester solve for ``s``/``p_fro``, and ``sep_iters`` inverse power
+    iterations (two Sylvester solves each — forward and adjoint) for
+    ``sep``.  Empty or full selections report ``s = 1`` and
+    ``sep = gap = +inf``.
+    """
+    B, n, _ = T.shape
+    dtype = jnp.result_type(T.dtype, jnp.float32)
+    os = schur_reorder_batched(T.astype(dtype), Q.astype(dtype), select)
+    t_re, t_im, m = os.t_re, os.t_im, os.m
+    idx = jnp.arange(n)
+    sel_row = (idx[None, :] < m[:, None]).astype(dtype)
+    unsel_col = 1.0 - sel_row
+    block = sel_row[:, :, None] * unsel_col[:, None, :]   # [B, n, n]
+
+    def fro2(xr, xi):
+        return jnp.sum((xr * xr + xi * xi) * block, axis=(1, 2))
+
+    # s and ‖P‖_F from T11 X − X T22 = T12.
+    c_re = t_re * block
+    c_im = t_im * block
+    X_re, X_im, pert = _trsyl_masked(t_re, t_im, m, c_re, c_im)
+    xf2 = fro2(X_re, X_im)
+    s = 1.0 / jnp.sqrt(1.0 + xf2)
+    p_fro = jnp.sqrt(m.astype(dtype) + xf2)
+
+    # sep via power iteration on S⁻ᴴS⁻¹ (Rayleigh quotient ‖S⁻¹u‖²).
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    u_re = jax.random.normal(key, (B, n, n), dtype) * block
+    u_im = jax.random.normal(
+        jax.random.fold_in(key, 1), (B, n, n), dtype) * block
+
+    def step(_, carry):
+        u_re, u_im, lam = carry
+        nrm = jnp.sqrt(jnp.maximum(fro2(u_re, u_im), 1e-30))
+        u_re = u_re / nrm[:, None, None]
+        u_im = u_im / nrm[:, None, None]
+        v_re, v_im, _ = _trsyl_masked(t_re, t_im, m, u_re, u_im)
+        lam = fro2(v_re, v_im)            # ‖S⁻¹u‖² with ‖u‖=1
+        w_re, w_im, _ = _trsyl_masked(
+            t_re, t_im, m, v_re, v_im, adjoint=True
+        )
+        return w_re, w_im, lam
+
+    _, _, lam = lax.fori_loop(
+        0, sep_iters, step,
+        (u_re, u_im, jnp.zeros((B,), dtype)),
+    )
+    empty = (m == 0) | (m == n)
+    inf = jnp.asarray(jnp.inf, dtype)
+    sep = jnp.where(empty, inf, 1.0 / jnp.sqrt(jnp.maximum(lam, 1e-30)))
+
+    # Naive gap: min |λ_sel − λ_unsel|.
+    w_re_d = jnp.diagonal(t_re, axis1=1, axis2=2)
+    w_im_d = jnp.diagonal(t_im, axis1=1, axis2=2)
+    dr = w_re_d[:, :, None] - w_re_d[:, None, :]
+    di = w_im_d[:, :, None] - w_im_d[:, None, :]
+    dist = jnp.sqrt(dr * dr + di * di)
+    gap = jnp.min(
+        jnp.where(block > 0, dist, inf), axis=(1, 2)
+    )
+    return ClusterCondition(
+        jnp.where(empty, 1.0, s), sep, p_fro, gap, m, pert & ~empty
+    )

@@ -313,3 +313,128 @@ class TestInvariantSubspace:
         wa = np.linalg.eigvalsh(A.astype(np.float64))
         assert int(res.m[0]) == int((wa > 0).sum())
         assert bool(np.asarray(res.ok).all())
+
+
+class TestClusterCondition:
+    def _setup(self, seed=0, B=3, n=10):
+        rng = np.random.RandomState(seed)
+        A = rng.randn(B, n, n).astype(np.float32)
+        sv = _schur(A)
+        cs = rsf2csf_batched(sv.T, sv.Q)
+        wre = np.asarray(jnp.diagonal(cs.t_re, axis1=1, axis2=2))
+        sel = jnp.asarray(wre < 0)
+        return A, sv, sel
+
+    def test_matches_dense_oracle(self):
+        import scipy.linalg
+
+        from linalg_solver_tpu.ops.ordschur import (
+            schur_cluster_cond_batched,
+        )
+
+        A, sv, sel = self._setup()
+        B, n = A.shape[0], A.shape[1]
+        cc = schur_cluster_cond_batched(sv.T, sv.Q, sel, sep_iters=8)
+        os = schur_reorder_batched(sv.T, sv.Q, sel)
+        for b in range(B):
+            m = int(os.m[b])
+            Tb = _complex(os.t_re[b], os.t_im[b])
+            T11, T22, T12 = Tb[:m, :m], Tb[m:, m:], Tb[:m, m:]
+            X = scipy.linalg.solve_sylvester(T11, -T22, T12)
+            s_or = 1 / np.sqrt(1 + np.linalg.norm(X, "fro") ** 2)
+            K = np.kron(np.eye(n - m), T11) - np.kron(T22.T, np.eye(m))
+            sep_or = np.linalg.svd(K, compute_uv=False)[-1]
+            gap_or = min(
+                abs(l1 - l2)
+                for l1 in np.diag(T11)
+                for l2 in np.diag(T22)
+            )
+            assert abs(float(cc.s[b]) - s_or) < 2e-3 * s_or
+            assert abs(float(cc.sep[b]) - sep_or) < 0.05 * sep_or
+            assert abs(float(cc.gap[b]) - gap_or) < 1e-3 * gap_or
+            assert float(cc.sep[b]) <= float(cc.gap[b]) + 1e-5
+            assert not bool(cc.perturbed[b])
+
+    def test_adjoint_solver(self):
+        # S-H(Y) solve: T11^H Y - Y T22^H = C, checked by residual.
+        from linalg_solver_tpu.ops.ordschur import _trsyl_masked
+
+        A, sv, sel = self._setup(seed=3)
+        os = schur_reorder_batched(sv.T, sv.Q, sel)
+        B, n = A.shape[0], A.shape[1]
+        rng = np.random.RandomState(5)
+        C = rng.randn(B, n, n).astype(np.float32)
+        block = (
+            (np.arange(n)[:, None] < np.asarray(os.m)[:, None, None])
+            & (np.arange(n)[None, :] >= np.asarray(os.m)[:, None, None])
+        )
+        Cm = (C * block).astype(np.float32)
+        Yr, Yi, pert = _trsyl_masked(
+            os.t_re, os.t_im, os.m, jnp.asarray(Cm),
+            jnp.zeros_like(jnp.asarray(Cm)), adjoint=True,
+        )
+        for b in range(B):
+            m = int(os.m[b])
+            Tb = _complex(os.t_re[b], os.t_im[b])
+            Y = _complex(Yr[b], Yi[b])[:m, m:]
+            R = (Tb[:m, :m].conj().T @ Y - Y @ Tb[m:, m:].conj().T
+                 - Cm[b][:m, m:])
+            assert np.abs(R).max() < 5e-5 * max(np.abs(Y).max(), 1.0)
+
+    def test_empty_and_full_selection(self):
+        from linalg_solver_tpu.ops.ordschur import (
+            schur_cluster_cond_batched,
+        )
+
+        A, sv, _ = self._setup(seed=7, B=2, n=6)
+        none = jnp.zeros((2, 6), bool)
+        cc = schur_cluster_cond_batched(sv.T, sv.Q, none)
+        assert (np.asarray(cc.s) == 1.0).all()
+        assert np.isinf(np.asarray(cc.sep)).all()
+        assert np.isinf(np.asarray(cc.gap)).all()
+        every = jnp.ones((2, 6), bool)
+        cc2 = schur_cluster_cond_batched(sv.T, sv.Q, every)
+        assert (np.asarray(cc2.s) == 1.0).all()
+        assert np.isinf(np.asarray(cc2.sep)).all()
+
+    def test_shared_eigenvalue_flags_perturbed(self):
+        # Splitting a repeated eigenvalue across the clusters: sep ~ 0
+        # and the denominator floor trips the perturbed flag.
+        from linalg_solver_tpu.ops.ordschur import (
+            schur_cluster_cond_batched,
+        )
+
+        n = 6
+        T = np.triu(np.random.RandomState(9).randn(n, n)).astype(
+            np.float32
+        )
+        np.fill_diagonal(T, [2.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+        Q = np.eye(n, dtype=np.float32)
+        sel = np.zeros((1, n), bool)
+        sel[0, 0] = True   # select ONE copy of the repeated 2.0
+        cc = schur_cluster_cond_batched(
+            jnp.asarray(T[None]), jnp.asarray(Q[None]),
+            jnp.asarray(sel),
+        )
+        assert bool(cc.perturbed[0])
+        assert float(cc.sep[0]) < 1e-2
+
+    def test_normal_matrix_sep_equals_gap(self):
+        # For symmetric (normal) A, sep(T11, T22) == gap exactly.
+        from linalg_solver_tpu.ops.ordschur import (
+            schur_cluster_cond_batched,
+        )
+
+        rng = np.random.RandomState(11)
+        n = 8
+        G = rng.randn(n, n)
+        A = ((G + G.T) / 2).astype(np.float32)
+        sv = _schur(A[None])
+        cs = rsf2csf_batched(sv.T, sv.Q)
+        wre = np.asarray(jnp.diagonal(cs.t_re, axis1=1, axis2=2))
+        sel = jnp.asarray(wre < np.median(wre))
+        cc = schur_cluster_cond_batched(sv.T, sv.Q, sel, sep_iters=10)
+        sep, gap = float(cc.sep[0]), float(cc.gap[0])
+        assert abs(sep - gap) < 0.02 * gap
+        # normal matrix: cluster mean perfectly conditioned (s = 1).
+        assert float(cc.s[0]) > 0.99
