@@ -206,20 +206,58 @@ class QRResult(NamedTuple):
     #                the shift's resolution)
 
 
-@jax.jit
-@f32_matmuls
 def qr_batched(a: jax.Array) -> QRResult:
     """Thin QR of a batched [B, m, n] matrix with m ≥ n — shifted
     CholeskyQR2 (two Gram passes; all MXU work, no per-column
     Householder loop).  The explicitly-f32 replacement for
     ``jnp.linalg.qr``, which on TPU ignores the precision context
-    (measured |QR−A| ≈ 7e-3 relative — see ops.eigen.householder_qr)."""
+    (measured |QR−A| ≈ 7e-3 relative — see ops.eigen.householder_qr).
+
+    DIFFERENTIABLE: custom VJP with the classical thin-QR adjoint for
+    full-column-rank input: ``M = R R̄ᵀ − Q̄ᵀ Q``,
+    ``Ā = (Q̄ + Q·copyltu(M)) R⁻ᵀ`` where ``copyltu`` mirrors the
+    strict lower triangle onto the upper and keeps the diagonal."""
     B, m, n = a.shape
     if m < n:
         raise ValueError(
             f"qr_batched needs m >= n (thin QR); got {m}x{n}. "
             "Factor the transpose (a = (R^T)(Q^T)) for wide input."
         )
+    return _qr_vjp(a)
+
+
+@jax.custom_vjp
+def _qr_vjp(a):
+    return _qr_impl(a)
+
+
+def _qr_fwd(a):
+    r = _qr_impl(a)
+    return r, (r.Q, r.R)
+
+
+def _qr_bwd(res, g):
+    Q, R = res
+    n = R.shape[-1]
+    M = jnp.einsum("bij,bkj->bik", R, g.R, precision=_HIGH) - jnp.einsum(
+        "bji,bjk->bik", g.Q, Q, precision=_HIGH
+    )
+    lo = jnp.tril(M, -1)
+    copyltu = lo + jnp.swapaxes(lo, 1, 2) + M * jnp.eye(n, dtype=M.dtype)
+    num = g.Q + jnp.einsum("bij,bjk->bik", Q, copyltu, precision=_HIGH)
+    # Ā = num · R⁻ᵀ  ⇔  Āᵀ = R⁻¹ numᵀ (one triangular solve)
+    abar_t = jax.scipy.linalg.solve_triangular(
+        R, jnp.swapaxes(num, 1, 2), lower=False
+    )
+    return (jnp.swapaxes(abar_t, 1, 2),)
+
+
+_qr_vjp.defvjp(_qr_fwd, _qr_bwd)
+
+
+@jax.jit
+@f32_matmuls
+def _qr_impl(a: jax.Array) -> QRResult:
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
     Q, R, ok = _chol_qr2_tall(a)
     return QRResult(Q, R, ok)

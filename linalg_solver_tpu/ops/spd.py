@@ -29,10 +29,47 @@ class CholeskyResult(NamedTuple):
     ok: jax.Array  # [B] matrix was SPD (factor finite)
 
 
+def cholesky_batched(a: jax.Array) -> CholeskyResult:
+    """Cholesky factor of a batched SPD matrix (symmetrized first).
+
+    DIFFERENTIABLE: custom VJP with Murray's adjoint
+    ``Ā = sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹)`` where ``Φ`` takes the lower
+    triangle with the diagonal halved — two triangular solves, no
+    refactorization."""
+    return _chol_vjp(a)
+
+
+@jax.custom_vjp
+def _chol_vjp(a):
+    return _chol_impl(a)
+
+
+def _chol_fwd(a):
+    r = _chol_impl(a)
+    return r, r.L
+
+
+def _chol_bwd(L, g):
+    n = L.shape[-1]
+    P = jnp.einsum("bji,bjk->bik", L, g.L, precision=_HIGH)
+    phi = jnp.tril(P) - 0.5 * P * jnp.eye(n, dtype=L.dtype)
+    # S = L⁻ᵀ Φ L⁻¹:  X = L⁻ᵀ Φ, then S = X L⁻¹ = (L⁻ᵀ Xᵀ)ᵀ
+    X = jax.scipy.linalg.solve_triangular(L, phi, lower=True, trans=1)
+    S = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(
+            L, jnp.swapaxes(X, 1, 2), lower=True, trans=1
+        ),
+        1, 2,
+    )
+    return (0.5 * (S + jnp.swapaxes(S, 1, 2)),)
+
+
+_chol_vjp.defvjp(_chol_fwd, _chol_bwd)
+
+
 @jax.jit
 @f32_matmuls
-def cholesky_batched(a: jax.Array) -> CholeskyResult:
-    """Cholesky factor of a batched SPD matrix (symmetrized first)."""
+def _chol_impl(a: jax.Array) -> CholeskyResult:
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
     sym = 0.5 * (a + jnp.swapaxes(a, 1, 2))
     L = jnp.linalg.cholesky(sym)

@@ -122,15 +122,72 @@ def polar_batched(a: jax.Array, iters: int = 8) -> PolarResult:
     return PolarResult(up, H, ok)
 
 
+def svd_batched(a: jax.Array, iters: int = 8) -> SVDResult:
+    """Thin SVD of a batched real matrix ``[B, m, n]`` (any shape).
+
+    DIFFERENTIABLE: custom VJP with the classical thin-SVD adjoint
+    (V square, so the right null-space term vanishes):
+    ``Ā = U [diag(s̄) + (J+Jᵀ)Σ + Σ(K+Kᵀ)] Vᵀ + (I − UUᵀ) Ū Σ⁻¹ Vᵀ``
+    with ``J = F ∘ (Uᵀ Ū)``, ``K = F ∘ (Vᵀ V̄)``,
+    ``F_ij = 1/(s_j² − s_i²)``.  Near-equal singular-value pairs (gap
+    ≤ n·eps·σmax²) contribute zero instead of blowing up — σ gradients
+    stay exact there; individual singular-VECTOR gradients are only
+    defined for simple singular values."""
+    if a.shape[1] < a.shape[2]:
+        res = _svd_vjp(jnp.swapaxes(a, 1, 2), iters)
+        return SVDResult(res.V, res.s, res.U, res.ok)
+    return _svd_vjp(a, iters)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _svd_vjp(a, iters):
+    return _svd_impl(a, iters)
+
+
+def _svd_fwd(a, iters):
+    r = _svd_impl(a, iters)
+    return r, (r.U, r.s, r.V)
+
+
+def _svd_bwd(iters, res, g):
+    U, s, V = res
+    B, m, n = U.shape
+    dt = U.dtype
+    den = s[:, None, :] ** 2 - s[:, :, None] ** 2
+    tiny = n * jnp.finfo(dt).eps * jnp.maximum(
+        s[:, 0] ** 2, 1e-30
+    )[:, None, None]
+    F = jnp.where(jnp.abs(den) > tiny,
+                  1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+    F = F * (1.0 - jnp.eye(n, dtype=dt))
+    J = F * jnp.einsum("bji,bjk->bik", U, g.U, precision=_HIGH)
+    K = F * jnp.einsum("bji,bjk->bik", V, g.V, precision=_HIGH)
+    inner = (
+        g.s[:, :, None] * jnp.eye(n, dtype=dt)
+        + (J + jnp.swapaxes(J, 1, 2)) * s[:, None, :]
+        + (K + jnp.swapaxes(K, 1, 2)) * s[:, :, None]
+    )
+    abar = jnp.einsum("bij,bjk,blk->bil", U, inner, V, precision=_HIGH)
+    # left null-space term: (I − UUᵀ) Ū Σ⁻¹ Vᵀ (zero when m == n)
+    if m > n:
+        tiny_s = n * jnp.finfo(dt).eps * jnp.maximum(s[:, :1], 1e-30)
+        sinv = jnp.where(s > tiny_s, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+        GsV = g.U * sinv[:, None, :]
+        proj = GsV - jnp.einsum(
+            "bij,bkj,bkl->bil", U, U, GsV, precision=_HIGH
+        )
+        abar = abar + jnp.einsum(
+            "bij,bkj->bik", proj, V, precision=_HIGH
+        )
+    return (abar,)
+
+
+_svd_vjp.defvjp(_svd_fwd, _svd_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 @f32_matmuls
-def svd_batched(a: jax.Array, iters: int = 8) -> SVDResult:
-    """Thin SVD of a batched real matrix ``[B, m, n]`` (any shape)."""
-    B, m, n = a.shape
-    if m < n:
-        res = svd_batched(jnp.swapaxes(a, 1, 2), iters=iters)
-        return SVDResult(res.V, res.s, res.U, res.ok)
-
+def _svd_impl(a: jax.Array, iters: int = 8) -> SVDResult:
     # H = U_pᵀ A is symmetric PSD up to roundoff; eigh gives V and Σ.
     pol = polar_batched(a, iters=iters)
     up, ok = pol.up, pol.ok

@@ -32,8 +32,6 @@ class EighResult(NamedTuple):
     converged: jax.Array  # [B] (always True — direct solver)
 
 
-@jax.jit
-@f32_matmuls
 def eigh_batched(a: jax.Array) -> EighResult:
     """Eigendecomposition of a batched SYMMETRIC real matrix.
 
@@ -43,7 +41,55 @@ def eigh_batched(a: jax.Array) -> EighResult:
     a QDWH/Jacobi-style direct solver that is far cheaper than the
     general real-Schur iteration and returns exactly orthogonal
     eigenvectors.
-    """
+
+    DIFFERENTIABLE: custom VJP with the classical spectral adjoint
+    ``Ā = V (diag(w̄) + F ∘ (Vᵀ V̄)) Vᵀ``, ``F_ij = 1/(w_j − w_i)``,
+    symmetrized to match the primal's input symmetrization.  Near-
+    degenerate pairs (gap ≤ n·eps·‖w‖∞) contribute zero instead of a
+    1/gap blow-up — eigenVALUE gradients stay exact there; individual
+    eigenVECTOR gradients are mathematically undefined for a repeated
+    eigenvalue (only the invariant subspace is)."""
+    return _eigh_vjp(a)
+
+
+@jax.custom_vjp
+def _eigh_vjp(a):
+    return _eigh_impl(a)
+
+
+def _eigh_fwd(a):
+    r = _eigh_impl(a)
+    return r, (r.w, r.V)
+
+
+def _eigh_bwd(res, g):
+    w, V = res
+    hp = jax.lax.Precision.HIGHEST
+    n = w.shape[-1]
+    den = w[:, None, :] - w[:, :, None]          # den_ij = w_j − w_i
+    tiny = n * jnp.finfo(w.dtype).eps * jnp.maximum(
+        jnp.max(jnp.abs(w), axis=-1), 1e-30
+    )[:, None, None]
+    F = jnp.where(jnp.abs(den) > tiny,
+                  1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+    F = F * (1.0 - jnp.eye(n, dtype=w.dtype))
+    VtgV = jnp.einsum("bji,bjk->bik", V, g.V, precision=hp)
+    M = _diag_embed(g.w) + F * VtgV
+    abar = jnp.einsum("bij,bjk,blk->bil", V, M, V, precision=hp)
+    abar = 0.5 * (abar + jnp.swapaxes(abar, 1, 2))
+    return (abar,)
+
+
+def _diag_embed(d):
+    return d[:, :, None] * jnp.eye(d.shape[-1], dtype=d.dtype)
+
+
+_eigh_vjp.defvjp(_eigh_fwd, _eigh_bwd)
+
+
+@jax.jit
+@f32_matmuls
+def _eigh_impl(a: jax.Array) -> EighResult:
     B = a.shape[0]
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
     sym = (a + jnp.swapaxes(a, 1, 2)) * 0.5
