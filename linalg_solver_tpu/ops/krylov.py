@@ -1,4 +1,5 @@
-"""Batched Krylov iterative solvers: CG, BiCGSTAB, GMRES(m).
+"""Batched Krylov iterative solvers: CG, BiCGSTAB, GMRES(m), MINRES,
+LSQR.
 
 No counterpart in the reference (its solvers are exact/direct); these
 extend the framework's solve family to the regime where direct
@@ -312,6 +313,214 @@ def gmres_matvec(
     return KrylovResult(x * bscale, res <= 4.0 * tol, k * m, res)
 
 
+def minres_matvec(
+    matvec: MatVec,
+    b: jax.Array,
+    tol: Optional[float] = None,
+    max_iters: int = 0,
+) -> KrylovResult:
+    """MINRES on SYMMETRIC (possibly INDEFINITE) operators — the regime
+    where CG breaks down (pᵀAp can vanish) and BiCGSTAB wastes a second
+    matvec.  One matvec per step: Lanczos three-term recurrence + two
+    trailing Givens rotations (Paige–Saunders); the rotated residual
+    ``|η|`` tracks ‖b − Ax‖ exactly in exact arithmetic, so no extra
+    residual matvec inside the loop.  ``max_iters=0`` picks ``2n``."""
+    b, bnorm, tol, bscale = _prep_b(b, tol)
+    B, n = b.shape
+    if max_iters == 0:
+        max_iters = 2 * n
+    tiny = jnp.finfo(b.dtype).tiny
+
+    beta1 = _nrm(b)
+    v0 = b / jnp.maximum(beta1, tiny)[:, None]
+    ones = jnp.ones((B,), b.dtype)
+    zeros = jnp.zeros((B,), b.dtype)
+    st0 = (
+        jnp.zeros_like(b),            # x
+        jnp.zeros_like(b), v0,        # v_old, v
+        beta1,                        # beta_j (‖·‖ of last Lanczos res)
+        beta1,                        # eta (rotated residual norm ±)
+        ones, ones, zeros, zeros,     # gamma0, gamma1, sigma0, sigma1
+        jnp.zeros_like(b), jnp.zeros_like(b),   # w0, w1
+        beta1 / bnorm <= tol,         # done
+        jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st):
+        return (st[-1] < max_iters) & ~jnp.all(st[-2])
+
+    def body(st):
+        (x, v_old, v, beta, eta, g0, g1, s0, s1, w0, w1, done, k) = st
+        av = matvec(v)
+        alpha = jnp.sum(v * av, axis=-1)
+        p = av - alpha[:, None] * v - beta[:, None] * v_old
+        beta_new = _nrm(p)
+        v_new = p / jnp.maximum(beta_new, tiny)[:, None]
+
+        delta = g1 * alpha - g0 * s1 * beta
+        rho1 = jnp.sqrt(delta * delta + beta_new * beta_new)
+        rho2 = s1 * alpha + g0 * g1 * beta
+        rho3 = s0 * beta
+        rho1s = jnp.maximum(rho1, tiny)
+        g_new = delta / rho1s
+        s_new = beta_new / rho1s
+        w_new = (v - rho3[:, None] * w0 - rho2[:, None] * w1) / rho1s[
+            :, None
+        ]
+        x_new = x + (g_new * eta)[:, None] * w_new
+        eta_new = -s_new * eta
+
+        # degenerate rotation (rho1 ≈ 0: delta AND beta_new both ≈ 0):
+        # the Krylov space is invariant and the update direction is
+        # numerically undefined — freeze the lane BEFORE applying it.
+        broke = rho1 <= (jnp.abs(alpha) + beta + beta_new) * jnp.finfo(
+            b.dtype
+        ).eps
+        upd = ~(done | broke)
+        x = jnp.where(upd[:, None], x_new, x)
+        eta = jnp.where(upd, eta_new, eta)
+        done = done | broke | (jnp.abs(eta) / bnorm <= tol)
+        sel = upd[:, None]
+        return (
+            x,
+            jnp.where(sel, v, v_old), jnp.where(sel, v_new, v),
+            jnp.where(upd, beta_new, beta), eta,
+            jnp.where(upd, g1, g0), jnp.where(upd, g_new, g1),
+            jnp.where(upd, s1, s0), jnp.where(upd, s_new, s1),
+            jnp.where(sel, w1, w0), jnp.where(sel, w_new, w1),
+            done, k + 1,
+        )
+
+    st = lax.while_loop(cond, body, st0)
+    x, k = st[0], st[-1]
+    res = _nrm(b - matvec(x)) / bnorm
+    return KrylovResult(x * bscale, res <= 4.0 * tol, k, res)
+
+
+class LSQRResult(NamedTuple):
+    x: jax.Array          # [B, n] least-squares iterate
+    converged: jax.Array  # [B] ‖r‖/‖b‖ ≤ 4·tol (consistent systems) OR
+    #                       ‖Aᵀr‖/(‖A‖·‖r‖) ≤ 4·tol (true LS optimum)
+    iters: jax.Array      # [] i32
+    resnorm: jax.Array    # [B] final ‖b − Ax‖ / ‖b‖
+    atresnorm: jax.Array  # [B] final ‖Aᵀr‖ / (‖A‖·‖r‖) — LS optimality
+    #                       (computed against the damped operator when
+    #                       damp > 0)
+
+
+def lsqr_matvec(
+    matvec: MatVec,
+    rmatvec: MatVec,
+    b: jax.Array,
+    n: int,
+    tol: Optional[float] = None,
+    max_iters: int = 0,
+    damp: float = 0.0,
+) -> LSQRResult:
+    """LSQR (Paige–Saunders) on a RECTANGULAR operator: minimizes
+    ``‖Ax − b‖² + damp²‖x‖²`` given ``matvec: [B,n]→[B,m]`` and its
+    adjoint ``rmatvec: [B,m]→[B,n]`` — Golub–Kahan bidiagonalization
+    with one rotation per step, analytically equivalent to CG on the
+    normal equations but numerically far more reliable.  One matvec +
+    one rmatvec per iteration.  ``max_iters=0`` picks ``2n``."""
+    b, bnorm, tol, bscale = _prep_b(b, tol)
+    B, m = b.shape
+    if max_iters == 0:
+        max_iters = 2 * n
+    tiny = jnp.finfo(b.dtype).tiny
+    dampv = jnp.asarray(damp, b.dtype)
+
+    beta1 = _nrm(b)
+    u0 = b / jnp.maximum(beta1, tiny)[:, None]
+    atu = rmatvec(u0)
+    alpha1 = _nrm(atu)
+    v0 = atu / jnp.maximum(alpha1, tiny)[:, None]
+
+    st0 = (
+        jnp.zeros((B, n), b.dtype),   # x
+        u0, v0, v0,                   # u, v, w
+        alpha1, beta1,                # alpha, phibar (=‖r̄‖)
+        alpha1,                       # rhobar
+        jnp.sqrt(alpha1 * alpha1),    # anorm accumulator (‖B_k‖_F)
+        alpha1 * beta1,               # arnorm ≈ ‖Aᵀr‖
+        beta1 / bnorm <= tol,         # done
+        jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st):
+        return (st[-1] < max_iters) & ~jnp.all(st[-2])
+
+    def body(st):
+        (x, u, v, w, alpha, phibar, rhobar, anorm, arnorm, done, k) = st
+        # bidiagonalization step
+        u_new = matvec(v) - alpha[:, None] * u
+        beta = _nrm(u_new)
+        u_new = u_new / jnp.maximum(beta, tiny)[:, None]
+        v_new = rmatvec(u_new) - beta[:, None] * v
+        alpha_new = _nrm(v_new)
+        v_new = v_new / jnp.maximum(alpha_new, tiny)[:, None]
+
+        # eliminate the damping row (rotation into rhobar)
+        rhobar1 = jnp.sqrt(rhobar * rhobar + dampv * dampv)
+        c1 = rhobar / jnp.maximum(rhobar1, tiny)
+        phibar1 = c1 * phibar
+
+        # trailing Givens rotation on the lower-bidiagonal column
+        rho = jnp.sqrt(rhobar1 * rhobar1 + beta * beta)
+        rhos = jnp.maximum(rho, tiny)
+        c = rhobar1 / rhos
+        s = beta / rhos
+        theta = s * alpha_new
+        rhobar_new = -c * alpha_new
+        phi = c * phibar1
+        phibar_new = s * phibar1
+
+        x_new = x + (phi / rhos)[:, None] * w
+        w_new = v_new - (theta / rhos)[:, None] * w
+
+        anorm_new = jnp.sqrt(
+            anorm * anorm + alpha_new * alpha_new + beta * beta
+            + dampv * dampv
+        )
+        # phibar carries a sign (c1 = ±1 when damp = 0 flips it every
+        # pass since rhobar < 0) — convergence quantities must be
+        # magnitudes or the ≤ tests fire spuriously on negative values.
+        arnorm_new = jnp.abs(phibar_new * alpha_new * c)
+
+        upd = ~done
+        sel = upd[:, None]
+        x = jnp.where(sel, x_new, x)
+        phibar = jnp.where(upd, phibar_new, phibar)
+        arnorm = jnp.where(upd, arnorm_new, arnorm)
+        done = done | (jnp.abs(phibar) / bnorm <= tol) | (
+            arnorm
+            <= tol * anorm_new * jnp.maximum(jnp.abs(phibar), tiny)
+        )
+        return (
+            x,
+            jnp.where(sel, u_new, u), jnp.where(sel, v_new, v),
+            jnp.where(sel, w_new, w),
+            jnp.where(upd, alpha_new, alpha), phibar,
+            jnp.where(upd, rhobar_new, rhobar),
+            jnp.where(upd, anorm_new, anorm), arnorm,
+            done, k + 1,
+        )
+
+    st = lax.while_loop(cond, body, st0)
+    x, anorm, k = st[0], st[7], st[-1]
+    r = b - matvec(x)
+    resnorm = _nrm(r) / bnorm
+    # true LS optimality: ‖Aᵀr − damp²x‖ / (‖A‖·‖r̄‖) with
+    # ‖r̄‖² = ‖r‖² + damp²‖x‖² (the damped problem's residual)
+    atr = rmatvec(r) - (dampv * dampv) * x
+    rbar = jnp.sqrt(_nrm(r) ** 2 + (dampv * _nrm(x)) ** 2)
+    atres = _nrm(atr) / jnp.maximum(
+        jnp.maximum(anorm, tiny) * jnp.maximum(rbar, tiny), tiny
+    )
+    conv = (resnorm <= 4.0 * tol) | (atres <= 4.0 * tol)
+    return LSQRResult(x * bscale, conv, k, resnorm, atres)
+
+
 # --------------------------------------------------------------------
 # dense entry points
 # --------------------------------------------------------------------
@@ -377,4 +586,58 @@ def gmres_batched(
         _mv_dense(a), b, tol=tol, restart=restart,
         max_restarts=max_restarts,
         precond=_jacobi_precond(a) if jacobi else None,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "jacobi"))
+@f32_matmuls
+def minres_batched(
+    a: jax.Array,
+    b: jax.Array,
+    tol: Optional[float] = None,
+    max_iters: int = 0,
+    jacobi: bool = False,
+) -> KrylovResult:
+    """MINRES on a batched SYMMETRIC (possibly indefinite) system —
+    saddle-point/KKT matrices, shifted systems ``A − σI``.  Input is
+    symmetrized first.  ``jacobi=True`` preconditions by SYMMETRIC
+    diagonal scaling ``D^{-1/2} A D^{-1/2}`` with ``D = |diag(A)|``
+    (plain left-Jacobi would destroy the symmetry MINRES needs)."""
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    a = 0.5 * (a + jnp.swapaxes(a, 1, 2))
+    b = b.astype(a.dtype)
+    if jacobi:
+        d = jnp.sqrt(
+            jnp.maximum(
+                jnp.abs(jnp.diagonal(a, axis1=1, axis2=2)),
+                jnp.finfo(a.dtype).tiny,
+            )
+        )
+        a = a / (d[:, :, None] * d[:, None, :])
+        r = minres_matvec(_mv_dense(a), b / d, tol=tol,
+                          max_iters=max_iters)
+        return KrylovResult(r.x / d, r.converged, r.iters, r.resnorm)
+    return minres_matvec(_mv_dense(a), b, tol=tol, max_iters=max_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+@f32_matmuls
+def lsqr_batched(
+    a: jax.Array,
+    b: jax.Array,
+    tol: Optional[float] = None,
+    max_iters: int = 0,
+    damp: float = 0.0,
+) -> LSQRResult:
+    """LSQR on a batched RECTANGULAR system ``[B, m, n]``: the
+    ITERATIVE counterpart of ``ops.lstsq.lstsq_batched`` — minimizes
+    ``‖Ax − b‖² + damp²‖x‖²`` without forming ``AᵀA`` (condition κ,
+    not κ², per iteration).  For m < n with ``damp=0`` this converges
+    to the minimum-norm solution (x stays in range(Aᵀ) throughout)."""
+    a = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    n = a.shape[2]
+    mv = lambda v: jnp.einsum("bij,bj->bi", a, v, precision=_HIGH)
+    rmv = lambda u: jnp.einsum("bij,bi->bj", a, u, precision=_HIGH)
+    return lsqr_matvec(
+        mv, rmv, b, n, tol=tol, max_iters=max_iters, damp=damp
     )

@@ -207,3 +207,188 @@ class TestHonestyContract:
             tol=1e-6, max_iters=64,
         )
         assert not bool(np.asarray(res.converged).any())
+
+
+class TestMINRES:
+    def _indef(self, B, n, seed=0):
+        """Symmetric INDEFINITE, well-conditioned: Q diag(±) Qᵀ."""
+        rng = np.random.RandomState(seed)
+        Q, _ = np.linalg.qr(rng.randn(B, n, n))
+        w = np.linspace(1.0, 10.0, n)[None, :] * (
+            1.0 + 0.01 * rng.rand(B, n)
+        )
+        w[:, ::2] *= -1.0  # half the spectrum negative
+        return np.einsum("bik,bk,bjk->bij", Q, w, Q)
+
+    def test_indefinite_converges(self):
+        from linalg_solver_tpu.ops.krylov import minres_batched
+
+        A = self._indef(4, 48, seed=11)
+        b = np.random.RandomState(12).randn(4, 48)
+        res = minres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        assert bool(np.asarray(res.converged).all())
+        assert rel_res(A, res.x, b).max() < 1e-4
+
+    def test_matches_direct_solve(self):
+        from linalg_solver_tpu.ops.krylov import minres_batched
+
+        A = self._indef(3, 32, seed=13)
+        b = np.random.RandomState(14).randn(3, 32)
+        res = minres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        want = np.linalg.solve(A, b[..., None])[..., 0]
+        scale = np.abs(want).max()
+        assert np.abs(np.asarray(res.x) - want).max() / scale < 1e-4
+
+    def test_spd_agrees_with_cg(self):
+        from linalg_solver_tpu.ops.krylov import minres_batched
+
+        A = spd(3, 40, seed=15)
+        b = np.random.RandomState(16).randn(3, 40)
+        r1 = minres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        r2 = cg_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        assert bool(np.asarray(r1.converged).all())
+        d = np.abs(np.asarray(r1.x) - np.asarray(r2.x)).max()
+        assert d / np.abs(np.asarray(r2.x)).max() < 1e-3
+
+    def test_jacobi_badly_scaled_symmetric(self):
+        from linalg_solver_tpu.ops.krylov import minres_batched
+
+        A = self._indef(2, 40, seed=17)
+        s = np.logspace(0, 4, 40)
+        A = s[None, :, None] * A * s[None, None, :]  # stays symmetric
+        b = np.random.RandomState(18).randn(2, 40) * s[None, :]
+        res = minres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            jacobi=True,
+        )
+        assert bool(np.asarray(res.converged).all())
+        assert rel_res(A, res.x, b).max() < 1e-3
+
+    def test_singular_consistent(self):
+        """Rank-deficient but consistent (b ∈ range A): MINRES still
+        drives the residual to the floor (CG would divide by zero)."""
+        from linalg_solver_tpu.ops.krylov import minres_batched
+
+        rng = np.random.RandomState(19)
+        n, r = 32, 20
+        Q, _ = np.linalg.qr(rng.randn(1, n, n))
+        w = np.concatenate([np.linspace(1, 5, r), np.zeros(n - r)])
+        A = np.einsum("bik,k,bjk->bij", Q, w, Q)
+        y = rng.randn(1, n)
+        b = np.einsum("bij,bj->bi", A, y)  # consistent
+        res = minres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        assert rel_res(A, res.x, b).max() < 1e-3
+
+
+class TestLSQR:
+    def test_overdetermined_matches_lstsq(self):
+        from linalg_solver_tpu.ops.krylov import lsqr_batched
+
+        rng = np.random.RandomState(21)
+        B, m, n = 3, 64, 24
+        A = rng.randn(B, m, n) + 2.0 * np.eye(m, n)
+        b = rng.randn(B, m)
+        res = lsqr_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        assert bool(np.asarray(res.converged).all())
+        for i in range(B):
+            want = np.linalg.lstsq(A[i], b[i], rcond=None)[0]
+            err = np.abs(np.asarray(res.x[i], np.float64) - want).max()
+            assert err / max(np.abs(want).max(), 1e-30) < 1e-3
+
+    def test_square_matches_solve(self):
+        from linalg_solver_tpu.ops.krylov import lsqr_batched
+
+        A = general(3, 32, seed=22)
+        b = np.random.RandomState(23).randn(3, 32)
+        res = lsqr_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        want = np.linalg.solve(A, b[..., None])[..., 0]
+        assert np.abs(
+            np.asarray(res.x) - want
+        ).max() / np.abs(want).max() < 1e-3
+
+    def test_underdetermined_min_norm(self):
+        """m < n, damp=0: LSQR converges to the MINIMUM-NORM solution
+        (x ∈ range(Aᵀ) throughout)."""
+        from linalg_solver_tpu.ops.krylov import lsqr_batched
+
+        rng = np.random.RandomState(24)
+        B, m, n = 2, 16, 40
+        A = rng.randn(B, m, n)
+        b = rng.randn(B, m)
+        res = lsqr_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        for i in range(B):
+            want = np.linalg.pinv(A[i]) @ b[i]
+            err = np.abs(np.asarray(res.x[i], np.float64) - want).max()
+            assert err / np.abs(want).max() < 1e-3
+
+    def test_damped_matches_ridge(self):
+        """damp > 0 minimizes ‖Ax−b‖² + damp²‖x‖² — cross-check the
+        augmented normal equations in f64."""
+        from linalg_solver_tpu.ops.krylov import lsqr_batched
+
+        rng = np.random.RandomState(25)
+        B, m, n = 2, 48, 20
+        A = rng.randn(B, m, n)
+        b = rng.randn(B, m)
+        damp = 0.7
+        res = lsqr_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            damp=damp,
+        )
+        for i in range(B):
+            want = np.linalg.solve(
+                A[i].T @ A[i] + damp**2 * np.eye(n), A[i].T @ b[i]
+            )
+            err = np.abs(np.asarray(res.x[i], np.float64) - want).max()
+            assert err / np.abs(want).max() < 1e-3
+
+    def test_inconsistent_reports_ls_optimality(self):
+        """b ∉ range(A): resnorm stays O(1) but atresnorm (the true LS
+        optimality measure) reaches the tolerance."""
+        from linalg_solver_tpu.ops.krylov import lsqr_batched
+
+        rng = np.random.RandomState(26)
+        B, m, n = 2, 64, 8
+        A = rng.randn(B, m, n)
+        b = rng.randn(B, m)  # massively overdetermined: big residual
+        res = lsqr_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32)
+        )
+        assert bool(np.asarray(res.converged).all())
+        assert np.asarray(res.atresnorm).max() < 1e-3
+        assert np.asarray(res.resnorm).min() > 0.1  # genuinely inconsistent
+
+    def test_matvec_entry_point(self):
+        """Matrix-free LSQR through explicit closures == dense path."""
+        from linalg_solver_tpu.ops.krylov import (
+            lsqr_batched, lsqr_matvec,
+        )
+
+        rng = np.random.RandomState(27)
+        B, m, n = 2, 32, 12
+        A = rng.randn(B, m, n).astype(np.float32)
+        b = rng.randn(B, m).astype(np.float32)
+        Aj = jnp.asarray(A)
+        mv = lambda v: jnp.einsum("bij,bj->bi", Aj, v)
+        rmv = lambda u: jnp.einsum("bij,bi->bj", Aj, u)
+        r1 = lsqr_matvec(mv, rmv, jnp.asarray(b), n)
+        r2 = lsqr_batched(Aj, jnp.asarray(b))
+        assert np.abs(
+            np.asarray(r1.x) - np.asarray(r2.x)
+        ).max() < 1e-4
