@@ -163,7 +163,9 @@ from .fitting import (
     tls_batched,
 )
 from .quadeig import (
+    PolyEigResult,
     QuadEigResult,
+    polyeig_batched,
     quadeig_batched,
 )
 from .complexlin import (
@@ -279,6 +281,7 @@ __all__ = [
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
     "GeneralizedEigShifted", "eig_generalized_shifted_batched",
+    "PolyEigResult", "polyeig_batched",
     "QuadEigResult", "quadeig_batched",
     "RidgeResult", "ridge_batched", "TLSResult", "tls_batched",
     "ProcrustesResult", "procrustes_batched",

@@ -97,3 +97,142 @@ class TestQuadEig:
         lam = np.asarray(res.real) + 1j * np.asarray(res.imag)
         match_sets(lam[0][fin[0]], r1, tol=5e-3)
         match_sets(lam[1][fin[1]], r2, tol=5e-3)
+
+
+class TestPolyEig:
+    def _diagonal_poly(self, coeff_rows, seed=0):
+        """Equivalence-scrambled diagonal degree-d pencil; exact
+        eigenvalues are the per-coordinate scalar-polynomial roots."""
+        rng = np.random.RandomState(seed)
+        coeff_rows = [np.asarray(c, np.float64) for c in coeff_rows]
+        n = len(coeff_rows[0])
+        roots = []
+        for i in range(n):
+            # np.roots wants highest degree first
+            poly = [c[i] for c in coeff_rows[::-1]]
+            roots.extend(np.roots(poly))
+        P = rng.randn(n, n) * 0.3 + np.eye(n)
+        Q = rng.randn(n, n) * 0.3 + np.eye(n)
+        mats = [
+            (P @ np.diag(c) @ Q)[None].astype(np.float32)
+            for c in coeff_rows
+        ]
+        return mats, np.array(roots)
+
+    def test_cubic_roots(self):
+        from linalg_solver_tpu.ops.quadeig import polyeig_batched
+
+        coeffs = [
+            [4.0, 2.0, 6.0, 1.0],    # A0
+            [1.0, 3.0, 0.5, 2.0],    # A1
+            [0.5, 1.0, 2.0, 0.3],    # A2
+            [1.0, 0.5, 1.0, 2.0],    # A3 (nonsingular leading)
+        ]
+        mats, roots = self._diagonal_poly(coeffs, seed=1)
+        res = polyeig_batched([jnp.asarray(m) for m in mats])
+        assert bool(np.asarray(res.ok).all())
+        assert bool(np.asarray(res.finite).all())
+        got = (np.asarray(res.real)[0] + 1j * np.asarray(res.imag)[0])
+        match_sets(got, roots, 2e-3)
+        assert np.asarray(res.resid).max() < 1e-4
+
+    def test_degree2_matches_quadeig(self):
+        from linalg_solver_tpu.ops.quadeig import polyeig_batched
+
+        M, C, K, _ = diagonal_quadratic(seed=3)
+        r1 = polyeig_batched(
+            [jnp.asarray(K), jnp.asarray(C), jnp.asarray(M)]
+        )
+        r2 = quadeig_batched(
+            jnp.asarray(M), jnp.asarray(C), jnp.asarray(K)
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(r1.real)), np.sort(np.asarray(r2.real))
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(r1.imag)), np.sort(np.asarray(r2.imag))
+        )
+
+    def test_degree1_is_generalized_eig(self):
+        """[A0, A1]: polyeig solves A0 v = −λ A1 v — cross-check
+        against scipy's generalized eigensolver."""
+        import scipy.linalg
+
+        from linalg_solver_tpu.ops.quadeig import polyeig_batched
+
+        rng = np.random.RandomState(4)
+        n = 6
+        A0 = rng.randn(1, n, n).astype(np.float32)
+        A1 = (rng.randn(1, n, n) + 3 * np.eye(n)).astype(np.float32)
+        res = polyeig_batched([jnp.asarray(A0), jnp.asarray(A1)])
+        want = scipy.linalg.eigvals(
+            -A0[0].astype(np.float64), A1[0].astype(np.float64)
+        )
+        got = np.asarray(res.real)[0] + 1j * np.asarray(res.imag)[0]
+        match_sets(got, want, 2e-3)
+
+    def test_singular_leading_coefficient(self):
+        """Rank-deficient A_d: the missing degrees surface as flagged
+        infinite eigenvalues, finite ones stay correct."""
+        from linalg_solver_tpu.ops.quadeig import polyeig_batched
+
+        coeffs = [
+            [2.0, 3.0, 1.0, 5.0],
+            [1.0, 0.5, 2.0, 1.0],
+            [1.0, 1.0, 0.0, 0.0],    # A2 singular: 2 infinite eigs
+        ]
+        mats, roots = self._diagonal_poly(coeffs, seed=5)
+        res = polyeig_batched([jnp.asarray(m) for m in mats])
+        fin = np.asarray(res.finite)[0]
+        assert fin.sum() == len(roots) == 6
+        got = (np.asarray(res.real)[0] + 1j * np.asarray(res.imag)[0])[
+            fin
+        ]
+        match_sets(got, roots, 2e-3)
+
+    def test_scalar_coefficients_match_np_roots(self):
+        """1×1 coefficients: polyeig IS the scalar companion-root
+        finder."""
+        from linalg_solver_tpu.ops.quadeig import polyeig_batched
+
+        poly = [6.0, -5.0, -2.0, 1.0]  # lowest first
+        mats = [
+            jnp.asarray(np.full((1, 1, 1), c, np.float32))
+            for c in poly
+        ]
+        res = polyeig_batched(mats)
+        want = np.roots(poly[::-1])
+        got = np.asarray(res.real)[0] + 1j * np.asarray(res.imag)[0]
+        match_sets(got, want, 1e-3)
+
+    def test_residual_f64_verified(self):
+        from linalg_solver_tpu.ops.quadeig import polyeig_batched
+
+        rng = np.random.RandomState(7)
+        B, n, d = 2, 5, 3
+        mats = [
+            (rng.randn(B, n, n) + (2.0 if i == d else 0.0) * np.eye(n))
+            .astype(np.float32)
+            for i in range(d + 1)
+        ]
+        res = polyeig_batched([jnp.asarray(m) for m in mats])
+        lam = (np.asarray(res.real, np.float64)
+               + 1j * np.asarray(res.imag, np.float64))
+        V = (np.asarray(res.vectors_real, np.float64)
+             + 1j * np.asarray(res.vectors_imag, np.float64))
+        fin = np.asarray(res.finite)
+        for b in range(B):
+            for j in range(d * n):
+                if not fin[b, j]:
+                    continue
+                P = sum(
+                    lam[b, j] ** i * mats[i][b].astype(np.float64)
+                    for i in range(d + 1)
+                )
+                r = np.linalg.norm(P @ V[b, :, j])
+                scale = sum(
+                    abs(lam[b, j]) ** i
+                    * np.abs(mats[i][b]).sum(axis=0).max()
+                    for i in range(d + 1)
+                )
+                assert r / scale < 5e-4
