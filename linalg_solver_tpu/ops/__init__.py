@@ -162,6 +162,11 @@ from .fitting import (
     subspace_angles_batched,
     tls_batched,
 )
+from .pseudospectra import (
+    PseudospectraResult,
+    pseudospectrum_grid_batched,
+    sigmin_points_batched,
+)
 from .quadeig import (
     PolyEigResult,
     QuadEigResult,
@@ -281,6 +286,8 @@ __all__ = [
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
     "GeneralizedEigShifted", "eig_generalized_shifted_batched",
+    "PseudospectraResult", "pseudospectrum_grid_batched",
+    "sigmin_points_batched",
     "PolyEigResult", "polyeig_batched",
     "QuadEigResult", "quadeig_batched",
     "RidgeResult", "ridge_batched", "TLSResult", "tls_batched",
