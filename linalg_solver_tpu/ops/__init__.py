@@ -162,6 +162,14 @@ from .fitting import (
     subspace_angles_batched,
     tls_batched,
 )
+from .kron import (
+    KronSumResult,
+    kron_batched,
+    kron_lstsq_batched,
+    kron_matvec_batched,
+    kron_solve_batched,
+    kronsum_solve_batched,
+)
 from .pseudospectra import (
     PseudospectraResult,
     pseudospectrum_grid_batched,
@@ -286,6 +294,9 @@ __all__ = [
     "GeneralizedEighResult", "eigh_generalized_batched",
     "GeneralizedEigResult", "eig_generalized_batched",
     "GeneralizedEigShifted", "eig_generalized_shifted_batched",
+    "KronSumResult", "kron_batched", "kron_lstsq_batched",
+    "kron_matvec_batched", "kron_solve_batched",
+    "kronsum_solve_batched",
     "PseudospectraResult", "pseudospectrum_grid_batched",
     "sigmin_points_batched",
     "PolyEigResult", "polyeig_batched",
