@@ -170,6 +170,13 @@ from .kron import (
     kron_solve_batched,
     kronsum_solve_batched,
 )
+from .nearness import (
+    NearestCorrResult,
+    NearestPSDResult,
+    nearest_correlation_batched,
+    nearest_orthogonal_batched,
+    nearest_psd_batched,
+)
 from .pseudospectra import (
     PseudospectraResult,
     pseudospectrum_grid_batched,
@@ -297,6 +304,9 @@ __all__ = [
     "KronSumResult", "kron_batched", "kron_lstsq_batched",
     "kron_matvec_batched", "kron_solve_batched",
     "kronsum_solve_batched",
+    "NearestCorrResult", "NearestPSDResult",
+    "nearest_correlation_batched", "nearest_orthogonal_batched",
+    "nearest_psd_batched",
     "PseudospectraResult", "pseudospectrum_grid_batched",
     "sigmin_points_batched",
     "PolyEigResult", "polyeig_batched",
