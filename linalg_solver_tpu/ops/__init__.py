@@ -239,6 +239,13 @@ from .blocksparse import (
     blocksparse_to_dense,
     make_blocksparse_matvec,
 )
+from .sturm import (
+    TridiagEigResult,
+    TridiagEigVecResult,
+    eigh_tridiagonal_batched,
+    sturm_count_batched,
+    tridiag_eigenvectors_batched,
+)
 from .structured import (
     CirculantSolve,
     VandermondeSolve,
@@ -304,6 +311,9 @@ __all__ = [
     "KronSumResult", "kron_batched", "kron_lstsq_batched",
     "kron_matvec_batched", "kron_solve_batched",
     "kronsum_solve_batched",
+    "TridiagEigResult", "TridiagEigVecResult",
+    "eigh_tridiagonal_batched", "sturm_count_batched",
+    "tridiag_eigenvectors_batched",
     "NearestCorrResult", "NearestPSDResult",
     "nearest_correlation_batched", "nearest_orthogonal_batched",
     "nearest_psd_batched",
