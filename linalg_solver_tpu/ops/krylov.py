@@ -613,10 +613,22 @@ def minres_batched(
                 jnp.finfo(a.dtype).tiny,
             )
         )
-        a = a / (d[:, :, None] * d[:, None, :])
-        r = minres_matvec(_mv_dense(a), b / d, tol=tol,
+        a_s = a / (d[:, :, None] * d[:, None, :])
+        r = minres_matvec(_mv_dense(a_s), b / d, tol=tol,
                           max_iters=max_iters)
-        return KrylovResult(r.x / d, r.converged, r.iters, r.resnorm)
+        # Report the TRUE residual of the ORIGINAL system (the scaled
+        # recurrence residual is for D^{-1/2}AD^{-1/2}y = D^{-1/2}b and
+        # can disagree with ||b - Ax||/||b|| for badly scaled rows) —
+        # matching the cg/bicgstab honesty contract.
+        x = r.x / d
+        eff_tol = (
+            100.0 * float(jnp.finfo(a.dtype).eps) if tol is None else tol
+        )
+        bnorm = jnp.maximum(_nrm(b), jnp.finfo(a.dtype).tiny)
+        resnorm = _nrm(b - _mv_dense(a)(x)) / bnorm
+        return KrylovResult(
+            x, resnorm <= 4.0 * eff_tol, r.iters, resnorm
+        )
     return minres_matvec(_mv_dense(a), b, tol=tol, max_iters=max_iters)
 
 

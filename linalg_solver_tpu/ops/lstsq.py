@@ -236,7 +236,11 @@ def _qr_fwd(a):
     return r, (r.Q, r.R)
 
 
+@f32_matmuls
 def _qr_bwd(res, g):
+    # f32_matmuls: solve_triangular's blocked matmuls would otherwise
+    # run at the default TPU bf16 pass, making factorization gradients
+    # ~1e-3 while primals are f32-exact (CLAUDE.md's documented trap).
     Q, R = res
     n = R.shape[-1]
     M = jnp.einsum("bij,bkj->bik", R, g.R, precision=_HIGH) - jnp.einsum(

@@ -48,14 +48,19 @@ def nearest_psd_batched(
     a: jax.Array, shift: float = 0.0
 ) -> NearestPSDResult:
     """Frobenius-nearest positive-SEMIdefinite matrix (Higham 1988);
-    ``shift > 0`` clips eigenvalues at ``shift·λmax`` instead of 0,
+    ``shift > 0`` clips eigenvalues at ``shift·max|λ|`` instead of 0,
     returning a safely positive-DEFINITE repair for downstream
-    Cholesky."""
+    Cholesky (the floor scales by spectral MAGNITUDE, so even a
+    negative-semidefinite input repairs to a definite matrix rather
+    than the exactly-singular zero matrix)."""
     f32 = jnp.result_type(a.dtype, jnp.float32)
     a = a.astype(f32)
     sym = 0.5 * (a + jnp.swapaxes(a, 1, 2))
     w, V = jnp.linalg.eigh(sym)
-    floor = shift * jnp.maximum(w[:, -1:], 0.0)
+    floor = shift * jnp.maximum(
+        jnp.max(jnp.abs(w), axis=1, keepdims=True),
+        jnp.finfo(f32).tiny,
+    )
     wc = jnp.maximum(w, floor)
     x = jnp.einsum("bik,bk,bjk->bij", V, wc, V, precision=_HIGH)
     x = 0.5 * (x + jnp.swapaxes(x, 1, 2))

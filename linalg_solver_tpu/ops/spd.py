@@ -49,7 +49,10 @@ def _chol_fwd(a):
     return r, r.L
 
 
+@f32_matmuls
 def _chol_bwd(L, g):
+    # f32_matmuls: keeps solve_triangular's blocked matmuls at f32
+    # precision on TPU (gradients would otherwise drop to bf16).
     n = L.shape[-1]
     P = jnp.einsum("bji,bjk->bik", L, g.L, precision=_HIGH)
     phi = jnp.tril(P) - 0.5 * P * jnp.eye(n, dtype=L.dtype)

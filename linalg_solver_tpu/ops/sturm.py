@@ -167,6 +167,16 @@ def tridiag_eigenvectors_batched(
     e = e.astype(f32)
     w = w.astype(f32)
     B, n = d.shape
+    if n == 1:
+        # Trivial 1×1 case: there is no off-diagonal to scan over
+        # (jnp.take on the empty ``e`` would fail) — the eigenvector
+        # is [1]; residual is |d − w| relative to ‖T‖ = |d|.
+        resid = jnp.abs(d - w) / jnp.maximum(jnp.abs(d), 1e-30)
+        return TridiagEigVecResult(
+            jnp.ones((B, 1, 1), f32),
+            resid,
+            resid <= 100 * jnp.finfo(f32).eps,
+        )
     eps = jnp.finfo(f32).eps
     tnorm = jnp.max(
         jnp.abs(d), axis=1

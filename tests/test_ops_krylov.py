@@ -392,3 +392,31 @@ class TestLSQR:
         assert np.abs(
             np.asarray(r1.x) - np.asarray(r2.x)
         ).max() < 1e-4
+
+
+class TestMinresJacobiHonesty:
+    def test_jacobi_reports_true_unscaled_residual(self):
+        """minres(jacobi=True) must report ||b - Ax||/||b|| of the
+        ORIGINAL system, not the symmetrically scaled one (ADVICE r1:
+        matching the cg/bicgstab honesty contract)."""
+        from linalg_solver_tpu.ops.krylov import minres_batched
+
+        rng = np.random.RandomState(33)
+        n = 24
+        A = rng.randn(1, n, n)
+        A = A + A.transpose(0, 2, 1) + 2 * n * np.eye(n)
+        # badly scaled rows/cols so D-scaling matters
+        s = np.logspace(-3, 3, n)
+        A = A * s[None, :, None] * s[None, None, :]
+        b = rng.randn(1, n)
+        res = minres_batched(
+            jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32),
+            jacobi=True,
+        )
+        true = rel_res(A, res.x, b)
+        reported = np.asarray(res.resnorm, np.float64)
+        # reported residual is the true one (same quantity, f32 noise);
+        # the pre-fix scaled-system residual here is orders smaller.
+        np.testing.assert_allclose(reported, true, rtol=2e-2)
+        assert reported.max() > 1e-3  # honesty: not the scaled resid
+        assert not bool(np.asarray(res.converged).any())

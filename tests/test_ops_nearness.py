@@ -113,3 +113,19 @@ class TestNearestOrthogonal:
             # f64 oracle: U Vᵀ from the SVD
             U, _, Vt = np.linalg.svd(A[i].astype(np.float64))
             np.testing.assert_allclose(q[i], U @ Vt, atol=1e-4)
+
+
+class TestNegativeSemidefiniteShift:
+    def test_shift_repairs_nsd_input_to_definite(self):
+        """A negative-semidefinite input with shift>0 must repair to a
+        strictly positive-definite matrix, not the zero matrix
+        (the floor scales by max|λ|, not signed λmax — ADVICE r1)."""
+        rng = np.random.RandomState(7)
+        Q, _ = np.linalg.qr(rng.randn(2, 8, 8))
+        w = -np.linspace(1.0, 5.0, 8)
+        A = np.einsum("bik,k,bjk->bij", Q, w, Q).astype(np.float32)
+        res = nearest_psd_batched(jnp.asarray(A), shift=1e-4)
+        wmin = np.linalg.eigvalsh(np.asarray(res.x, np.float64)).min()
+        assert wmin >= 1e-4 * 5.0 * 0.5  # floor = shift·max|λ| ≈ 5e-4
+        # Cholesky must succeed
+        np.linalg.cholesky(np.asarray(res.x, np.float64))

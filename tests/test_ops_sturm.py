@@ -141,3 +141,24 @@ class TestEigenvectors:
         want = np.linalg.eigvalsh(A)
         got = np.asarray(res.w[0], np.float64)
         assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+class TestTrivialSize:
+    def test_n1_eigenvectors(self):
+        """n=1 must not crash on the empty off-diagonal (ADVICE r1)."""
+        d = jnp.asarray([[3.5], [-2.0]], jnp.float32)
+        e = jnp.zeros((2, 0), jnp.float32)
+        res = tridiag_eigenvectors_batched(d, e, d)
+        np.testing.assert_allclose(
+            np.asarray(res.V), np.ones((2, 1, 1)), atol=0
+        )
+        assert np.asarray(res.resid).max() == 0.0
+        assert bool(np.asarray(res.ok).all())
+
+    def test_n1_full_solver(self):
+        d = jnp.asarray([[4.25]], jnp.float32)
+        e = jnp.zeros((1, 0), jnp.float32)
+        res = eigh_tridiagonal_batched(d, e)
+        np.testing.assert_allclose(
+            np.asarray(res.w), [[4.25]], atol=1e-5
+        )
