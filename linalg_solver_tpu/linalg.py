@@ -18,8 +18,9 @@ Differences from ``numpy.linalg`` (deliberate, device-honest):
   per-lane honesty flags should use the underlying ``ops.*`` results
   (``converged`` / ``valid`` / ``ok`` fields) — this shim trades the
   flags away for signature compatibility.
-- ``svd`` computes the thin decomposition (``full_matrices=False``
-  only — the TPU-native layout; full U/V zero-pads no information).
+- ``svd(full_matrices=True)`` pads with an orthonormal complement
+  whose span (not entries) matches numpy's — complement bases are
+  unique only up to rotation.
 - Everything computes in float32 on TPU (float64 inputs work on CPU
   under ``jax.enable_x64``; the Schur path refuses f64 on TPU rather
   than return emulation-corrupted results).
@@ -262,29 +263,46 @@ def eigvalsh(a):
 
 
 def svd(a, full_matrices=False, compute_uv=True):
-    """Thin SVD (``full_matrices=True`` is not provided — the padded
-    orthogonal complements carry no information and cost extra HBM)."""
-    if full_matrices:
-        raise NotImplementedError(
-            "linalg_solver_tpu.linalg.svd computes the thin SVD only; "
-            "pass full_matrices=False"
-        )
+    """SVD.  ``full_matrices=True`` pads the short factor with an
+    orthonormal complement (CholeskyQR2 on a projected Gaussian block
+    — ``ops.lstsq.complete_basis_batched``); the padded columns span
+    the left/right null space, like numpy's (complement bases are
+    unique only up to rotation, so they match numpy's span, not its
+    entries)."""
     af, unf, _ = _batched(a)
+    m, n = af.shape[-2], af.shape[-1]
     if jnp.iscomplexobj(af):
         from .ops import complexlin as _cx
 
         rc = _cx.svd_complex_batched(jnp.real(af), jnp.imag(af))
         if not compute_uv:
             return unf(rc.s)
-        vh = jnp.swapaxes(rc.v_re, -1, -2) - 1j * jnp.swapaxes(
-            rc.v_im, -1, -2
-        )
-        return unf(rc.u_re + 1j * rc.u_im), unf(rc.s), unf(vh)
+        u_re, u_im = rc.u_re, rc.u_im
+        v_re, v_im = rc.v_re, rc.v_im
+        if full_matrices and m > n:
+            c_re, c_im = _cx.complete_basis_complex_batched(u_re, u_im)
+            u_re = jnp.concatenate([u_re, c_re], axis=-1)
+            u_im = jnp.concatenate([u_im, c_im], axis=-1)
+        if full_matrices and n > m:
+            c_re, c_im = _cx.complete_basis_complex_batched(v_re, v_im)
+            v_re = jnp.concatenate([v_re, c_re], axis=-1)
+            v_im = jnp.concatenate([v_im, c_im], axis=-1)
+        vh = jnp.swapaxes(v_re, -1, -2) - 1j * jnp.swapaxes(v_im, -1, -2)
+        return unf(u_re + 1j * u_im), unf(rc.s), unf(vh)
     r = _svd.svd_batched(af)
     if not compute_uv:
         return unf(r.s)
+    U, V = r.U, r.V
+    if full_matrices and m > n:
+        U = jnp.concatenate(
+            [U, _lstsq.complete_basis_batched(U)], axis=-1
+        )
+    if full_matrices and n > m:
+        V = jnp.concatenate(
+            [V, _lstsq.complete_basis_batched(V)], axis=-1
+        )
     # numpy returns V^H (rows are right singular vectors)
-    return unf(r.U), unf(r.s), unf(jnp.swapaxes(r.V, -1, -2))
+    return unf(U), unf(r.s), unf(jnp.swapaxes(V, -1, -2))
 
 
 def qr(a):
@@ -354,20 +372,60 @@ def pinv(a, rcond=None):
     return unf(_svd.pinv_batched(af, rcond=rcond))
 
 
+def _held_norm(af, p):
+    """Batched matrix norm for ``cond``: p ∈ {1, -1, inf, -inf, 'fro'}
+    on ``[B, m, n]`` (complex ok — jnp.abs gives the modulus)."""
+    mag = jnp.abs(af)
+    if p == "fro":
+        return jnp.sqrt(jnp.sum(mag * mag, axis=(-2, -1)))
+    col = jnp.sum(mag, axis=-2)
+    row = jnp.sum(mag, axis=-1)
+    return {
+        1: jnp.max(col, axis=-1),
+        -1: jnp.min(col, axis=-1),
+        jnp.inf: jnp.max(row, axis=-1),
+        -jnp.inf: jnp.min(row, axis=-1),
+    }[p]
+
+
 def cond(a, p=None):
-    """Spectral condition number (p=2, the numpy default)."""
-    if p not in (None, 2):
-        raise NotImplementedError(
-            "cond: only the spectral norm (p=2 / default) is provided; "
-            "ops.cond.cond1_est_batched estimates p=1 from one LU"
-        )
+    """Condition number in any numpy-supported norm: p ∈ {None, 2, -2}
+    from singular values; p ∈ {1, -1, inf, -inf, 'fro'} as
+    ‖A‖·‖A⁻¹‖ (square input; one inverse through the tuned LU —
+    numpy computes the same product).  For a cheap p=1 ESTIMATE
+    without the full inverse see ``ops.cond.cond1_est_batched``."""
+    import numpy as _np
+
     af, unf, _ = _batched(a)
-    if jnp.iscomplexobj(af):
+    is_c = jnp.iscomplexobj(af)
+    if p in (None, 2, -2):
+        if is_c:
+            from .ops import complexlin as _cx
+
+            s = _cx.svd_complex_batched(jnp.real(af), jnp.imag(af)).s
+        else:
+            s = _svd.svd_batched(af).s
+        if p == -2:
+            return unf(s[:, -1] / jnp.maximum(s[:, 0], 1e-37))
+        return unf(s[:, 0] / jnp.maximum(s[:, -1], 1e-37))
+    if p not in (1, -1, "fro") and not (
+        isinstance(p, float) and _np.isinf(p)
+    ):
+        raise ValueError(f"cond: unsupported norm order {p!r}")
+    if af.shape[-1] != af.shape[-2]:
+        raise ValueError("cond: p≠±2 requires square input (numpy too)")
+    if is_c:
         from .ops import complexlin as _cx
 
-        s = _cx.svd_complex_batched(jnp.real(af), jnp.imag(af)).s
-        return unf(s[:, 0] / jnp.maximum(s[:, -1], 1e-37))
-    return unf(_svd.cond2_batched(af))
+        ir, ii = _cx.inverse_complex_batched(jnp.real(af), jnp.imag(af))
+        inv_a = ir + 1j * ii
+    else:
+        inv_a = _dispatch.inverse_batched(af)
+    key = "fro" if p == "fro" else (
+        jnp.inf if (isinstance(p, float) and p > 0)
+        else (-jnp.inf if isinstance(p, float) else p)
+    )
+    return unf(_held_norm(af, key) * _held_norm(inv_a, key))
 
 
 def matrix_power(a, n: int):

@@ -933,3 +933,32 @@ def solve_complex_dd_batched(
     r = solve_dd_batched(M, rhs)
     x = r.x_hi + r.x_lo
     return x[:, :n], x[:, n:], r.resid, r.ok
+
+
+@jax.jit
+def complete_basis_complex_batched(u_re: jax.Array, u_im: jax.Array):
+    """Orthonormal complement of complex orthonormal columns
+    ``u [B, m, k]`` (k < m): ``[B, m, m-k]`` (re, im) with
+    ``[u | complement]`` unitary.  Complex counterpart of
+    ``ops.lstsq.complete_basis_batched`` — project a fixed Gaussian
+    block onto ``range(u)^⊥`` (two rounds) and orthonormalize with
+    complex CholeskyQR2; serves ``linalg.svd(full_matrices=True)``."""
+    B, m, k = u_re.shape
+    r = m - k
+    f32 = jnp.result_type(u_re.dtype, jnp.float32)
+    u_re = u_re.astype(f32)
+    u_im = u_im.astype(f32)
+    kr, ki = jax.random.split(jax.random.PRNGKey(7))
+    w_re = jnp.broadcast_to(
+        jax.random.normal(kr, (m, r), f32), (B, m, r)
+    )
+    w_im = jnp.broadcast_to(
+        jax.random.normal(ki, (m, r), f32), (B, m, r)
+    )
+    for _ in range(2):
+        p_re, p_im = _cmatmul(u_re, u_im, w_re, w_im, ta=True)
+        q_re, q_im = _cmatmul(u_re, u_im, p_re, p_im)
+        w_re, w_im = w_re - q_re, w_im - q_im
+        qr = qr_complex_batched(w_re, w_im)
+        w_re, w_im = qr.q_re, qr.q_im
+    return w_re, w_im

@@ -265,3 +265,34 @@ def _qr_impl(a: jax.Array) -> QRResult:
     a = a.astype(jnp.result_type(a.dtype, jnp.float32))
     Q, R, ok = _chol_qr2_tall(a)
     return QRResult(Q, R, ok)
+
+
+@jax.jit
+@f32_matmuls
+def complete_basis_batched(u: jax.Array) -> jax.Array:
+    """Orthonormal complement of orthonormal columns ``u [B, m, k]``
+    (k < m): returns ``[B, m, m-k]`` with ``[u | complement]`` an
+    orthonormal basis of R^m.
+
+    TPU-native construction — no Householder chain: project a fixed
+    Gaussian block onto ``range(u)^⊥`` and orthonormalize with the
+    shifted CholeskyQR2 pass (all MXU work); a second
+    project+orthonormalize round pins both the orthogonality and the
+    ``uᵀq = 0`` defect at the f32 floor.  The Gaussian block is full
+    rank after projection with probability 1; a fixed seed keeps the
+    result deterministic.  Serves ``linalg.svd(full_matrices=True)``
+    (numpy pads U/V the same way up to sign)."""
+    B, m, k = u.shape
+    r = m - k
+    f32 = jnp.result_type(u.dtype, jnp.float32)
+    u = u.astype(f32)
+    g = jax.random.normal(jax.random.PRNGKey(7), (m, r), f32)
+    w = jnp.broadcast_to(g, (B, m, r))
+    for _ in range(2):
+        w = w - jnp.einsum(
+            "bik,bkj->bij", u,
+            jnp.einsum("bki,bkj->bij", u, w, precision=_HIGH),
+            precision=_HIGH,
+        )
+        w, _, _ = _chol_qr2_tall(w)
+    return w

@@ -160,8 +160,46 @@ class TestFactorizations:
         )
         s_only = np.asarray(tla.svd(jnp.asarray(a), compute_uv=False))
         np.testing.assert_allclose(s_only, s, atol=1e-5)
-        with pytest.raises(NotImplementedError):
-            tla.svd(jnp.asarray(a), full_matrices=True)
+
+    @pytest.mark.parametrize("shape", [(20, 12), (12, 20)])
+    def test_svd_full_matrices(self, shape):
+        """full_matrices=True pads U (tall) / Vh (wide) with an
+        orthonormal complement — square factors, same reconstruction."""
+        m, n = shape
+        a = np.random.RandomState(13).randn(2, m, n).astype(np.float32)
+        u, s, vh = tla.svd(jnp.asarray(a), full_matrices=True)
+        u, s, vh = map(lambda x: np.asarray(x, np.float64), (u, s, vh))
+        assert u.shape == (2, m, m) and vh.shape == (2, n, n)
+        k = min(m, n)
+        np.testing.assert_allclose(
+            np.einsum("bik,bk,bkj->bij", u[:, :, :k], s, vh[:, :k]),
+            a, atol=1e-3,
+        )
+        for q in (u, vh):
+            eye = np.einsum("bki,bkj->bij", q, q)
+            np.testing.assert_allclose(
+                eye, np.broadcast_to(np.eye(q.shape[-1]), eye.shape),
+                atol=2e-4,
+            )
+
+    def test_svd_full_matrices_complex(self):
+        rng = np.random.RandomState(29)
+        a = (rng.randn(2, 14, 8) + 1j * rng.randn(2, 14, 8)).astype(
+            np.complex64
+        )
+        u, s, vh = tla.svd(jnp.asarray(a), full_matrices=True)
+        u = np.asarray(u, np.complex128)
+        s = np.asarray(s, np.float64)
+        vh = np.asarray(vh, np.complex128)
+        assert u.shape == (2, 14, 14) and vh.shape == (2, 8, 8)
+        np.testing.assert_allclose(
+            np.einsum("bik,bk,bkj->bij", u[:, :, :8], s, vh),
+            a, atol=2e-3,
+        )
+        eye = np.einsum("bki,bkj->bij", u.conj(), u)
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(14), eye.shape), atol=3e-4
+        )
 
     def test_cholesky(self):
         a = spd((3, 16, 16), seed=14)
@@ -183,8 +221,29 @@ class TestMisc:
         c = float(np.asarray(tla.cond(jnp.asarray(aw)))[0])
         want = np.linalg.cond(aw[0].astype(np.float64))
         assert abs(c - want) / want < 0.05
-        with pytest.raises(NotImplementedError):
-            tla.cond(jnp.asarray(aw), p=1)
+
+    @pytest.mark.parametrize(
+        "p", [1, -1, np.inf, -np.inf, "fro", -2]
+    )
+    def test_cond_all_norms(self, p):
+        aw = wellcond((2, 16, 16), seed=16)
+        got = np.asarray(tla.cond(jnp.asarray(aw), p=p), np.float64)
+        want = np.stack([
+            np.linalg.cond(aw[i].astype(np.float64), p=p)
+            for i in range(2)
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    def test_cond_complex_norms(self):
+        rng = np.random.RandomState(41)
+        a = (
+            rng.randn(1, 10, 10) + 1j * rng.randn(1, 10, 10)
+            + 6 * np.eye(10)
+        ).astype(np.complex64)
+        for p in (1, np.inf, "fro"):
+            got = float(np.asarray(tla.cond(jnp.asarray(a), p=p))[0])
+            want = np.linalg.cond(a[0].astype(np.complex128), p=p)
+            assert abs(got - want) / want < 1e-2
 
     @pytest.mark.parametrize("p", [0, 1, 3, 8, -1, -2])
     def test_matrix_power(self, p):
