@@ -30,6 +30,25 @@ import random
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (stress/fuzz/perf suites); "
+        "the CI/driver mode.  RUN_SLOW=1 in the environment works too.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow suite — run with --runslow (or RUN_SLOW=1)"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """Drop compiled executables between test modules.

@@ -4,6 +4,8 @@ affine_solve across shapes and backends vs numpy (f64) oracles."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -63,6 +63,7 @@ class TestDistributedDD:
         resp = np.abs(A64 @ xp - b64).max()
         assert res < resp / 1e3
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("tp", [1, 2, 4, 8])
     def test_mesh_shape_invariance(self, tp):
         from linalg_solver_tpu.parallel.distributed_dd import (

@@ -162,6 +162,7 @@ class TestDiagonalize:
         assert "Diagonalizace" in text
 
 
+@pytest.mark.slow
 class TestRadicalRootRobustness:
     def test_cubic_radical_spectrum(self):
         """Matrices whose characteristic polynomial has cubic-radical roots

@@ -325,6 +325,7 @@ class TestWeyrStability:
         assert (np.asarray(rep.geom_mult)[:, 1] == 0).all()
 
 
+@pytest.mark.slow
 class TestShardedSpectral:
     def test_matches_replicated(self):
         from linalg_solver_tpu.models.spectral import (
@@ -368,6 +369,7 @@ class TestShardedSpectral:
             spectral_pipeline_sharded(A, mesh)
 
 
+@pytest.mark.slow
 class TestSpectralFuzz:
     """Randomized differential test: spectral reports vs a float64 numpy
     oracle on random diagonalizable batches (random spectra with repeats,

@@ -131,6 +131,7 @@ class TestNativeAgainstPython:
         assert planner_pkg._load_native() is not None
 
 
+@pytest.mark.slow
 class TestNativePerformance:
     def test_native_faster_on_larger_pattern(self):
         """The native search should comfortably beat Python on a pattern

@@ -5,6 +5,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from linalg_solver_tpu.ops.arnoldi import (
     eigs_arnoldi_batched,
     eigs_arnoldi_matvec,

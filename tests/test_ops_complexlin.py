@@ -4,6 +4,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import pytest
+
 from linalg_solver_tpu.ops.complexlin import (
     det_complex_batched,
     inverse_complex_batched,
@@ -76,6 +78,7 @@ class TestComplexSolve:
         assert np.asarray(dr2)[0] == 0.0 and np.asarray(di2)[0] == 0.0
 
 
+@pytest.mark.slow
 class TestComplexEigh:
     def _hermitian(self, B, n, seed):
         rng = np.random.RandomState(seed)
@@ -185,6 +188,7 @@ class TestComplexEig:
             want.pop(j)
 
 
+@pytest.mark.slow
 class TestLinalgNamespaceComplex:
     def test_eig_eigh_complex_inputs(self):
         from linalg_solver_tpu import linalg as tla
@@ -212,6 +216,7 @@ class TestLinalgNamespaceComplex:
         assert tla.eigvalsh(H).shape == (2, n)
 
 
+@pytest.mark.slow
 class TestComplexFactorizations:
     """Complex SVD / QR / Cholesky / pinv / lstsq / slogdet through
     the real-embedding kernels (reference has no complex float paths;
@@ -343,6 +348,7 @@ class TestComplexFactorizations:
         assert np.asarray(sr)[2] == 0.0
 
 
+@pytest.mark.slow
 class TestLinalgNamespaceComplexFactorizations:
     def test_namespace_complex_routing(self):
         from linalg_solver_tpu import linalg as tla
@@ -396,6 +402,7 @@ class TestLinalgNamespaceComplexFactorizations:
         ).max() < 1e-3
 
 
+@pytest.mark.slow
 class TestComplexFunctionsAndEquations:
     """Complex matrix functions + Sylvester/Lyapunov through the
     embedding (reference has no complex float paths; scipy.linalg
@@ -507,6 +514,7 @@ class TestComplexFunctionsAndEquations:
         assert not bool(np.asarray(ok)[0])
 
 
+@pytest.mark.slow
 class TestComplexGeneralizedEigAndRoots:
     def test_generalized_eig(self):
         import scipy.linalg as sla

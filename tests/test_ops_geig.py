@@ -58,6 +58,7 @@ class TestEighGeneralized:
         assert bool(ok[0]) and not bool(ok[1])
 
 
+@pytest.mark.slow
 class TestEigGeneralized:
     def test_matches_scipy_eig(self):
         from scipy.linalg import eig
@@ -105,6 +106,7 @@ class TestEigGeneralized:
         assert float(np.asarray(res.rcond_b)[0]) > 1e-4
 
 
+@pytest.mark.slow
 class TestShiftedPencil:
     def _singular_pencil(self, B, n, n_inf, seed, finite_lams=None):
         """Regular pencil with n−n_inf known finite eigenvalues and

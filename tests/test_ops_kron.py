@@ -5,6 +5,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from linalg_solver_tpu.ops.kron import (
     kron_batched,
     kron_lstsq_batched,
@@ -134,6 +136,7 @@ class TestKron:
             assert np.abs(x[i] - want).max() / np.abs(want).max() < 1e-3
 
 
+@pytest.mark.slow
 class TestKronSum:
     def test_matches_dense(self):
         rng = np.random.RandomState(6)

@@ -4,6 +4,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from linalg_solver_tpu.ops.quadeig import quadeig_batched
 
 

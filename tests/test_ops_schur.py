@@ -200,6 +200,7 @@ class TestFloat64:
             assert bool(np.asarray(r2.valid).all())
 
 
+@pytest.mark.slow
 class TestMultishift:
     """Small-bulge multishift chain (dlaqr5 shape): shift-slot assembly
     and end-to-end correctness regressions for the two measured failure
@@ -276,6 +277,7 @@ class TestMultishift:
         assert int(done4) < int(done1) * 0.8, (int(done1), int(done4))
 
 
+@pytest.mark.slow
 class TestAED:
     """Aggressive early deflation (dlaqr2/3 shape): similarity
     soundness, the strict-inner-deflation regression (a large inner
@@ -417,6 +419,7 @@ class TestSpectralPipelineSchur:
         np.testing.assert_allclose(recon, A, atol=5e-2)
 
 
+@pytest.mark.slow
 class TestClusteredSpectra:
     """Regression: high-multiplicity clustered spectra used to stall the
     Francis iteration — mid-window subdiagonals bottom out just above the

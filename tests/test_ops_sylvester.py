@@ -21,6 +21,7 @@ def stable(B, n, seed=0, shift=None):
     ).astype(np.float32)
 
 
+@pytest.mark.slow
 class TestSylvester:
     def test_matches_scipy(self):
         from scipy.linalg import solve_sylvester

@@ -5,6 +5,8 @@ properties (canonical.rs:285-367, tests.rs:384-475)."""
 
 import random
 
+import pytest
+
 from linalg_solver_tpu.exact.permutation import Permutation
 from linalg_solver_tpu.planner import (
     AddRow,
@@ -428,6 +430,7 @@ def _validate_tree(pattern: "SparsityPattern", process, rows=None, cols=None):
         )
 
 
+@pytest.mark.slow
 class TestProcessTreeSoundness:
     def test_regression_cached_minor_coordinates(self):
         """Regression: remapped cache hits must fix up expansion minors'

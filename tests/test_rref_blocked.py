@@ -136,6 +136,7 @@ class TestLargeNSpectral:
         assert np.abs(rec - A).max() / np.abs(A).max() < 1e-3
 
 
+@pytest.mark.slow
 class TestBlockedRREFFuzz:
     """Randomized property sweep: random shapes, ranks, panel widths and
     per-matrix tolerances vs the loop oracle (RREF uniqueness makes the

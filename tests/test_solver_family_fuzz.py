@@ -10,6 +10,8 @@ surface.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 
