@@ -39,6 +39,7 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.precision import f32_matmuls
+from . import comm
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -58,13 +59,13 @@ def _rotate_ring(x, axis: str, p: int):
     bottom[d]→bottom[d−1]; top[p−1]→bottom[p−1]."""
     top, bottom = x
     d = lax.axis_index(axis)
-    t_shift = lax.ppermute(
+    t_shift = comm.ppermute(
         top, axis, [(e, e + 1) for e in range(p - 1)]
     )
-    b_shift = lax.ppermute(
+    b_shift = comm.ppermute(
         bottom, axis, [(e, e - 1) for e in range(1, p)]
     )
-    b0_to_t1 = lax.ppermute(bottom, axis, [(0, 1)])
+    b0_to_t1 = comm.ppermute(bottom, axis, [(0, 1)])
     new_top = jnp.where(
         d == 0, top, jnp.where(d == 1, b0_to_t1, t_shift)
     )
@@ -132,9 +133,9 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
         C = jnp.einsum("nk,km->nm", C, V, precision=_HIGH)
         Wl = jnp.einsum("nk,km->nm", Wl, V, precision=_HIGH)
         # left side: every pair's Vᵀ hits the matching local rows
-        Vs = lax.all_gather(V, axis)                       # [p, 2w, 2w]
-        tis = lax.all_gather(ti, axis)                     # [p]
-        bis = lax.all_gather(bi, axis)
+        Vs = comm.all_gather(V, axis)                       # [p, 2w, 2w]
+        tis = comm.all_gather(ti, axis)                     # [p]
+        bis = comm.all_gather(bi, axis)
         for e in range(p):
             ri = lax.dynamic_slice(C, (tis[e] * w, 0), (w, 2 * w))
             rj = lax.dynamic_slice(C, (bis[e] * w, 0), (w, 2 * w))
@@ -153,7 +154,9 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
         return C_top, C_bot, W_top, W_bot, tid, bid
 
     st = (C_top, C_bot, W_top, W_bot, tid0, bid0)
-    st = lax.fori_loop(0, sweeps * rounds, round_body, st)
+    # round_body is traced once; its collectives execute every trip.
+    with comm.loop_scale(sweeps * rounds):
+        st = lax.fori_loop(0, sweeps * rounds, round_body, st)
     C_top, C_bot, W_top, W_bot, tid, bid = st
     # contents are home again (the ring has period 2p−1 and we ran
     # whole sweeps): tid == 2d, bid == 2d+1.
@@ -169,7 +172,7 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
     wvec = jnp.zeros((n,), dtype)
     wvec = lax.dynamic_update_slice(wvec, dt, ((2 * d) * w,))
     wvec = lax.dynamic_update_slice(wvec, db, ((2 * d + 1) * w,))
-    wvec = lax.psum(wvec, axis)
+    wvec = comm.psum(wvec, axis)
 
     # convergence: off-diagonal mass of the local columns (everything
     # outside the two diagonal w×w blocks).  Summed DIRECTLY over the
@@ -181,8 +184,8 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
     zw = jnp.zeros((w, w), dtype)
     Co = lax.dynamic_update_slice(C, zw, ((2 * d) * w, 0))
     Co = lax.dynamic_update_slice(Co, zw, ((2 * d + 1) * w, w))
-    off = lax.psum(jnp.sum(Co * Co), axis)
-    fro = lax.psum(jnp.sum(C * C), axis)
+    off = comm.psum(jnp.sum(Co * Co), axis)
+    fro = comm.psum(jnp.sum(C * C), axis)
 
     V_loc = jnp.concatenate([W_top, W_bot], axis=1)
     return wvec, V_loc, off, fro
@@ -234,7 +237,8 @@ def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
         return C_top, C_bot, W_top, W_bot
 
     st = (C_top, C_bot, W_top, W_bot)
-    st = lax.fori_loop(0, sweeps * rounds, round_body, st)
+    with comm.loop_scale(sweeps * rounds):
+        st = lax.fori_loop(0, sweeps * rounds, round_body, st)
     C_top, C_bot, W_top, W_bot = st
     C = jnp.concatenate([C_top, C_bot], axis=1)
     Wl = jnp.concatenate([W_top, W_bot], axis=1)
@@ -248,7 +252,7 @@ def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
     svec = lax.dynamic_update_slice(
         svec, s_loc[w:], ((2 * d + 1) * w,)
     )
-    svec = lax.psum(svec, axis)
+    svec = comm.psum(svec, axis)
 
     # convergence: final Gram off-diagonality of the LOCAL pair (the
     # pairwise criterion every pair satisfied at its last visit).

@@ -50,6 +50,7 @@ from ..ops.lu_blocked import (
     invert_upper,
 )
 from ..utils.precision import f32_matmuls
+from . import comm
 
 
 def cyclic_column_order(n: int, nb: int, d_axis: int) -> jnp.ndarray:
@@ -97,7 +98,7 @@ def _build_lu_body(n: int, nb: int, d_axis: int, axis: str, tol: float):
 
             # ONE collective: broadcast the owner's [N, nb] panel.
             my_block = a_loc[:, lb * nb:(lb + 1) * nb]
-            panel = lax.psum(my_block * is_owner, axis)
+            panel = comm.psum(my_block * is_owner, axis)
 
             # Redundant local panel factorization on rows >= k0 (all
             # devices see identical data -> identical pivot choices).
@@ -157,7 +158,7 @@ def _build_solve_body(n: int, nb: int, d_axis: int, axis: str):
             owner, lb = j % d_axis, j // d_axis
             is_owner = (d == owner).astype(dtype)
             blk = a_loc[j * nb:(j + 1) * nb, lb * nb:(lb + 1) * nb]
-            diags.append(lax.psum(blk * is_owner, axis))
+            diags.append(comm.psum(blk * is_owner, axis))
 
         eye = jnp.eye(nb, dtype=dtype)
 
@@ -173,7 +174,7 @@ def _build_solve_body(n: int, nb: int, d_axis: int, axis: str):
             ys.append(y_j)
             if j + 1 < m:
                 Lbelow = a_loc[k0 + nb:, lb * nb:(lb + 1) * nb]
-                contrib = lax.psum((Lbelow @ y_j) * is_owner, axis)
+                contrib = comm.psum((Lbelow @ y_j) * is_owner, axis)
                 z = z.at[k0 + nb:].add(-contrib)
 
         # Backward: U x = y.
@@ -188,7 +189,7 @@ def _build_solve_body(n: int, nb: int, d_axis: int, axis: str):
             xs[j] = x_j
             if j > 0:
                 Uabove = a_loc[:k0, lb * nb:(lb + 1) * nb]
-                contrib = lax.psum((Uabove @ x_j) * is_owner, axis)
+                contrib = comm.psum((Uabove @ x_j) * is_owner, axis)
                 zz = zz.at[:k0].add(-contrib)
 
         return jnp.concatenate(xs, axis=0)
@@ -312,7 +313,7 @@ def distributed_det(
             dvec = jnp.sum(
                 blk * jnp.eye(nb, dtype=lu_loc.dtype), axis=-1
             )
-            parts.append(lax.psum(dvec * is_owner, axis))
+            parts.append(comm.psum(dvec * is_owner, axis))
         return jnp.prod(jnp.concatenate(parts))
 
     det_u = shard_map(
