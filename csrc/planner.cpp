@@ -695,12 +695,65 @@ ProcPtr remap_process(const ProcPtr& proc, const vector<int>& row_map,
 
 struct CacheEntry {
   Cost cost;
-  ProcPtr proc;  // in canonical coordinates
+  ProcPtr proc;   // in canonical coordinates (null if !exact)
+  bool exact;     // proven optimum vs bound-limited lower bound
+  long long lb;   // best lower bound proved so far (= cost if exact)
 };
 
 using Cache = std::unordered_map<uint64_t, CacheEntry>;
 
-std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache);
+constexpr long long kInfBudget = (1LL << 62);
+
+// Search result: exact optimum (proc set) or a proved lower bound
+// >= the caller's budget (proc null, bound in cost.mults).
+struct SearchResult {
+  Cost cost;
+  ProcPtr proc;
+  bool exact;
+};
+
+SearchResult search(const Pattern& g, Cache& cache, long long budget);
+
+// Admissible lower bound on Cost.total (mirrors planner/bound.py):
+// det(P) depends on exactly the entries lying on some perfect matching
+// (permutation monomials never cancel), and computing a function of m
+// variables needs >= m-1 counted binary ops.  Structurally singular
+// patterns bound at 0.  Entry (r, c) not in matching M is on some
+// perfect matching iff r and M^-1(c) share an SCC of the matching
+// digraph (rows as vertices, r -> M^-1(c) per nonzero).
+long long influential_lower_bound(const Pattern& g) {
+  const int n = g.rows;
+  if (n != g.cols || n <= 1) return 0;
+  Matching m = hopcroft_karp(g);
+  for (int r = 0; r < n; ++r)
+    if (m.row_to_col[r] < 0) return 0;
+
+  vector<vector<int>> adj(n);
+  for (int r = 0; r < n; ++r) {
+    uint64_t bits = g.bits[r];
+    while (bits) {
+      int c = __builtin_ctzll(bits);
+      bits &= bits - 1;
+      if (c != m.row_to_col[r]) adj[r].push_back(m.col_to_row[c]);
+    }
+  }
+  vector<int> scc_id(n, 0);
+  auto comps = tarjan_scc(adj);
+  for (int i = 0; i < (int)comps.size(); ++i)
+    for (int v : comps[i]) scc_id[v] = i;
+
+  long long influential = 0;
+  for (int r = 0; r < n; ++r) {
+    uint64_t bits = g.bits[r];
+    while (bits) {
+      int c = __builtin_ctzll(bits);
+      bits &= bits - 1;
+      if (c == m.row_to_col[r] || scc_id[r] == scc_id[m.col_to_row[c]])
+        ++influential;
+    }
+  }
+  return influential > 0 ? influential - 1 : 0;
+}
 
 void consider(std::pair<Cost, ProcPtr>& best, bool& has_best, Cost cost,
               ProcPtr proc) {
@@ -737,21 +790,37 @@ using ExactCache =
     std::unordered_map<PatternKey, std::pair<Cost, ProcPtr>, PatternKeyHash>;
 ExactCache* g_exact_cache = nullptr;
 
-std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
+SearchResult search(const Pattern& g, Cache& cache, long long budget) {
   const int n = g.rows;
-  if (n <= 2) return {direct_cost(n), make_direct(n, g.entries())};
+  if (n <= 2)
+    return {direct_cost(n), make_direct(n, g.entries()), true};
 
   PatternKey key{g.rows, g.cols, g.bits};
   if (g_exact_cache) {
     auto hit = g_exact_cache->find(key);
-    if (hit != g_exact_cache->end()) return hit->second;
+    if (hit != g_exact_cache->end())
+      return {hit->second.first, hit->second.second, true};
   }
 
   CanonicalForm canon = canonicalize(g);
   auto it = cache.find(canon.hash);
   if (it != cache.end()) {
-    return {it->second.cost,
-            remap_process(it->second.proc, canon.row_perm, canon.col_perm)};
+    if (it->second.exact)
+      return {it->second.cost,
+              remap_process(it->second.proc, canon.row_perm,
+                            canon.col_perm),
+              true};
+    if (it->second.lb >= budget)
+      return {Cost{it->second.lb, 0}, nullptr, false};
+  }
+
+  // Static admissible bound (planner/bound.py twin): prune before any
+  // recursion when it already proves the optimum >= budget.
+  long long lb0 = influential_lower_bound(g);
+  if (it != cache.end() && it->second.lb > lb0) lb0 = it->second.lb;
+  if (lb0 >= budget) {
+    cache[canon.hash] = {Cost{lb0, 0}, nullptr, false, lb0};
+    return {Cost{lb0, 0}, nullptr, false};
   }
 
   // Sentinel against AddRow recursion cycles: direct cost upper bound,
@@ -763,37 +832,63 @@ std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
     for (auto& rc : g.entries())
       canonical_nz.emplace_back(inv_r[rc.first], inv_c[rc.second]);
     std::sort(canonical_nz.begin(), canonical_nz.end());
-    cache[canon.hash] = {direct_cost(n), make_direct(n, canonical_nz)};
+    cache[canon.hash] = {direct_cost(n), make_direct(n, canonical_nz),
+                         true, 0};
   }
 
   std::pair<Cost, ProcPtr> best;
   bool has_best = false;
+  long long node_lb = kInfBudget;  // min candidate bound (all-pruned)
+
+  auto ub = [&]() -> long long {
+    long long b = budget;
+    if (has_best && best.first.total() < b) b = best.first.total();
+    return b;
+  };
+  auto note_lb = [&](long long v) {
+    if (v < node_lb) node_lb = v;
+  };
 
   // Strategy 1: block triangular via DM.
   {
     DMResult dm = dulmage_mendelsohn(g);
     if (dm.block_sizes.size() > 1) {
+      long long immediate = (long long)dm.block_sizes.size() - 1;
       Cost total{0, 0};
       vector<ProcPtr> blocks;
       int offset = 0;
+      bool abandoned = false;
       for (int bs : dm.block_sizes) {
+        long long sub_budget = ub() - immediate - total.total();
+        if (sub_budget <= 0) {
+          note_lb(immediate + total.total());
+          abandoned = true;
+          break;
+        }
         vector<int> brs(dm.row_perm.begin() + offset,
                         dm.row_perm.begin() + offset + bs);
         vector<int> bcs(dm.col_perm.begin() + offset,
                         dm.col_perm.begin() + offset + bs);
-        auto [bc, bp] = search(g.submatrix(brs, bcs), cache);
-        total = total + bc;
-        blocks.push_back(bp);
+        SearchResult sr = search(g.submatrix(brs, bcs), cache, sub_budget);
+        if (!sr.exact) {
+          note_lb(immediate + total.total() + sr.cost.total());
+          abandoned = true;
+          break;
+        }
+        total = total + sr.cost;
+        blocks.push_back(sr.proc);
         offset += bs;
       }
-      total.mults += (long long)dm.block_sizes.size() - 1;
-      auto p = std::make_shared<Process>();
-      p->kind = Process::kBlockTri;
-      p->blocks = std::move(blocks);
-      p->row_perm = dm.row_perm;
-      p->col_perm = dm.col_perm;
-      p->nz = g.entries();
-      consider(best, has_best, total, p);
+      if (!abandoned) {
+        total.mults += immediate;
+        auto p = std::make_shared<Process>();
+        p->kind = Process::kBlockTri;
+        p->blocks = std::move(blocks);
+        p->row_perm = dm.row_perm;
+        p->col_perm = dm.col_perm;
+        p->nz = g.entries();
+        consider(best, has_best, total, p);
+      }
     }
   }
 
@@ -807,9 +902,18 @@ std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
         consider(best, has_best, Cost{0, 0}, make_direct(n, g.entries()));
         continue;
       }
+      int k = (int)nonzeros.size();
+      long long immediate = 2LL * k - 1;  // k mults + (k-1) adds
       Cost total{0, 0};
+      bool abandoned = false;
       vector<std::pair<int, ProcPtr>> minors;
       for (int crossing : nonzeros) {
+        long long sub_budget = ub() - immediate - total.total();
+        if (sub_budget <= 0) {
+          note_lb(immediate + total.total());
+          abandoned = true;
+          break;
+        }
         vector<int> rs, cs;
         for (int i = 0; i < n; ++i) {
           if (axis == 0) {
@@ -820,11 +924,16 @@ std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
             if (i != line) cs.push_back(i);
           }
         }
-        auto [mc, mp] = search(g.submatrix(rs, cs), cache);
-        total = total + mc;
-        minors.emplace_back(crossing, mp);
+        SearchResult sr = search(g.submatrix(rs, cs), cache, sub_budget);
+        if (!sr.exact) {
+          note_lb(immediate + total.total() + sr.cost.total());
+          abandoned = true;
+          break;
+        }
+        total = total + sr.cost;
+        minors.emplace_back(crossing, sr.proc);
       }
-      int k = (int)nonzeros.size();
+      if (abandoned) continue;
       total.mults += k;
       if (k > 1) total.adds += k - 1;
       auto p = std::make_shared<Process>();
@@ -850,34 +959,62 @@ std::pair<Cost, ProcPtr> search(const Pattern& g, Cache& cache) {
           b &= b - 1;
           Pattern mod = g.with_add_row(src, dst, pivot_col);
           if (mod.total_nnz() >= nnz_before) continue;
-          auto [sc, sp] = search(mod, cache);
           int overlap =
               __builtin_popcountll(both & ~(1ull << pivot_col));
           Cost op{src_nnz - 1, overlap};
+          // Static bound first: skip without recursing (this is
+          // where the exponential AddRow branching gets cut).
+          long long mod_lb = influential_lower_bound(mod);
+          if (op.total() + mod_lb >= ub()) {
+            note_lb(op.total() + mod_lb);
+            continue;
+          }
+          SearchResult sr = search(mod, cache, ub() - op.total());
+          if (!sr.exact) {
+            note_lb(op.total() + sr.cost.total());
+            continue;
+          }
           auto p = std::make_shared<Process>();
           p->kind = Process::kAddRow;
           p->src = src;
           p->dst = dst;
           p->pivot_col = pivot_col;
-          p->result = sp;
+          p->result = sr.proc;
           p->nz = g.entries();
-          consider(best, has_best, op + sc, p);
+          consider(best, has_best, op + sr.cost, p);
         }
       }
     }
   }
 
-  if (!has_best) best = {direct_cost(n), make_direct(n, g.entries())};
-
-  // Cache in canonical coordinates (+ exact-bits front cache).
-  {
+  if (has_best && best.first.total() < budget) {
     auto inv_r = invert_perm(canon.row_perm);
     auto inv_c = invert_perm(canon.col_perm);
     cache[canon.hash] = {best.first,
-                         remap_process(best.second, inv_r, inv_c)};
+                         remap_process(best.second, inv_r, inv_c), true,
+                         best.first.total()};
+    if (g_exact_cache) (*g_exact_cache)[key] = best;
+    return {best.first, best.second, true};
   }
-  if (g_exact_cache) (*g_exact_cache)[key] = best;
-  return best;
+
+  if (!has_best && node_lb >= kInfBudget) {
+    // No strategy applied at all: direct evaluation fallback.
+    best = {direct_cost(n), make_direct(n, g.entries())};
+    auto inv_r = invert_perm(canon.row_perm);
+    auto inv_c = invert_perm(canon.col_perm);
+    cache[canon.hash] = {best.first,
+                         remap_process(best.second, inv_r, inv_c), true,
+                         best.first.total()};
+    if (g_exact_cache) (*g_exact_cache)[key] = best;
+    return {best.first, best.second, true};
+  }
+
+  // Bound-limited: every candidate proved >= budget.
+  long long lb = node_lb;
+  if (has_best && best.first.total() < lb) lb = best.first.total();
+  if (lb0 > lb) lb = lb0;
+  cache[canon.hash] = {Cost{lb, 0}, nullptr, false, lb};
+  return {Cost{lb, 0}, nullptr, false};
 }
 
 // ---------------------------------------------------------------------------
@@ -969,7 +1106,9 @@ const char* planner_find_optimal(const uint8_t* data, int rows, int cols) {
   Cache cache;
   ExactCache exact;
   g_exact_cache = &exact;
-  auto [cost, proc] = search(g, cache);
+  SearchResult sres = search(g, cache, kInfBudget);
+  Cost cost = sres.cost;
+  ProcPtr proc = sres.proc;
   g_exact_cache = nullptr;
   string out = "{\"cost\":{\"mults\":" + std::to_string(cost.mults) +
                ",\"adds\":" + std::to_string(cost.adds) + "},\"process\":";

@@ -37,7 +37,7 @@ from .process import (
     canonicalize_process,
     remap_process,
 )
-from .search import find_optimal_process
+from .search import find_optimal_process, plan_anytime
 
 
 @dataclass
@@ -111,6 +111,7 @@ __all__ = [
     "canonicalize_matrix",
     "check_permutation_equivalent",
     "find_optimal_process",
+    "plan_anytime",
     "SparsityPattern",
     "Matching",
     "hopcroft_karp",
