@@ -24,14 +24,14 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _time_fn(fn, a, b, iters: int = 10) -> float:
+def _time_fn(fn, *args, iters: int = 10) -> float:
     from linalg_solver_tpu.utils.benchmarking import device_slope_time
 
     # Slope between two on-device scan-loop lengths: cancels both the
     # tunnel's per-dispatch latency and the runtime's fixed per-
     # iteration loop cost, leaving pure device throughput (agrees with
     # jax.profiler device totals); best of three against variance.
-    return device_slope_time(fn, a, b, i1=5, i2=25, repeats=3)
+    return device_slope_time(fn, *args, i1=5, i2=25, repeats=3)
 
 
 def main() -> None:
@@ -72,6 +72,27 @@ def main() -> None:
     t_base = _time_fn(baseline, a, b)
     del resid
 
+    # BASELINE metric 2: 1k-batch Gauss-Jordan inverse matrices/sec
+    # (the Pallas batch-in-lanes kernel) vs jnp.linalg.inv.
+    Bi, Ni = 1024, 64
+    ai = jax.random.normal(
+        jax.random.PRNGKey(3), (Bi, Ni, Ni), jnp.float32
+    ) + (4.0 * Ni**0.5) * jnp.eye(Ni, dtype=jnp.float32)
+    from linalg_solver_tpu.ops.pallas import inverse_batched as pinv_b
+
+    inv_ours = jax.jit(pinv_b)
+    inv_base = jax.jit(jnp.linalg.inv)
+    ident = jnp.einsum(
+        "bij,bjk->bik", ai, inv_ours(ai),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    inv_err = float(
+        jnp.max(jnp.abs(ident - jnp.eye(Ni, dtype=jnp.float32)))
+    )
+    assert inv_err < 1e-2, f"inverse inaccurate: {inv_err}"
+    t_inv = _time_fn(inv_ours, ai)
+    t_inv_base = _time_fn(inv_base, ai)
+
     gflops = flops / t_ours / 1e9
     gflops_base = flops / t_base / 1e9
     print(
@@ -81,6 +102,10 @@ def main() -> None:
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / gflops_base, 3),
+                "metric2": "1k-batch 64x64 Gauss-Jordan inverse (Pallas)",
+                "value2": round(Bi / t_inv, 0),
+                "unit2": "matrices/s",
+                "vs_baseline2": round(t_inv_base / t_inv, 3),
             }
         )
     )

@@ -55,7 +55,7 @@ t("jnp.linalg.solve",
 def phases_full(a, b3):
     with jax.default_matmul_precision("bfloat16"):
         ph = lub._pallas_lu_phases(a, NB, False, rhs=b3)
-    return ph.a_out, ph.ys[-1], ph.u11s_inv[-1]
+    return ph.panels[-1], ph.ys[-1], ph.u11s_inv[-1]
 
 t("phases (factor+fwd+u11inv)", phases_full, a, b3)
 
@@ -65,7 +65,7 @@ def phases_nou11(a, b3):
     with jax.default_matmul_precision("bfloat16"):
         ph = lub._pallas_lu_phases(a, NB, False, need_u11_inv=False,
                                    rhs=b3)
-    return ph.a_out, ph.ys[-1]
+    return ph.panels[-1], ph.ys[-1]
 
 t("phases (no u11 inverses)", phases_nou11, a, b3)
 
@@ -74,7 +74,7 @@ t("phases (no u11 inverses)", phases_nou11, a, b3)
 def phases_norhs(a):
     with jax.default_matmul_precision("bfloat16"):
         ph = lub._pallas_lu_phases(a, NB, False, need_u11_inv=False)
-    return ph.a_out, ph.u11_diags[-1]
+    return ph.panels[-1], ph.u11_diags[-1]
 
 t("phases (no rhs, no u11inv)", phases_norhs, a)
 

@@ -321,11 +321,14 @@ def _panel_factor_two_level(panel, nb, nbi, tol):
 class _PallasLUPhases(NamedTuple):
     """Unassembled artifacts of the deferred-reordering phase loop.
 
-    Rows of ``a_out`` are in ORIGINAL (unpivoted) order; column block j
-    holds phase j's eliminated panel.  Everything a solve/det needs is
-    here without ever materializing the packed L\\U.
+    ``panels[j] [B, N, nb]`` is phase j's ELIMINATED panel with rows in
+    ORIGINAL (unpivoted) order — kept as a per-phase list, never written
+    back into a full [B, N, N] buffer (each ``.at[].set`` there
+    re-materialized the whole 64 MB array: measured ~1.1 ms of pure
+    copy traffic per factorization at B=N=256).  Everything a solve/det
+    needs is here without ever materializing the packed L\\U.
     """
-    a_out: jax.Array            # [B, N, N] panels in original row order
+    panels: list                # per phase: [B, N, nb] eliminated panel
     piv_rows: list              # per phase: [B, nb] pivot row per step
     u12s: list                  # per phase (except last): [B, nb, W]
     l11s_inv: list              # per phase: [B, nb, nb]
@@ -362,24 +365,31 @@ def _pallas_lu_phases(
     from .pallas.lu_panel_kernel import panel_factor_masked
 
     B, N, _ = a.shape
-    A = a.astype(jnp.result_type(a.dtype, jnp.float32))
-    eye_nb = jnp.eye(nb, dtype=A.dtype)
+    trail = a.astype(jnp.result_type(a.dtype, jnp.float32))
+    dtype = trail.dtype
+    eye_nb = jnp.eye(nb, dtype=dtype)
 
     pivoted = jnp.zeros((B, N), jnp.int32)
     ok = jnp.ones((B,), bool)
-    piv_rows, u12s, l11s_inv, l11u11s = [], [], [], []
+    panels, piv_rows, u12s, l11s_inv, l11u11s = [], [], [], [], []
     ys = [] if rhs is not None else None
     if rhs is not None:
-        rhs = rhs.astype(A.dtype)
+        rhs = rhs.astype(dtype)
 
+    # The carried state is ONLY the shrinking trailing block [B, N, W]
+    # — eliminated panels go to a per-phase list.  Writing them back
+    # into a full [B, N, N] buffer (`A.at[:, :, k0:].set(...)`) forced
+    # XLA to re-materialize all 64 MB of A twice per phase (measured
+    # ~1.1 ms of the 3.6 ms factorization at B=N=256, nb=64).
     for k0 in range(0, N, nb):
-        panel = A[:, :, k0:k0 + nb]
+        panel = trail[:, :, :nb]
+        trail = trail[:, :, nb:]
         panel_u, _, piv_row, pivoted, pok = panel_factor_masked(
             panel, pivoted, nb, interpret=interpret
         )
         ok = ok & pok
         piv_rows.append(piv_row.astype(jnp.int32))
-        A = A.at[:, :, k0:k0 + nb].set(panel_u)
+        panels.append(panel_u)
 
         # This phase's pivot rows in step order hold L11 (strictly below
         # the diagonal) and U11 (on/above) — one one-hot row-select GEMM.
@@ -392,7 +402,7 @@ def _pallas_lu_phases(
         if not last or ys is not None:
             # Rows not yet pivoted (≡ below the diagonal in pivot order):
             # exactly the L21 block, in unordered row space.
-            unpiv = (pivoted == 0).astype(A.dtype)
+            unpiv = (pivoted == 0).astype(dtype)
             L21m = panel_u * unpiv[:, :, None]
         if ys is not None:
             y_i = l11i @ _take_rows_mxu(rhs, piv_rows[-1])
@@ -400,13 +410,12 @@ def _pallas_lu_phases(
             if not last:
                 rhs = rhs - L21m @ y_i
         if not last:
-            trail = A[:, :, k0 + nb:]
             A12 = _take_rows_mxu(trail, piv_rows[-1])
             U12 = l11i @ A12                     # [B, nb, W]
             u12s.append(U12)
             # Masked trailing GEMM: pivoted rows (finished U rows and
             # this phase's pivots) contribute zero and stay untouched.
-            A = A.at[:, :, k0 + nb:].set(trail - L21m @ U12)
+            trail = trail - L21m @ U12
 
     # U11 inverses are only consumed by the solve, never inside the
     # phase loop — one STACKED Neumann/D&C chain over all m diagonal
@@ -429,7 +438,7 @@ def _pallas_lu_phases(
         u11s_inv = [None] * m_ph
 
     return _PallasLUPhases(
-        A, piv_rows, u12s, l11s_inv, u11s_inv, u11_diags, ok, ys
+        panels, piv_rows, u12s, l11s_inv, u11s_inv, u11_diags, ok, ys
     )
 
 
@@ -439,13 +448,13 @@ def _pallas_lu(a: jax.Array, nb: int, interpret: bool) -> BlockedLUResult:
     dominated the straightforward implementation — measured ~5 of 6.6 ms
     device time at B=N=256)."""
     ph = _pallas_lu_phases(a, nb, interpret)
-    A, piv_rows, u12s, ok = ph.a_out, ph.piv_rows, ph.u12s, ph.ok
+    piv_rows, u12s, ok = ph.piv_rows, ph.u12s, ph.ok
 
     perm = jnp.concatenate(piv_rows, axis=1)     # [B, N]
-    lu = _take_rows_mxu(A, perm)
+    lu = _take_rows_mxu(jnp.concatenate(ph.panels, axis=2), perm)
     for p, U12 in enumerate(u12s):
         lu = lu.at[:, p * nb:(p + 1) * nb, (p + 1) * nb:].set(U12)
-    sign = _perm_parity(perm).astype(A.dtype)
+    sign = _perm_parity(perm).astype(lu.dtype)
     return BlockedLUResult(
         lu, perm, sign, ok,
         jnp.stack(ph.l11s_inv, axis=1), jnp.stack(ph.u11s_inv, axis=1),
@@ -481,6 +490,45 @@ def pallas_solve_batched(
     return x[:, :, 0] if vector_input else x
 
 
+def _assemble_uinv(ph: _PallasLUPhases, m: int, nb: int) -> jax.Array:
+    """Full ``U⁻¹ [B, N, N]`` merged from the cached per-phase diagonal
+    inverses and U12 slabs: sequential block-triangular merges
+    ``[Ui, −Ui·B12·Unext; 0, Unext]`` — 2 GEMMs per phase, all MXU.
+
+    Turns every backward substitution into ONE [B, N, N] GEMV — the
+    mixed path runs 3 of them (init + 2 refinement rounds), and the
+    m-block substitution's ~10 small dispatch-bound ops each were the
+    largest solve-side cost (measured ~1.6 ms of the 4.6 ms total at
+    B=N=256, nb=64).  Explicit-inverse application trades a κ(U)·eps
+    residual term for speed — safe HERE because iterative refinement
+    (plus the per-lane fallback rescue) restores the residual; the
+    no-refinement f32 path keeps blocked substitution."""
+    Bz = ph.u11s_inv[0].shape[0]
+    dtype = ph.u11s_inv[0].dtype
+    Ui = ph.u11s_inv[0]
+    for i in range(1, m):
+        s = i * nb
+        B12 = jnp.concatenate(
+            [
+                ph.u12s[j][:, :, (i - j - 1) * nb:(i - j) * nb]
+                for j in range(i)
+            ],
+            axis=1,
+        )                                          # [B, s, nb]
+        top_right = -(Ui @ (B12 @ ph.u11s_inv[i]))
+        Ui = jnp.concatenate(
+            [
+                jnp.concatenate([Ui, top_right], axis=2),
+                jnp.concatenate(
+                    [jnp.zeros((Bz, nb, s), dtype), ph.u11s_inv[i]],
+                    axis=2,
+                ),
+            ],
+            axis=1,
+        )
+    return Ui
+
+
 def _phases_backward(ph: _PallasLUPhases, ys, m: int, nb: int):
     """Backward substitution ``U x = y`` against the unassembled phase
     artifacts: ``U_ij`` for j > i is a slice of the kept U12 slab, the
@@ -498,9 +546,11 @@ def _phases_backward(ph: _PallasLUPhases, ys, m: int, nb: int):
     return jnp.concatenate(xs, axis=1)
 
 
-def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
-    """Forward + backward substitution against the UNASSEMBLED phase
-    artifacts for a fresh right-hand side ``b3 [B, N, K]``.
+def _phases_forward(ph: _PallasLUPhases, later_masks, b3, m: int,
+                    nb: int):
+    """Forward substitution ``L y = P b3`` against the UNASSEMBLED
+    phase artifacts for a fresh right-hand side ``b3 [B, N, K]``;
+    returns the per-phase ``ys`` list.
 
     ``later_masks[i] [B, N, 1]`` is 1.0 exactly on rows pivoted in a
     phase > i — those rows of phase i's eliminated panel hold the L21
@@ -513,8 +563,14 @@ def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
         y_i = ph.l11s_inv[i] @ _take_rows_mxu(rhs, ph.piv_rows[i])
         ys.append(y_i)
         if i < m - 1:
-            L21m = ph.a_out[:, :, i * nb:(i + 1) * nb] * later_masks[i]
+            L21m = ph.panels[i] * later_masks[i]
             rhs = rhs - L21m @ y_i
+    return ys
+
+
+def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
+    """Forward + blocked backward substitution for a fresh RHS."""
+    ys = _phases_forward(ph, later_masks, b3, m, nb)
     return _phases_backward(ph, ys, m, nb)
 
 
@@ -588,6 +644,10 @@ def pallas_solve_mixed_batched(
             later_masks.append((1.0 - cum)[:, :, None])
 
         # Iteration 0's forward substitution rode the phase loop.
+        # (An assembled full U⁻¹ turning each backward pass into one
+        # GEMV was measured NEUTRAL here — 609 vs 633 GFLOP/s at
+        # B=N=256 — the merge GEMMs cost what the removed small ops
+        # saved; see _assemble_uinv.)
         x = _phases_backward(ph, ph.ys, m, nb)
 
     for _ in range(ir_steps):
