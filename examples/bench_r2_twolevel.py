@@ -1,0 +1,45 @@
+"""Measure the two-level Pallas panel (sub-kernel width nbi) at the
+bench shape: kernel VPU work is quadratic in width, so nbi=32 quarters
+it per sub-panel at the price of inter-sub-panel MXU updates."""
+
+import functools
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from linalg_solver_tpu.ops import lu_blocked as lub
+from linalg_solver_tpu.utils.benchmarking import device_slope_time
+
+B, N = 256, 256
+key = jax.random.PRNGKey(0)
+k_a, k_b = jax.random.split(key)
+a = jax.random.normal(k_a, (B, N, N), jnp.float32) + (
+    4.0 * N**0.5
+) * jnp.eye(N, dtype=jnp.float32)
+b = jax.random.normal(k_b, (B, N), jnp.float32)
+a64 = np.asarray(a, np.float64)
+b64 = np.asarray(b, np.float64)
+
+FLOPS = B * (2.0 / 3.0 * N**3 + 2.0 * N**2)
+results = {}
+
+for nb, nbi in ((64, None), (64, 32), (64, 16), (128, 32)):
+    f = jax.jit(functools.partial(
+        lub.pallas_solve_mixed_batched, nb=nb, nbi=nbi
+    ))
+    x = np.asarray(f(a, b), np.float64)
+    resid = np.max(np.linalg.norm(
+        np.einsum("bij,bj->bi", a64, x) - b64, axis=1
+    ) / np.linalg.norm(b64, axis=1))
+    sec = device_slope_time(f, a, b)
+    gf = FLOPS / sec / 1e9
+    results[f"nb={nb} nbi={nbi}"] = [round(gf, 1), float(resid)]
+    print(f"nb={nb} nbi={str(nbi):>4}: {sec * 1e3:7.3f} ms  "
+          f"{gf:7.1f} GFLOP/s  resid {resid:.2e}", flush=True)
+
+print(json.dumps(results))

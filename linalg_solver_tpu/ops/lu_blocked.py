@@ -45,6 +45,8 @@ class BlockedLUResult(NamedTuple):
     u11_inv: Optional[jax.Array] = None
 
 
+_HIGH = jax.lax.Precision.HIGHEST
+
 #: below this size, triangular inverses use the Neumann product instead of
 #: recursing — ~10 chunky batched matmuls beat ~60 tiny ops on TPU, where
 #: small-op dispatch latency dominates.
@@ -338,9 +340,79 @@ class _PallasLUPhases(NamedTuple):
     ys: Optional[list] = None   # per phase: [B, nb, K] forward-subst. y
 
 
+def _panel_pallas_two_level(panel, pivoted, nb, nbi, interpret):
+    """Factor one [B, N, nb] panel with the Pallas kernel, optionally
+    in TWO LEVELS: ``nbi``-wide sub-panels through the kernel with MXU
+    GEMM propagation between them.
+
+    The kernel's per-step live-block pass is VPU-bound with work
+    quadratic in the panel width (measured 0.45 ms/panel at nb=64,
+    B=256, N=256 — the binding constraint of the whole solve per the
+    STATUS ceiling model), so halving the kernel width quarters the
+    per-sub-panel VPU work while the inter-sub-panel updates ride the
+    MXU.  ``nbi=None`` (or ``nbi >= nb``) is the single-level path.
+
+    Algebraically identical to one level: the second sub-panel's
+    pivot candidates see the already-updated columns (the inner U12
+    rows are scattered back into the remaining panel columns so the
+    outer ``L11U11 = take_rows(panel_u)`` block stays the packed
+    factorization of the whole panel)."""
+    from .pallas.lu_panel_kernel import panel_factor_masked
+    from .select import onehot_matmul, onehot_rows
+
+    B, N, _ = panel.shape
+    dtype = panel.dtype
+    if nbi is None or nbi >= nb:
+        panel_u, _, piv_row, pivoted, ok = panel_factor_masked(
+            panel, pivoted, nb, interpret=interpret
+        )
+        return panel_u, piv_row.astype(jnp.int32), pivoted, ok
+
+    assert nb % nbi == 0
+    eye_i = jnp.eye(nbi, dtype=dtype)
+    ok = jnp.ones((B,), bool)
+    piv_parts, sub_panels = [], []
+    rest = panel
+    for c0 in range(0, nb, nbi):
+        subp = rest[:, :, :nbi]
+        rest = rest[:, :, nbi:]
+        subp_u, _, piv_i, pivoted, pok = panel_factor_masked(
+            subp, pivoted, nbi, interpret=interpret
+        )
+        ok = ok & pok
+        piv_i = piv_i.astype(jnp.int32)
+        piv_parts.append(piv_i)
+        sub_panels.append(subp_u)
+        if rest.shape[2]:
+            oh = onehot_rows(piv_i, N)               # [B, nbi, N] bf16
+            L11U11i = onehot_matmul(oh, subp_u)
+            l11i = invert_unit_lower(
+                jnp.tril(L11U11i, -1) + eye_i
+            )
+            A12i = onehot_matmul(oh, rest)           # [B, nbi, W]
+            U12i = l11i @ A12i
+            unpiv = (pivoted == 0).astype(dtype)
+            # Scatter U12i into this sub-panel's pivot rows (the outer
+            # take_rows(panel_u) needs the packed U there) and apply
+            # the masked rank-nbi update to the unpivoted rows.
+            ohf = oh.astype(dtype)
+            scatter = jnp.einsum(
+                "bkn,bkw->bnw", ohf, U12i, precision=_HIGH
+            )
+            rowmask = jnp.sum(ohf, axis=1)           # [B, N]
+            rest = (
+                rest * (1.0 - rowmask[:, :, None])
+                + scatter
+                - (subp_u * unpiv[:, :, None]) @ U12i
+            )
+    panel_u = jnp.concatenate(sub_panels, axis=2)
+    piv_row = jnp.concatenate(piv_parts, axis=1)
+    return panel_u, piv_row, pivoted, ok
+
+
 def _pallas_lu_phases(
     a: jax.Array, nb: int, interpret: bool, need_u11_inv: bool = True,
-    rhs: Optional[jax.Array] = None,
+    rhs: Optional[jax.Array] = None, nbi: Optional[int] = None,
 ) -> _PallasLUPhases:
     """Phase loop of the deferred-reordering blocked LU around the masked
     Pallas panel kernel.
@@ -362,8 +434,6 @@ def _pallas_lu_phases(
     selects it replaces cost more device time than the whole backward
     pass).
     """
-    from .pallas.lu_panel_kernel import panel_factor_masked
-
     B, N, _ = a.shape
     trail = a.astype(jnp.result_type(a.dtype, jnp.float32))
     dtype = trail.dtype
@@ -384,11 +454,11 @@ def _pallas_lu_phases(
     for k0 in range(0, N, nb):
         panel = trail[:, :, :nb]
         trail = trail[:, :, nb:]
-        panel_u, _, piv_row, pivoted, pok = panel_factor_masked(
-            panel, pivoted, nb, interpret=interpret
+        panel_u, piv_row, pivoted, pok = _panel_pallas_two_level(
+            panel, pivoted, nb, nbi, interpret
         )
         ok = ok & pok
-        piv_rows.append(piv_row.astype(jnp.int32))
+        piv_rows.append(piv_row)
         panels.append(panel_u)
 
         # This phase's pivot rows in step order hold L11 (strictly below
@@ -577,7 +647,8 @@ def _phases_solve(ph: _PallasLUPhases, later_masks, b3, m: int, nb: int):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nb", "ir_steps", "factor_precision", "interpret", "fallback"
+        "nb", "ir_steps", "factor_precision", "interpret", "fallback",
+        "nbi",
     ),
 )
 def pallas_solve_mixed_batched(
@@ -588,6 +659,7 @@ def pallas_solve_mixed_batched(
     factor_precision: str = "bfloat16",
     interpret: bool = False,
     fallback: bool = True,
+    nbi: Optional[int] = None,
 ) -> jax.Array:
     """Mixed-precision factor + iteratively-refined solve (the HPL-AI /
     LAPACK ``dsgesv`` recipe, TPU-native).
@@ -632,7 +704,7 @@ def pallas_solve_mixed_batched(
     from .select import onehot_rows
 
     with jax.default_matmul_precision(factor_precision):
-        ph = _pallas_lu_phases(a32, nb, interpret, rhs=b3)
+        ph = _pallas_lu_phases(a32, nb, interpret, rhs=b3, nbi=nbi)
 
         # Row-phase masks for post-hoc forward substitution.
         later_masks = []
