@@ -32,17 +32,18 @@ def drift(platform: str, dtype, n: int = 64, iters: int = 4096):
         def body(carry, k):
             m, q = carry
             i = k % (n - 1)
-            row = lax.dynamic_slice(m, (i, 0), (2, 1))
+            z = jnp.zeros((), k.dtype)
+            row = lax.dynamic_slice(m, (i, z), (2, 1))
             a, b = row[0, 0], row[1, 0]
             r = jnp.sqrt(a * a + b * b)
             safe = r > 0
             c = jnp.where(safe, a / jnp.where(safe, r, 1.0), 1.0)
             s = jnp.where(safe, b / jnp.where(safe, r, 1.0), 0.0)
-            mi = lax.dynamic_slice(m, (i, 0), (2, n))
-            qi = lax.dynamic_slice(q, (i, 0), (2, n))
+            mi = lax.dynamic_slice(m, (i, z), (2, n))
+            qi = lax.dynamic_slice(q, (i, z), (2, n))
             g = jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
-            m = lax.dynamic_update_slice(m, g @ mi, (i, 0))
-            q = lax.dynamic_update_slice(q, g @ qi, (i, 0))
+            m = lax.dynamic_update_slice(m, g @ mi, (i, z))
+            q = lax.dynamic_update_slice(q, g @ qi, (i, z))
             return (m, q), ()
 
         (m, q), _ = lax.scan(

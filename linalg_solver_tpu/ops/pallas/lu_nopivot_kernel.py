@@ -1,0 +1,190 @@
+"""Pallas TPU kernel: LU panel factorization WITHOUT pivot search.
+
+The pivoted panel kernel (lu_panel_kernel.py) is bound by its pivot
+dependency chain: every one of the N sequential steps pays an argmax
+over the unpivoted rows, one-hot pivot-row extraction, and mask
+bookkeeping (measured ~7 µs/step; two-level panels that quarter the
+live-block width are NEUTRAL — see STATUS's ceiling model).  This
+variant removes the search entirely: the pivot of column ``c`` IS row
+``c``.  That is only stable for matrices whose leading principal
+minors are well-conditioned — the caller makes that true with
+probability ~1 by RANDOM BUTTERFLY preconditioning (ops/rbt.py,
+Parker's transform: A' = UᵀAV kills the need for pivoting for generic
+input), and a per-lane residual fallback to the pivoted path catches
+the exceptions.
+
+Further structural win: with the row order fixed, the phase loop can
+shrink BOTH dimensions of the trailing block — phase p's panel is
+``[B, N − p·nb, nb]`` (the pivoted kernel always traverses all N rows
+because any unpivoted row may still hold a future pivot).
+
+Layout and loop structure mirror the pivoted kernel: columns in the
+untiled leading dimension, batch in lanes, static column GROUPs with a
+``lookahead``-deep fold so the dominant live-block pass runs once per
+``lookahead`` steps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+GROUP = 8
+
+
+def _nopivot_kernel(a_hbm, out_hbm, ok_ref, work, sems, *, m: int,
+                    nb: int, bt: int, lookahead: int):
+    """One batch tile: factor the ``[nb, m, bt]`` panel in VMEM with
+    pivot(c) = row c.  ``ok`` reports every pivot nonzero (per lane)."""
+    i = pl.program_id(0)
+    dtype = work.dtype
+
+    load = pltpu.make_async_copy(
+        a_hbm.at[:, :, pl.ds(i * bt, bt)], work, sems.at[0]
+    )
+    load.start()
+    load.wait()
+
+    rows = lax.broadcasted_iota(jnp.int32, (m, bt), 0)
+    budget = 100 * 1024 * 1024 - nb * m * bt * 4
+    chunk_w = max(8, min(nb, budget // (4 * m * bt * 4) // 8 * 8))
+
+    ok0 = jnp.ones((bt,), dtype)
+
+    def one_step(c, corrections):
+        """Column ``c``: correct by the window's earlier steps, build
+        multipliers against the STATIC pivot row c."""
+        col = work[pl.ds(c, 1)][0]                      # [m, bt]
+        for oh_i, f_i in corrections:
+            r_i = jnp.sum(col * oh_i, axis=0)
+            col = col - f_i * r_i[None, :]
+        oh = (rows == c).astype(dtype)                  # [m, bt]
+        pv = jnp.sum(col * oh, axis=0)                  # [bt]
+        has = (jnp.abs(pv) > 0.0).astype(dtype)
+        inv = 1.0 / (pv + (1.0 - has))
+        below = (rows > c).astype(dtype)
+        f = col * inv[None, :] * below * has[None, :]
+        return col, oh, f, has
+
+    for g0 in range(0, nb, GROUP):
+        w = nb - g0
+
+        def la_step(kk, ok, g0=g0, w=w):
+            c = g0 + lookahead * kk
+            steps = []
+            for s in range(lookahead):
+                corrections = [(st[1], st[2]) for st in steps]
+                col, oh, f, has = one_step(c + s, corrections)
+                steps.append((col, oh, f, has))
+                ok = ok * has
+
+            f_at = {
+                (i_, j): jnp.sum(steps[i_][2] * steps[j][1], axis=0)
+                for j in range(1, lookahead) for i_ in range(j)
+            }
+            for h0 in range(g0, g0 + w, chunk_w):
+                ch = min(chunk_w, g0 + w - h0)
+                cols_h = h0 + lax.broadcasted_iota(
+                    jnp.int32, (ch, 1, 1), 0
+                )
+                blk = work[pl.ds(h0, ch)]               # [ch, m, bt]
+                prs = []
+                for j in range(lookahead):
+                    pr = jnp.sum(blk * steps[j][1][None, :, :], axis=1)
+                    for i_ in range(j):
+                        pr = pr - f_at[(i_, j)][None, :] * prs[i_]
+                    prs.append(pr)
+                upd = blk
+                for j in range(lookahead):
+                    right = (cols_h > c + j).astype(dtype)
+                    upd = upd - steps[j][2][None, :, :] * (
+                        prs[j][:, None, :] * right
+                    )
+                work[pl.ds(h0, ch)] = upd
+            for s, (col, oh, f, has) in enumerate(steps):
+                below = (rows > c + s).astype(dtype)
+                work[pl.ds(c + s, 1)] = (
+                    f + col * (1.0 - below)
+                )[None]
+            return ok
+
+        ok0 = lax.fori_loop(
+            0, max(min(GROUP, nb - g0) // lookahead, 1), la_step, ok0
+        )
+
+    ok_ref[:] = (ok0[None, :] > 0).astype(jnp.int32)
+    store = pltpu.make_async_copy(
+        work, out_hbm.at[:, :, pl.ds(i * bt, bt)], sems.at[1]
+    )
+    store.start()
+    store.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nb", "interpret", "lookahead")
+)
+def panel_factor_nopivot(
+    panel: jax.Array, nb: int, interpret: bool = False,
+    lookahead: int = 2,
+):
+    """Factor a ``[B, M, nb]`` panel in place with pivot(c) = row c
+    (no search, no row motion).  Returns ``(panel_u, ok)``:
+    ``panel_u`` holds multipliers strictly below the diagonal and U on
+    and above (rows ≥ nb hold the L21 multipliers); ``ok [B]`` is False
+    where a diagonal pivot was exactly zero."""
+    B, m, _ = panel.shape
+    assert nb >= 2 and nb % 2 == 0, f"even nb >= 2 required, got {nb}"
+    lookahead = min(lookahead, GROUP)
+    while GROUP % lookahead:
+        lookahead -= 1
+    bt = LANES
+    pad = (-B) % bt
+    if pad:
+        filler = jnp.broadcast_to(
+            jnp.eye(m, nb, dtype=panel.dtype), (pad, m, nb)
+        )
+        panel = jnp.concatenate([panel, filler], axis=0)
+    Bp = panel.shape[0]
+
+    p_t = jnp.transpose(panel, (2, 1, 0)).astype(
+        jnp.result_type(panel.dtype, jnp.float32)
+    )  # [nb, m, Bp]
+
+    kernel = functools.partial(
+        _nopivot_kernel, m=m, nb=nb, bt=bt, lookahead=lookahead
+    )
+    out, ok = pl.pallas_call(
+        kernel,
+        grid=(Bp // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # full panel, HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # full panel, HBM
+            pl.BlockSpec((1, bt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, m, Bp), p_t.dtype),
+            jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nb, m, bt), p_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(p_t)
+
+    return (
+        jnp.transpose(out, (2, 1, 0))[:B],
+        ok[0, :B].astype(bool),
+    )

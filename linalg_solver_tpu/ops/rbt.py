@@ -1,0 +1,401 @@
+"""Random-butterfly-preconditioned pivot-free LU solve.
+
+The pivoted Pallas solve's binding constraint is the pivot dependency
+chain: N sequential in-kernel steps each paying a pivot search
+(STATUS ceiling model — two-level panels that shrink the arithmetic
+are measured NEUTRAL).  This module removes the chain: precondition
+``A' = Uᵀ A V`` with depth-2 RANDOM BUTTERFLY transforms (Parker's
+construction; O(N²·B) elementwise work, no GEMMs), after which LU
+WITHOUT PIVOTING is stable for generic input with probability ~1,
+then factor with the search-free kernel
+(``ops.pallas.lu_nopivot_kernel`` — pivot(c) = row c, both dimensions
+of the trailing block shrink every phase).  Iterative refinement runs
+against the ORIGINAL system, and a per-lane residual gate rescues any
+lane the probabilistic argument fails (growth blowup, exactly-zero
+pivot) through the pivoted path — the same safety structure as the
+mixed-precision solve's bf16-divergence fallback.
+
+No counterpart in the reference (exact rational arithmetic needs no
+pivel conditioning); the TPU-native translation of "make the cheap
+path safe, verify, escalate the rest".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .lu_blocked import (
+    _HIGH,
+    blocked_solve_batched,
+    invert_unit_lower,
+    invert_upper,
+)
+
+_SQRT_HALF = 0.7071067811865476
+
+
+def rbt_diags(key: jax.Array, n: int, depth: int, dtype) -> list:
+    """Per-level butterfly diagonals: ``depth`` arrays of shape [n]
+    with entries ``exp(r/10)``, r ~ U(−1, 1) (Parker's scaling keeps
+    the transform's condition number ≤ e^{0.2·depth})."""
+    keys = jax.random.split(key, depth)
+    return [
+        jnp.exp(
+            jax.random.uniform(k, (n,), dtype, minval=-1.0, maxval=1.0)
+            / 10.0
+        )
+        for k in keys
+    ]
+
+
+def _bf_level(x: jax.Array, r: jax.Array, seg: int, trans: bool):
+    """One butterfly level along axis 1 of ``x [B, N, K]``: block-diag
+    of ``N/seg`` butterflies ``B = (1/√2)[[R0, R1], [R0, −R1]]`` with
+    per-level diagonal ``r [N]`` (R0 = top half of each segment's
+    entries, R1 = bottom half).  ``trans`` applies ``Bᵀ``."""
+    B, n, K = x.shape
+    h = seg // 2
+    xs = x.reshape(B, n // seg, 2, h, K)
+    rs = r.reshape(n // seg, 2, h)[None, :, :, :, None]
+    top, bot = xs[:, :, 0], xs[:, :, 1]
+    r0, r1 = rs[:, :, 0], rs[:, :, 1]
+    if trans:
+        # Bᵀ = (1/√2)[[R0, R0], [R1, −R1]]
+        out_top = r0 * (top + bot)
+        out_bot = r1 * (top - bot)
+    else:
+        out_top = r0 * top + r1 * bot
+        out_bot = r0 * top - r1 * bot
+    out = jnp.stack([out_top, out_bot], axis=2) * _SQRT_HALF
+    return out.reshape(B, n, K)
+
+
+def butterfly_apply(
+    x: jax.Array, diags: list, trans: bool = False
+) -> jax.Array:
+    """Apply the depth-d butterfly ``W = B_n ∘ diag(B_{n/2},…) ∘ …``
+    (or ``Wᵀ``) along axis 1 of ``[B, N, K]``.  ``W`` is orthogonal up
+    to the diagonal scalings, never materialized — each level is one
+    elementwise pass."""
+    n = x.shape[1]
+    depth = len(diags)
+    levels = list(range(depth))  # level ℓ: segment size n >> ℓ
+    if not trans:
+        levels = levels[::-1]    # innermost first, outer B_n last
+    for lvl in levels:
+        x = _bf_level(x, diags[lvl], n >> lvl, trans)
+    return x
+
+
+class _NoPivotPhases:
+    __slots__ = ("panels", "u12s", "l11s_inv", "u11s_inv", "ok", "ys")
+
+    def __init__(self, panels, u12s, l11s_inv, u11s_inv, ok, ys):
+        self.panels = panels
+        self.u12s = u12s
+        self.l11s_inv = l11s_inv
+        self.u11s_inv = u11s_inv
+        self.ok = ok
+        self.ys = ys
+
+
+def _nopivot_lu_phases(
+    a: jax.Array, nb: int, interpret: bool,
+    rhs: Optional[jax.Array] = None, lookahead: int = 2,
+) -> _NoPivotPhases:
+    """Phase loop around the search-free kernel.  With the row order
+    fixed, BOTH dimensions of the trailing block shrink every phase
+    (the pivoted loop must keep all N rows alive)."""
+    from .pallas.lu_nopivot_kernel import panel_factor_nopivot
+
+    B, N, _ = a.shape
+    trail = a
+    dtype = trail.dtype
+    eye_nb = jnp.eye(nb, dtype=dtype)
+    ok = jnp.ones((B,), bool)
+    panels, u12s, l11s_inv, l11u11s = [], [], [], []
+    ys = [] if rhs is not None else None
+
+    for k0 in range(0, N, nb):
+        panel = trail[:, :, :nb]          # [B, M, nb]
+        trail = trail[:, :, nb:]          # [B, M, W]
+        panel_u, pok = panel_factor_nopivot(
+            panel, nb, interpret=interpret, lookahead=lookahead
+        )
+        ok = ok & pok
+        panels.append(panel_u)
+        L11U11 = panel_u[:, :nb, :]       # static slice — rows fixed
+        L21 = panel_u[:, nb:, :]          # [B, M−nb, nb]
+        l11i = invert_unit_lower(jnp.tril(L11U11, -1) + eye_nb)
+        l11s_inv.append(l11i)
+        l11u11s.append(L11U11)
+        if ys is not None:
+            y_i = l11i @ rhs[:, :nb, :]
+            ys.append(y_i)
+            rhs = rhs[:, nb:, :] - L21 @ y_i
+        if trail.shape[2]:
+            U12 = l11i @ trail[:, :nb, :]
+            u12s.append(U12)
+            trail = trail[:, nb:, :] - L21 @ U12
+
+    m_ph = len(l11u11s)
+    stacked = jnp.concatenate(l11u11s, axis=0)
+    u11s_inv = list(
+        invert_upper(jnp.triu(stacked)).reshape(m_ph, B, nb, nb)
+    )
+    return _NoPivotPhases(panels, u12s, l11s_inv, u11s_inv, ok, ys)
+
+
+def _nopivot_backward(ph: _NoPivotPhases, ys, m: int, nb: int):
+    xs: List = [None] * m
+    for i in reversed(range(m)):
+        r = ys[i]
+        for j in range(i + 1, m):
+            w0 = (j - i - 1) * nb
+            r = r - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
+        xs[i] = ph.u11s_inv[i] @ r
+    return jnp.concatenate(xs, axis=1)
+
+
+def _nopivot_solve(ph: _NoPivotPhases, b3, m: int, nb: int):
+    """Forward + backward substitution for a fresh RHS against the
+    shrinking-phase artifacts (refinement workhorse)."""
+    rhs = b3
+    ys = []
+    for i in range(m):
+        y_i = ph.l11s_inv[i] @ rhs[:, :nb, :]
+        ys.append(y_i)
+        rhs = rhs[:, nb:, :]
+        if rhs.shape[1]:
+            rhs = rhs - ph.panels[i][:, nb:, :] @ y_i
+    return _nopivot_backward(ph, ys, m, nb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nb", "ns_steps", "factor_precision", "depth", "interpret",
+        "fallback", "lookahead",
+    ),
+)
+def pallas_inverse_rbt_batched(
+    a: jax.Array,
+    nb: int = 64,
+    ns_steps: int = 1,
+    factor_precision: str = "float32",
+    depth: int = 2,
+    interpret: bool = False,
+    fallback: bool = True,
+    lookahead: int = 2,
+) -> jax.Array:
+    """Batched inverse via RBT preconditioning + pivot-free LU.
+
+    ``A⁻¹ = V (UᵀAV)⁻¹ Uᵀ``: the butterflies are four elementwise
+    passes, the preconditioned inverse is the no-pivot panel kernel
+    (≈ n³/3 VPU work) plus D&C triangular inverses and one GEMM — all
+    MXU — versus the pivoted Gauss–Jordan kernel's 2n³ in-kernel VPU
+    work on ``[A | I]``.  ``ns_steps`` Newton–Schulz rounds
+    (``X += X(I − AX)``, two GEMMs each) polish the result against the
+    ORIGINAL matrix, so butterfly conditioning and factor precision
+    wash out; with ``fallback=True`` a per-lane gate on the last
+    Newton–Schulz residual rescues failed lanes (zero pivot, growth
+    blowup) through the pivoted Gauss–Jordan kernel."""
+    B, N, _ = a.shape
+    nb = min(nb, N)
+    assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a32 = a.astype(f32)
+    m = N // nb
+
+    d = depth
+    while (N >> (d - 1)) % 2:
+        d -= 1
+    diags_u = rbt_diags(jax.random.PRNGKey(17), N, d, f32)
+    diags_v = rbt_diags(jax.random.PRNGKey(29), N, d, f32)
+
+    with jax.default_matmul_precision(factor_precision):
+        a_p = butterfly_apply(a32, diags_u, trans=True)
+        a_p = jnp.swapaxes(
+            butterfly_apply(
+                jnp.swapaxes(a_p, 1, 2), diags_v, trans=True
+            ),
+            1, 2,
+        )
+        if m == 1:
+            ph = _nopivot_lu_phases(
+                a_p, nb, interpret, lookahead=lookahead
+            )
+            inv_p = ph.u11s_inv[0] @ ph.l11s_inv[0]
+        else:
+            eye = jnp.broadcast_to(jnp.eye(N, dtype=f32), (B, N, N))
+            ph = _nopivot_lu_phases(
+                a_p, nb, interpret, rhs=eye, lookahead=lookahead
+            )
+            inv_p = _nopivot_backward(ph, ph.ys, m, nb)
+        # A⁻¹ = V inv_p Uᵀ: rows by V, columns by U.
+        x = butterfly_apply(inv_p, diags_v, trans=False)
+        x = jnp.swapaxes(
+            butterfly_apply(jnp.swapaxes(x, 1, 2), diags_u, False),
+            1, 2,
+        )
+
+    eye_n = jnp.eye(N, dtype=f32)
+    rmax = None
+    for _ in range(ns_steps):
+        with jax.default_matmul_precision("float32"):
+            r = eye_n - a32 @ x
+        if fallback:
+            rmax = jnp.max(jnp.abs(r), axis=(1, 2))
+        with jax.default_matmul_precision("float32"):
+            x = x + x @ r
+
+    if fallback:
+        bad = ~ph.ok
+        if rmax is None:  # ns_steps=0: pay one explicit residual
+            with jax.default_matmul_precision("float32"):
+                r = eye_n - a32 @ x
+            rmax = jnp.max(jnp.abs(r), axis=(1, 2))
+            bad |= ~(rmax <= 1e-2)
+        else:
+            # Pre-correction residual of the LAST Newton–Schulz round:
+            # a convergent lane sits near the f32 floor; divergence or
+            # NaN fails the comparison (NaN-proof: `nan <= t` = False).
+            bad |= ~(rmax <= 1e-2)
+
+        from .pallas import gj_kernel as _gjk
+
+        def _rescue(_):
+            ab = jax.lax.optimization_barrier(a32)
+            if _gjk.supported(N, 2 * N):
+                return _gjk.inverse_batched(ab, interpret=interpret)
+            from .lu_blocked import blocked_inverse_batched
+
+            return blocked_inverse_batched(ab, nb=nb)
+
+        ylane = jax.lax.cond(
+            jnp.any(bad), _rescue, lambda _: x, operand=None
+        )
+        x = jnp.where(bad[:, None, None], ylane, x)
+
+    return x.astype(a.dtype) if a.dtype != f32 else x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nb", "ir_steps", "factor_precision", "depth", "interpret",
+        "fallback", "lookahead",
+    ),
+)
+def pallas_solve_rbt_batched(
+    a: jax.Array,
+    b: jax.Array,
+    nb: int = 64,
+    ir_steps: int = 2,
+    factor_precision: str = "bfloat16",
+    depth: int = 2,
+    interpret: bool = False,
+    fallback: bool = True,
+    lookahead: int = 2,
+) -> jax.Array:
+    """Solve ``a @ x = b`` via RBT preconditioning + pivot-free LU +
+    iterative refinement (+ per-lane pivoted rescue).
+
+    The refinement residual is computed against the ORIGINAL system at
+    full f32 precision, so the butterfly's conditioning and the
+    factorization's ``factor_precision`` both wash out of the final
+    accuracy exactly as in ``pallas_solve_mixed_batched``.  The
+    butterfly diagonals use a fixed key — determinism across calls."""
+    B, N, _ = a.shape
+    nb = min(nb, N)
+    assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
+    vector_input = b.ndim == 2
+    b3 = b[:, :, None] if vector_input else b
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a32 = a.astype(f32)
+    b3 = b3.astype(f32)
+    m = N // nb
+
+    d = depth
+    while (N >> (d - 1)) % 2:
+        d -= 1  # shrink depth until segments stay even
+    diags_u = rbt_diags(jax.random.PRNGKey(17), N, d, f32)
+    diags_v = rbt_diags(jax.random.PRNGKey(29), N, d, f32)
+
+    if fallback:
+        # Gate scale ingredients, hoisted so the gate itself adds no
+        # full-matrix passes after the refinement loop.
+        amax = jnp.max(jnp.abs(a32), axis=(1, 2))
+        bmax = jnp.max(jnp.abs(b3), axis=(1, 2))
+
+    with jax.default_matmul_precision(factor_precision):
+        # A' = Uᵀ A V  (two elementwise passes per side, no GEMMs)
+        a_p = butterfly_apply(a32, diags_u, trans=True)
+        a_p = jnp.swapaxes(
+            butterfly_apply(
+                jnp.swapaxes(a_p, 1, 2), diags_v, trans=True
+            ),
+            1, 2,
+        )
+        b_p = butterfly_apply(b3, diags_u, trans=True)
+        ph = _nopivot_lu_phases(
+            a_p, nb, interpret, rhs=b_p, lookahead=lookahead
+        )
+        y = _nopivot_backward(ph, ph.ys, m, nb)
+        x = butterfly_apply(y, diags_v, trans=False)
+
+    rmax = xmax = zcmax = None
+    for step in range(ir_steps):
+        with jax.default_matmul_precision("float32"):
+            resid = b3 - a32 @ x
+        if fallback and step == ir_steps - 1:
+            rmax = jnp.max(jnp.abs(resid), axis=(1, 2))
+            xmax = jnp.max(jnp.abs(x), axis=(1, 2))
+        with jax.default_matmul_precision(factor_precision):
+            rp = butterfly_apply(resid, diags_u, trans=True)
+            z = _nopivot_solve(ph, rp, m, nb)
+            zc = butterfly_apply(z, diags_v, trans=False)
+            if fallback and step == ir_steps - 1:
+                zcmax = jnp.max(jnp.abs(zc), axis=(1, 2))
+            x = x + zc
+
+    if fallback:
+        # Cheap per-lane divergence gate — reuses the LAST refinement
+        # step's residual and correction, no post-loop full-matrix
+        # passes (a fresh residual GEMM + cond here measured ~0.75 ms,
+        # erasing the pivot-free win).  NaN-proof: blowups produce
+        # inf/nan, and `nan <= t` is False — flag NON-small.
+        bad = ~ph.ok
+        if ir_steps == 0:  # no refinement: pay one explicit residual
+            with jax.default_matmul_precision("float32"):
+                resid = b3 - a32 @ x
+            rmax = jnp.max(jnp.abs(resid), axis=(1, 2))
+            scale = jnp.maximum(
+                bmax, amax * jnp.max(jnp.abs(x), axis=(1, 2))
+            )
+            # Raw no-pivot solve at factor_precision: loose gate.
+            bad |= ~(rmax <= 1e-2 * jnp.maximum(scale, 1e-30))
+        else:
+            # Contraction: a convergent lane's final correction is a
+            # small fraction of the iterate; divergence/NaN is not.
+            bad |= ~(zcmax <= 0.3 * jnp.maximum(xmax, 1e-30))
+            if ir_steps >= 2:
+                # The gated residual has had >= 1 correction applied:
+                # anything above 1e-4 relative means the refinement is
+                # not converging at this precision.
+                scale = jnp.maximum(bmax, amax * xmax)
+                bad |= ~(rmax <= 1e-4 * jnp.maximum(scale, 1e-30))
+
+        def _rescue(_):
+            return blocked_solve_batched(a32, b3, nb=nb, ir_steps=2)
+
+        ylane = jax.lax.cond(
+            jnp.any(bad), _rescue, lambda _: x, operand=None
+        )
+        x = jnp.where(bad[:, None, None], ylane, x)
+
+    return x[:, :, 0] if vector_input else x
