@@ -156,6 +156,28 @@ def _solve_impl(a: jax.Array, b: jax.Array, backend: str = "auto"):
         r = _dd.solve_dd_batched(a, b)
         return r.x_hi + r.x_lo
     be = _resolve(backend, "solve", a.shape[-1])
+    if be == "rbt":
+        # Random-butterfly preconditioning + the SEARCH-FREE LU kernel
+        # (no per-column pivot chain) + f32 iterative refinement, with
+        # a per-lane gate rescuing failed lanes through an independent
+        # re-draw and, nested inside, the pivoted path.  Fastest
+        # well-conditioned batched solve measured at B=N=256 (see
+        # ops/rbt.py and STATUS.md's ceiling model).
+        from . import rbt as _rbt
+
+        n = a.shape[-1]
+        nb = next(
+            (w for w in (64, 48, 32, 16, 8) if n % w == 0), None
+        )
+        if nb is None:
+            raise ValueError(
+                f"backend='rbt' needs N divisible by a panel width "
+                f"in (64, 48, 32, 16, 8); got N={n} — pad the batch "
+                f"or use backend='auto'."
+            )
+        return _rbt.pallas_solve_rbt_batched(
+            a, b, nb=nb, interpret=not _pallas_available()
+        )
     if be == "mixed":
         # bf16-factored + f32 iteratively-refined (dsgesv recipe):
         # fastest well-conditioned solve; callers needing a guarantee
@@ -233,6 +255,21 @@ def _inverse_impl(a: jax.Array, backend: str = "auto"):
         r = _dd.inverse_dd_batched(a)
         return r.x_hi + r.x_lo
     be = _resolve(backend, "inverse", a.shape[-1])
+    if be == "rbt":
+        from . import rbt as _rbt
+
+        n = a.shape[-1]
+        nb = next(
+            (w for w in (64, 48, 32, 16, 8) if n % w == 0), None
+        )
+        if nb is None:
+            raise ValueError(
+                f"backend='rbt' needs N divisible by a panel width "
+                f"in (64, 48, 32, 16, 8); got N={n}."
+            )
+        return _rbt.pallas_inverse_rbt_batched(
+            a, nb=nb, interpret=not _pallas_available()
+        )
     if be == "pallas":
         from . import pallas
 

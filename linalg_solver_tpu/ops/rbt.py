@@ -175,47 +175,25 @@ def _nopivot_solve(ph: _NoPivotPhases, b3, m: int, nb: int):
     return _nopivot_backward(ph, ys, m, nb)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "nb", "ns_steps", "factor_precision", "depth", "interpret",
-        "fallback", "lookahead",
-    ),
-)
-def pallas_inverse_rbt_batched(
-    a: jax.Array,
-    nb: int = 64,
-    ns_steps: int = 1,
-    factor_precision: str = "float32",
-    depth: int = 2,
-    interpret: bool = False,
-    fallback: bool = True,
-    lookahead: int = 2,
-) -> jax.Array:
-    """Batched inverse via RBT preconditioning + pivot-free LU.
-
-    ``A⁻¹ = V (UᵀAV)⁻¹ Uᵀ``: the butterflies are four elementwise
-    passes, the preconditioned inverse is the no-pivot panel kernel
-    (≈ n³/3 VPU work) plus D&C triangular inverses and one GEMM — all
-    MXU — versus the pivoted Gauss–Jordan kernel's 2n³ in-kernel VPU
-    work on ``[A | I]``.  ``ns_steps`` Newton–Schulz rounds
-    (``X += X(I − AX)``, two GEMMs each) polish the result against the
-    ORIGINAL matrix, so butterfly conditioning and factor precision
-    wash out; with ``fallback=True`` a per-lane gate on the last
-    Newton–Schulz residual rescues failed lanes (zero pivot, growth
-    blowup) through the pivoted Gauss–Jordan kernel."""
-    B, N, _ = a.shape
-    nb = min(nb, N)
-    assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
-    f32 = jnp.result_type(a.dtype, jnp.float32)
-    a32 = a.astype(f32)
+def _inverse_core(
+    a32: jax.Array,
+    nb: int,
+    ns_steps: int,
+    factor_precision: str,
+    d: int,
+    keys: Tuple[int, int],
+    interpret: bool,
+    lookahead: int,
+    gate: bool,
+):
+    """One fallback-free RBT inverse pass: ``A⁻¹ = V (UᵀAV)⁻¹ Uᵀ``
+    with ``ns_steps`` Newton–Schulz polish rounds against the ORIGINAL
+    matrix.  With ``gate`` also returns per-lane failure flags."""
+    B, N, _ = a32.shape
     m = N // nb
-
-    d = depth
-    while (N >> (d - 1)) % 2:
-        d -= 1
-    diags_u = rbt_diags(jax.random.PRNGKey(17), N, d, f32)
-    diags_v = rbt_diags(jax.random.PRNGKey(29), N, d, f32)
+    f32 = a32.dtype
+    diags_u = rbt_diags(jax.random.PRNGKey(keys[0]), N, d, f32)
+    diags_v = rbt_diags(jax.random.PRNGKey(keys[1]), N, d, f32)
 
     with jax.default_matmul_precision(factor_precision):
         a_p = butterfly_apply(a32, diags_u, trans=True)
@@ -248,87 +226,139 @@ def pallas_inverse_rbt_batched(
     for _ in range(ns_steps):
         with jax.default_matmul_precision("float32"):
             r = eye_n - a32 @ x
-        if fallback:
+        if gate:
             rmax = jnp.max(jnp.abs(r), axis=(1, 2))
         with jax.default_matmul_precision("float32"):
             x = x + x @ r
 
-    if fallback:
-        bad = ~ph.ok
-        if rmax is None:  # ns_steps=0: pay one explicit residual
-            with jax.default_matmul_precision("float32"):
-                r = eye_n - a32 @ x
-            rmax = jnp.max(jnp.abs(r), axis=(1, 2))
-            bad |= ~(rmax <= 1e-2)
-        else:
-            # Pre-correction residual of the LAST Newton–Schulz round:
-            # a convergent lane sits near the f32 floor; divergence or
-            # NaN fails the comparison (NaN-proof: `nan <= t` = False).
-            bad |= ~(rmax <= 1e-2)
+    if not gate:
+        return x, None
 
-        from .pallas import gj_kernel as _gjk
+    bad = ~ph.ok
+    if rmax is None:  # ns_steps=0: pay one explicit residual
+        with jax.default_matmul_precision("float32"):
+            r = eye_n - a32 @ x
+        rmax = jnp.max(jnp.abs(r), axis=(1, 2))
+    # Pre-correction residual of the LAST Newton–Schulz round: a
+    # convergent lane sits near the f32 floor; divergence or NaN
+    # fails the comparison (NaN-proof: `nan <= t` = False).
+    bad |= ~(rmax <= 1e-2)
+    return x, bad
 
-        def _rescue(_):
-            ab = jax.lax.optimization_barrier(a32)
-            if _gjk.supported(N, 2 * N):
-                return _gjk.inverse_batched(ab, interpret=interpret)
-            from .lu_blocked import blocked_inverse_batched
 
-            return blocked_inverse_batched(ab, nb=nb)
+def _pivoted_inverse(a32: jax.Array, nb: int, interpret: bool):
+    """The deterministic pivoted inverse (innermost rescue)."""
+    from .pallas import gj_kernel as _gjk
 
-        ylane = jax.lax.cond(
-            jnp.any(bad), _rescue, lambda _: x, operand=None
-        )
-        x = jnp.where(bad[:, None, None], ylane, x)
+    N = a32.shape[-1]
+    if _gjk.supported(N, 2 * N):
+        return _gjk.inverse_batched(a32, interpret=interpret)
+    from .lu_blocked import blocked_inverse_batched
 
-    return x.astype(a.dtype) if a.dtype != f32 else x
+    return blocked_inverse_batched(a32, nb=nb)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nb", "ir_steps", "factor_precision", "depth", "interpret",
+        "nb", "ns_steps", "factor_precision", "depth", "interpret",
         "fallback", "lookahead",
     ),
 )
-def pallas_solve_rbt_batched(
+def pallas_inverse_rbt_batched(
     a: jax.Array,
-    b: jax.Array,
     nb: int = 64,
-    ir_steps: int = 2,
-    factor_precision: str = "bfloat16",
+    ns_steps: int = 1,
+    factor_precision: str = "float32",
     depth: int = 2,
     interpret: bool = False,
-    fallback: bool = True,
-    lookahead: int = 2,
+    fallback: str | bool = "redraw",
+    lookahead: int = 8,
 ) -> jax.Array:
-    """Solve ``a @ x = b`` via RBT preconditioning + pivot-free LU +
-    iterative refinement (+ per-lane pivoted rescue).
+    """Batched inverse via RBT preconditioning + pivot-free LU.
 
-    The refinement residual is computed against the ORIGINAL system at
-    full f32 precision, so the butterfly's conditioning and the
-    factorization's ``factor_precision`` both wash out of the final
-    accuracy exactly as in ``pallas_solve_mixed_batched``.  The
-    butterfly diagonals use a fixed key — determinism across calls."""
+    ``A⁻¹ = V (UᵀAV)⁻¹ Uᵀ``: the butterflies are four elementwise
+    passes, the preconditioned inverse is the no-pivot panel kernel
+    (≈ n³/3 VPU work) plus D&C triangular inverses and one GEMM — all
+    MXU — versus the pivoted Gauss–Jordan kernel's 2n³ in-kernel VPU
+    work on ``[A | I]``.  ``ns_steps`` Newton–Schulz rounds
+    (``X += X(I − AX)``, two GEMMs each) polish the result against the
+    ORIGINAL matrix, so butterfly conditioning and factor precision
+    wash out.  ``fallback``: per-lane gate on the last Newton–Schulz
+    residual; ``"redraw"`` (default) rescues failed lanes through an
+    independent second draw with the deterministic pivoted
+    Gauss–Jordan rescue NESTED inside (the cheap-branch structure of
+    the solve — see ``pallas_solve_rbt_batched``); ``"pivoted"``
+    rescues directly through the pivoted kernel."""
     B, N, _ = a.shape
     nb = min(nb, N)
     assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
-    vector_input = b.ndim == 2
-    b3 = b[:, :, None] if vector_input else b
+    if fallback is True:
+        fallback = "redraw"
     f32 = jnp.result_type(a.dtype, jnp.float32)
     a32 = a.astype(f32)
-    b3 = b3.astype(f32)
-    m = N // nb
 
     d = depth
     while (N >> (d - 1)) % 2:
-        d -= 1  # shrink depth until segments stay even
-    diags_u = rbt_diags(jax.random.PRNGKey(17), N, d, f32)
-    diags_v = rbt_diags(jax.random.PRNGKey(29), N, d, f32)
+        d -= 1
 
-    if fallback:
-        # Gate scale ingredients, hoisted so the gate itself adds no
-        # full-matrix passes after the refinement loop.
+    core = functools.partial(
+        _inverse_core, a32, nb, ns_steps, factor_precision, d,
+        interpret=interpret, lookahead=lookahead,
+    )
+    x, bad = core(keys=(17, 29), gate=bool(fallback))
+
+    if fallback == "redraw":
+
+        def _rescue(xx):
+            y2, bad2 = core(keys=(101, 103), gate=True)
+
+            def _rescue2(yy):
+                yp = _pivoted_inverse(a32, nb, interpret)
+                return jnp.where(bad2[:, None, None], yp, yy)
+
+            y2 = jax.lax.cond(
+                jnp.any(bad2), _rescue2, lambda yy: yy, y2
+            )
+            return jnp.where(bad[:, None, None], y2, xx)
+
+        x = jax.lax.cond(jnp.any(bad), _rescue, lambda xx: xx, x)
+    elif fallback == "pivoted":
+
+        def _rescue_piv(xx):
+            yp = _pivoted_inverse(a32, nb, interpret)
+            return jnp.where(bad[:, None, None], yp, xx)
+
+        x = jax.lax.cond(jnp.any(bad), _rescue_piv, lambda xx: xx, x)
+
+    return x.astype(a.dtype) if a.dtype != f32 else x
+
+
+def _solve_core(
+    a32: jax.Array,
+    b3: jax.Array,
+    nb: int,
+    ir_steps: int,
+    factor_precision: str,
+    d: int,
+    keys: Tuple[int, int],
+    interpret: bool,
+    lookahead: int,
+    gate: bool,
+):
+    """One fallback-free RBT solve pass: butterfly, no-pivot factor,
+    substitution, ``ir_steps`` refinement rounds against the ORIGINAL
+    system.  With ``gate`` also returns the per-lane failure flags
+    (zero pivot / non-contracting refinement), computed from values the
+    refinement loop already produced — the gate itself adds no
+    post-loop full-matrix passes."""
+    B, N, _ = a32.shape
+    m = N // nb
+    f32 = a32.dtype
+    diags_u = rbt_diags(jax.random.PRNGKey(keys[0]), N, d, f32)
+    diags_v = rbt_diags(jax.random.PRNGKey(keys[1]), N, d, f32)
+
+    if gate:
         amax = jnp.max(jnp.abs(a32), axis=(1, 2))
         bmax = jnp.max(jnp.abs(b3), axis=(1, 2))
 
@@ -352,50 +382,130 @@ def pallas_solve_rbt_batched(
     for step in range(ir_steps):
         with jax.default_matmul_precision("float32"):
             resid = b3 - a32 @ x
-        if fallback and step == ir_steps - 1:
+        if gate and step == ir_steps - 1:
             rmax = jnp.max(jnp.abs(resid), axis=(1, 2))
             xmax = jnp.max(jnp.abs(x), axis=(1, 2))
         with jax.default_matmul_precision(factor_precision):
             rp = butterfly_apply(resid, diags_u, trans=True)
             z = _nopivot_solve(ph, rp, m, nb)
             zc = butterfly_apply(z, diags_v, trans=False)
-            if fallback and step == ir_steps - 1:
+            if gate and step == ir_steps - 1:
                 zcmax = jnp.max(jnp.abs(zc), axis=(1, 2))
             x = x + zc
 
-    if fallback:
-        # Cheap per-lane divergence gate — reuses the LAST refinement
-        # step's residual and correction, no post-loop full-matrix
-        # passes (a fresh residual GEMM + cond here measured ~0.75 ms,
-        # erasing the pivot-free win).  NaN-proof: blowups produce
-        # inf/nan, and `nan <= t` is False — flag NON-small.
-        bad = ~ph.ok
-        if ir_steps == 0:  # no refinement: pay one explicit residual
-            with jax.default_matmul_precision("float32"):
-                resid = b3 - a32 @ x
-            rmax = jnp.max(jnp.abs(resid), axis=(1, 2))
-            scale = jnp.maximum(
-                bmax, amax * jnp.max(jnp.abs(x), axis=(1, 2))
-            )
-            # Raw no-pivot solve at factor_precision: loose gate.
-            bad |= ~(rmax <= 1e-2 * jnp.maximum(scale, 1e-30))
-        else:
-            # Contraction: a convergent lane's final correction is a
-            # small fraction of the iterate; divergence/NaN is not.
-            bad |= ~(zcmax <= 0.3 * jnp.maximum(xmax, 1e-30))
-            if ir_steps >= 2:
-                # The gated residual has had >= 1 correction applied:
-                # anything above 1e-4 relative means the refinement is
-                # not converging at this precision.
-                scale = jnp.maximum(bmax, amax * xmax)
-                bad |= ~(rmax <= 1e-4 * jnp.maximum(scale, 1e-30))
+    if not gate:
+        return x, None
 
-        def _rescue(_):
-            return blocked_solve_batched(a32, b3, nb=nb, ir_steps=2)
-
-        ylane = jax.lax.cond(
-            jnp.any(bad), _rescue, lambda _: x, operand=None
+    # NaN-proof flags: blowups produce inf/nan, and `nan <= t` is
+    # False — flag NON-small.
+    bad = ~ph.ok
+    if ir_steps == 0:  # no refinement: pay one explicit residual
+        with jax.default_matmul_precision("float32"):
+            resid = b3 - a32 @ x
+        rmax = jnp.max(jnp.abs(resid), axis=(1, 2))
+        scale = jnp.maximum(
+            bmax, amax * jnp.max(jnp.abs(x), axis=(1, 2))
         )
-        x = jnp.where(bad[:, None, None], ylane, x)
+        # Raw no-pivot solve at factor_precision: loose gate.
+        bad |= ~(rmax <= 1e-2 * jnp.maximum(scale, 1e-30))
+    else:
+        # Contraction: a convergent lane's final correction is a
+        # small fraction of the iterate; divergence/NaN is not.
+        bad |= ~(zcmax <= 0.3 * jnp.maximum(xmax, 1e-30))
+        if ir_steps >= 2:
+            # The gated residual has had >= 1 correction applied:
+            # anything above 1e-4 relative means the refinement is
+            # not converging at this precision.
+            scale = jnp.maximum(bmax, amax * xmax)
+            bad |= ~(rmax <= 1e-4 * jnp.maximum(scale, 1e-30))
+    return x, bad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nb", "ir_steps", "factor_precision", "depth", "interpret",
+        "fallback", "lookahead",
+    ),
+)
+def pallas_solve_rbt_batched(
+    a: jax.Array,
+    b: jax.Array,
+    nb: int = 64,
+    ir_steps: int = 2,
+    factor_precision: str = "bfloat16",
+    depth: int = 2,
+    interpret: bool = False,
+    fallback: str | bool = "redraw",
+    lookahead: int = 8,
+) -> jax.Array:
+    """Solve ``a @ x = b`` via RBT preconditioning + pivot-free LU +
+    iterative refinement (+ per-lane rescue).
+
+    The refinement residual is computed against the ORIGINAL system at
+    full f32 precision, so the butterfly's conditioning and the
+    factorization's ``factor_precision`` both wash out of the final
+    accuracy exactly as in ``pallas_solve_mixed_batched``.  The
+    butterfly diagonals use a fixed key — determinism across calls.
+
+    ``fallback`` (rescue of lanes the per-lane gate flags — zero pivot,
+    growth blowup, non-contracting refinement):
+
+    - ``"redraw"`` (default): rerun the SAME pipeline with independent
+      butterflies, with the deterministic pivoted rescue NESTED inside
+      for lanes that fail twice.  Measured on chip: the outer branch
+      costs ~0.3 ms untaken (it reuses the main path's kernels, so the
+      ``lax.cond`` operands keep their layouts), while a directly
+      captured pivoted branch forces ~64 MB of unconditional layout
+      copies (~0.75 ms) — the conditional ITSELF is free
+      (cond-with-trivial-branch == pure-where gate == 789 GFLOP/s vs
+      809 no-fallback, examples/bench_r2_rbt4.py).
+    - ``"pivoted"``: the direct pivoted-branch rescue (one cond, eats
+      the layout copies; kept for measurement).
+    - ``False``: no gate, no rescue (callers residual-check
+      themselves)."""
+    B, N, _ = a.shape
+    nb = min(nb, N)
+    assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
+    if fallback is True:
+        fallback = "redraw"
+    vector_input = b.ndim == 2
+    b3 = b[:, :, None] if vector_input else b
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a32 = a.astype(f32)
+    b3 = b3.astype(f32)
+
+    d = depth
+    while (N >> (d - 1)) % 2:
+        d -= 1  # shrink depth until segments stay even
+
+    core = functools.partial(
+        _solve_core, a32, b3, nb, ir_steps, factor_precision, d,
+        interpret=interpret, lookahead=lookahead,
+    )
+    x, bad = core(keys=(17, 29), gate=bool(fallback))
+
+    if fallback == "redraw":
+
+        def _rescue(xx):
+            y2, bad2 = core(keys=(101, 103), gate=True)
+
+            def _rescue2(yy):
+                yp = blocked_solve_batched(a32, b3, nb=nb, ir_steps=2)
+                return jnp.where(bad2[:, None, None], yp, yy)
+
+            y2 = jax.lax.cond(
+                jnp.any(bad2), _rescue2, lambda yy: yy, y2
+            )
+            return jnp.where(bad[:, None, None], y2, xx)
+
+        x = jax.lax.cond(jnp.any(bad), _rescue, lambda xx: xx, x)
+    elif fallback == "pivoted":
+
+        def _rescue_piv(xx):
+            yp = blocked_solve_batched(a32, b3, nb=nb, ir_steps=2)
+            return jnp.where(bad[:, None, None], yp, xx)
+
+        x = jax.lax.cond(jnp.any(bad), _rescue_piv, lambda xx: xx, x)
 
     return x[:, :, 0] if vector_input else x

@@ -228,6 +228,44 @@ class TestRBTSolve:
         )
         assert err < 1e-4
 
+    def test_pivoted_fallback_mode(self):
+        # fallback="pivoted" (direct pivoted-branch rescue) must agree
+        # with the default nested re-draw structure on hostile lanes.
+        B, N = 4, 32
+        a = make_batch(B, N, seed=30)
+        a[1] = 0.0
+        a[3] = 2.0 * np.eye(N, dtype=np.float32)[::-1]
+        b = np.random.RandomState(31).randn(B, N).astype(np.float32)
+        for fb in ("redraw", "pivoted"):
+            x = np.asarray(rbt.pallas_solve_rbt_batched(
+                jnp.asarray(a), jnp.asarray(b), nb=16, fallback=fb,
+                interpret=True,
+            ))
+            good = [0, 2, 3]
+            assert rel_resid(a[good], x[good], b[good]).max() < 1e-5
+
+    def test_dispatch_backend_rbt(self):
+        # Explicit backend="rbt" routes solve/inverse through the RBT
+        # path (interpret mode is selected automatically off-TPU).
+        from linalg_solver_tpu.ops import dispatch
+
+        B, N = 3, 64
+        a = make_batch(B, N, seed=32)
+        b = np.random.RandomState(33).randn(B, N).astype(np.float32)
+        x = np.asarray(dispatch.solve_batched(
+            jnp.asarray(a), jnp.asarray(b), backend="rbt"
+        ))
+        assert rel_resid(a, x, b).max() < 1e-5
+        xi = np.asarray(dispatch.inverse_batched(
+            jnp.asarray(a), backend="rbt"
+        ), np.float64)
+        a64 = np.asarray(a, np.float64)
+        err = max(
+            np.max(np.abs(a64[i] @ xi[i] - np.eye(N)))
+            for i in range(B)
+        )
+        assert err < 1e-4
+
     def test_non_power_of_two_n(self):
         # N = 96: butterfly depth shrinks until segments stay even.
         B, N = 2, 96
