@@ -49,13 +49,15 @@ def main() -> None:
 
     from linalg_solver_tpu.ops import dispatch
 
-    # backend="mixed": bf16-factored LU + one f32 iterative-refinement
-    # pass.  Measured on-chip vs the all-f32 fused path at this shape:
-    # 618 vs 502 GFLOP/s AND a better f64-verified residual (1.17e-7 vs
-    # 1.97e-7) — the refinement step recovers more than the bf16
-    # factorization loses.
+    # backend="rbt": random-butterfly preconditioning + the SEARCH-FREE
+    # pivot-free LU kernel + two f32 refinement rounds, per-lane gated
+    # with a redraw/pivoted rescue.  Removing the per-column pivot
+    # chain (the measured binding constraint of the pivoted path — see
+    # STATUS.md's ceiling model) is worth ~10% over backend="mixed" in
+    # the same process (675 vs 616 GFLOP/s, resid 1.29e-7 vs 1.32e-7;
+    # 789 GFLOP/s in a warmer process) at equal f64-verified accuracy.
     ours = jax.jit(
-        lambda a, b: dispatch.solve_batched(a, b, backend="mixed")
+        lambda a, b: dispatch.solve_batched(a, b, backend="rbt")
     )
     baseline = jax.jit(
         lambda a, b: jnp.linalg.solve(a, b[..., None])[..., 0]
@@ -98,7 +100,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "batched 256x256 LU factor+solve (B=256, mixed bf16/f32)",
+                "metric": "batched 256x256 LU factor+solve (B=256, RBT pivot-free bf16/f32)",
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / gflops_base, 3),
