@@ -1,0 +1,103 @@
+"""RBT fallback-gate cost, round 3: today's chip shows fb=redraw and
+fb=pivoted BOTH cost ~0.7 ms over fb=False (rbt6) — the nested pivoted
+rescue makes a32/b3 operands of the outer cond with blocked_solve's
+layout preference, re-importing the unconditional-copy cost the
+redraw structure was built to avoid.  Variants:
+
+- redraw-only: nested pivoted rescue removed (lanes failing two draws
+  keep the second draw's answer) — isolates the nesting cost.
+- redraw-barrier: nested pivoted rescue fed through
+  lax.optimization_barrier inside the branch — does a branch-local
+  barrier decouple the layout assignment?
+- bf16 butterflies: cast A to bf16 BEFORE the butterflies (halves the
+  ~0.8 ms HBM-bound butterfly traffic and the phase-loop GEMM reads);
+  f32 refinement against the original system still sets final
+  accuracy.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from jax import lax
+
+from linalg_solver_tpu.ops import rbt
+from linalg_solver_tpu.ops.lu_blocked import blocked_solve_batched
+from linalg_solver_tpu.ops.rbt import _solve_core
+from linalg_solver_tpu.utils.benchmarking import device_slope_time
+
+B, N, nb = 256, 256, 64
+key = jax.random.PRNGKey(0)
+k_a, k_b = jax.random.split(key)
+a = jax.random.normal(k_a, (B, N, N), jnp.float32) + (
+    4.0 * N**0.5
+) * jnp.eye(N, dtype=jnp.float32)
+b = jax.random.normal(k_b, (B, N), jnp.float32)
+FLOPS = B * (2.0 / 3.0 * N**3 + 2.0 * N**2)
+a64 = np.asarray(a, np.float64)
+b64 = np.asarray(b, np.float64)
+
+
+def run(name, f):
+    x = np.asarray(f(a, b), np.float64)
+    r = np.max(np.linalg.norm(
+        np.einsum("bij,bj->bi", a64, x) - b64, axis=1
+    ) / np.linalg.norm(b64, axis=1))
+    sec = device_slope_time(f, a, b)
+    print(f"{name:28s} {sec*1e3:7.3f} ms  {FLOPS/sec/1e9:7.1f} GFLOP/s"
+          f"  resid {r:.2e}", flush=True)
+
+
+def solve_variant(a, b, mode: str):
+    b3 = b[:, :, None].astype(jnp.float32)
+    a32 = a.astype(jnp.float32)
+    if mode.startswith("bf16bf"):
+        a32 = a32.astype(jnp.bfloat16)
+    core = functools.partial(
+        _solve_core, a32 if not mode.startswith("bf16bf") else a32,
+        b3, nb, 2, "bfloat16", 2,
+        interpret=False, lookahead=8,
+    )
+    if mode == "bf16bf-nofb":
+        # core computes residuals against a32 (bf16 here) — that caps
+        # refinement; instead inline: butterfly/factor in bf16, refine
+        # against the original f32 a.  Use the production entry with a
+        # monkey-level cast is invasive; approximate by measuring the
+        # gateless core on bf16 input + 2 IR rounds vs f32 b (accuracy
+        # read tells whether bf16 carries still converge).
+        x, _ = core(keys=(17, 29), gate=False)
+        return x[:, :, 0]
+    x, bad = core(keys=(17, 29), gate=True)
+    if mode == "redraw-only":
+        def _rescue(xx):
+            y2, _ = core(keys=(101, 103), gate=True)
+            return jnp.where(bad[:, None, None], y2, xx)
+        x = lax.cond(jnp.any(bad), _rescue, lambda xx: xx, x)
+    elif mode == "redraw-barrier":
+        def _rescue(xx):
+            y2, bad2 = core(keys=(101, 103), gate=True)
+            def _rescue2(yy):
+                a_r, b_r = lax.optimization_barrier((a32, b3))
+                yp = blocked_solve_batched(a_r, b_r, nb=nb, ir_steps=2)
+                return jnp.where(bad2[:, None, None], yp, yy)
+            y2 = lax.cond(jnp.any(bad2), _rescue2, lambda yy: yy, y2)
+            return jnp.where(bad[:, None, None], y2, xx)
+        x = lax.cond(jnp.any(bad), _rescue, lambda xx: xx, x)
+    return x[:, :, 0]
+
+
+run("prod redraw (ref)",
+    jax.jit(functools.partial(
+        rbt.pallas_solve_rbt_batched, nb=nb, ir_steps=2,
+        fallback="redraw", lookahead=8)))
+run("redraw-only (no nested)",
+    jax.jit(functools.partial(solve_variant, mode="redraw-only")))
+run("redraw-barrier",
+    jax.jit(functools.partial(solve_variant, mode="redraw-barrier")))
+run("bf16 butterflies nofb",
+    jax.jit(functools.partial(solve_variant, mode="bf16bf-nofb")))
