@@ -10,9 +10,13 @@ redraw structure was built to avoid.  Variants:
   lax.optimization_barrier inside the branch — does a branch-local
   barrier decouple the layout assignment?
 - bf16 butterflies: cast A to bf16 BEFORE the butterflies (halves the
-  ~0.8 ms HBM-bound butterfly traffic and the phase-loop GEMM reads);
-  f32 refinement against the original system still sets final
-  accuracy.
+  ~0.8 ms HBM-bound butterfly traffic and the phase-loop GEMM reads).
+  CAVEAT on the accuracy read: this variant feeds the bf16-cast matrix
+  into ``_solve_core``, whose refinement residual is computed against
+  that SAME operand — so the printed residual measures the bf16-rounded
+  system, an upper-bound approximation only.  A production bf16-
+  butterfly path would refine against the original f32 ``a`` inline;
+  treat the timing as real and the residual as optimistic.
 """
 
 import functools
@@ -59,7 +63,7 @@ def solve_variant(a, b, mode: str):
     if mode.startswith("bf16bf"):
         a32 = a32.astype(jnp.bfloat16)
     core = functools.partial(
-        _solve_core, a32 if not mode.startswith("bf16bf") else a32,
+        _solve_core, a32,
         b3, nb, 2, "bfloat16", 2,
         interpret=False, lookahead=8,
     )

@@ -306,17 +306,29 @@ class Matrix:
 
     # -- structure --------------------------------------------------------
     def is_upper_triangular(self) -> bool:
-        return all(
-            self.items[i][j] == 0
-            for j in range(self.cols)
-            for i in range(j + 1, self.rows)
-        )
+        """True iff every entry STRICTLY ABOVE the diagonal is zero.
 
-    def is_lower_triangular(self) -> bool:
+        NOTE: the reference's method names are swapped relative to the
+        usual math convention (reference linalg.py:160-165 checks
+        ``items[i][j]`` for ``j > i`` under the name
+        ``is_upper_triangular``), and its legacy-determinant log labels
+        a zero-upper-triangle matrix "horní" (linalg.py:210-212).  We
+        reproduce that behavior exactly — found by the randomized
+        golden fuzz (tests/test_golden_fuzz.py) diffing derivation text
+        against the running reference."""
         return all(
             self.items[i][j] == 0
             for i in range(self.rows)
             for j in range(i + 1, self.cols)
+        )
+
+    def is_lower_triangular(self) -> bool:
+        """True iff every entry STRICTLY BELOW the diagonal is zero
+        (reference linalg.py:167-172 — see the naming note above)."""
+        return all(
+            self.items[i][j] == 0
+            for j in range(self.cols)
+            for i in range(j + 1, self.rows)
         )
 
     def minor(self, i: int, j: int) -> "Matrix":
@@ -468,7 +480,13 @@ class Matrix:
             else:
                 continue
             sub = self.minor(ei, ej)
-            sub_det = sub._legacy_determinant(log_permutation_details)
+            # Recurse through determinant(), not _legacy_determinant():
+            # the reference recursion (linalg.py:250) re-enters its
+            # public dispatcher, whose n==1 short-circuit returns the
+            # entry WITHOUT a log line — a 1×1 minor must not emit the
+            # triangular-product text (found by the golden fuzz).
+            sub_det = sub.determinant(log_permutation_details,
+                                      use_optimal=False)
             val = (-1) ** (ei + ej) * self.items[ei][ej]
             det = val * sub_det
             log(

@@ -90,9 +90,14 @@ class TestArithmetic:
 
 class TestStructure:
     def test_triangular_checks(self):
-        assert Matrix([[1, 2], [0, 3]]).is_upper_triangular()
-        assert not Matrix([[1, 0], [2, 3]]).is_upper_triangular()
-        assert Matrix([[1, 0], [2, 3]]).is_lower_triangular()
+        """The reference's names are SWAPPED vs the math convention
+        (reference linalg.py:160-172: ``is_upper_triangular`` is True
+        when the STRICT UPPER triangle is zero) — we match its
+        semantics exactly; see the docstrings in exact/matrix.py."""
+        assert Matrix([[1, 0], [2, 3]]).is_upper_triangular()
+        assert not Matrix([[1, 2], [0, 3]]).is_upper_triangular()
+        assert Matrix([[1, 2], [0, 3]]).is_lower_triangular()
+        assert not Matrix([[1, 0], [2, 3]]).is_lower_triangular()
 
     def test_minor(self):
         m = Matrix([[1, 2, 3], [4, 5, 6], [7, 8, 9]])
