@@ -27,8 +27,10 @@ Scaling model (per device, payload bytes; D = mesh axis size):
 - ``distributed_eigh``: per Brent–Luk round (p = D block pairs,
   w = n/2p block width): 9 ppermutes (two ``[n, w]`` content rings and
   one index ring — ``24·n·w + 12`` bytes) + 3 all_gathers (the
-  ``[2w, 2w]`` rotation + two scalars) ; ``sweeps·(2p−1)`` rounds; 3
-  final psums (eigenvalues + convergence norms, ``4(n+2)`` bytes).
+  ``[2w, 2w]`` rotation + two scalars).  The sweep loop is ADAPTIVE:
+  each sweep = ``2p−1`` rounds + 2 convergence psums, paid only until
+  the off-mass meets tol (``model_eigh_per_sweep`` × ``sweeps_used`` +
+  ``model_eigh_fixed``); α-β projected times via ``time_alpha_beta``.
 """
 
 from __future__ import annotations
@@ -115,6 +117,13 @@ def all_gather(x, axis_name, **kw):
     return lax.all_gather(x, axis_name, **kw)
 
 
+def pmax(x, axis_name):
+    m = CommMeter._active
+    if m is not None:
+        m.record("pmax", x)
+    return lax.pmax(x, axis_name)
+
+
 # ---------------------------------------------------------------------
 # Analytic models (counts + payload bytes, per device)
 # ---------------------------------------------------------------------
@@ -162,23 +171,131 @@ def model_lu_solve(
     }
 
 
-def model_eigh(n: int, p: int, w: int, sweeps: int,
-               itemsize: int = 4) -> dict:
-    """Block-Jacobi ring: 9 ppermutes + 3 all_gathers per round,
-    ``sweeps·(2p−1)`` rounds, 3 final psums."""
+def _add_models(*models: dict) -> dict:
+    out = {"calls": Counter(), "bytes": Counter()}
+    for m in models:
+        out["calls"].update(m["calls"])
+        out["bytes"].update(m["bytes"])
+    return {"calls": dict(out["calls"]), "bytes": dict(out["bytes"])}
+
+
+def _scale_model(m: dict, k: int) -> dict:
+    return {
+        "calls": {kk: v * k for kk, v in m["calls"].items()},
+        "bytes": {kk: v * k for kk, v in m["bytes"].items()},
+    }
+
+
+def model_eigh_per_sweep(n: int, p: int, w: int,
+                         itemsize: int = 4) -> dict:
+    """ONE block-Jacobi sweep (= 2p−1 Brent–Luk rounds): per round 9
+    ppermutes (two [n, w] content rings + one index ring) and 3
+    all_gathers (the [2w, 2w] rotation + two index scalars), plus the
+    adaptive convergence check's 2 scalar psums at the sweep end."""
     rounds = max(2 * p - 1, 1)
-    trips = sweeps * rounds
     out = {
-        "calls": {"all_gather": 3 * trips, "psum": 3},
+        "calls": {"all_gather": 3 * rounds, "psum": 2},
         "bytes": {
-            "all_gather": trips * ((2 * w) * (2 * w) * itemsize
-                                   + 2 * 4),
-            "psum": (n + 2) * itemsize,
+            "all_gather": rounds * ((2 * w) * (2 * w) * itemsize
+                                    + 2 * 4),
+            "psum": 2 * itemsize,
         },
     }
     if p > 1:
-        out["calls"]["ppermute"] = 9 * trips
-        out["bytes"]["ppermute"] = trips * (
+        out["calls"]["ppermute"] = 9 * rounds
+        out["bytes"]["ppermute"] = rounds * (
             6 * n * w * itemsize + 3 * 4
         )
     return out
+
+
+def model_eigh_fixed(n: int, itemsize: int = 4) -> dict:
+    """Sweep-count-independent cost: the pre-loop convergence check
+    (2 scalar psums) + the final eigenvalue-replication psum ([n])."""
+    return {
+        "calls": {"psum": 3},
+        "bytes": {"psum": (n + 2) * itemsize},
+    }
+
+
+def model_eigh_adaptive(n: int, p: int, w: int, sweeps_used: int,
+                        itemsize: int = 4) -> dict:
+    """Total comm of the ADAPTIVE ``distributed_eigh``: the fixed part
+    plus ``sweeps_used`` (device-reported) per-sweep parts.  The meter
+    verifies the per-sweep structure exactly at trace time (the while
+    body is traced once); the dynamic trip count comes from the
+    result's ``sweeps_used`` field."""
+    return _add_models(
+        model_eigh_fixed(n, itemsize),
+        _scale_model(model_eigh_per_sweep(n, p, w, itemsize),
+                     sweeps_used),
+    )
+
+
+# legacy alias for the pre-adaptive shape of the model (kept so the
+# weak-scaling sweep in the dryrun reads naturally)
+def model_eigh(n: int, p: int, w: int, sweeps: int,
+               itemsize: int = 4) -> dict:
+    return model_eigh_adaptive(n, p, w, sweeps, itemsize)
+
+
+# ---------------------------------------------------------------------
+# α-β (latency + bandwidth) time model: projected wall time of the
+# modeled collectives on a D-device ICI ring.  Constants are TPU v5e
+# class (per-link one-way bandwidth ~45 GB/s, per-hop latency ~1 µs);
+# override per topology.  Collective shapes on a bidirectional ring:
+#
+# - psum (all-reduce = reduce-scatter + all-gather): 2(D−1) hops of
+#   latency; each byte crosses the ring twice at (D−1)/D efficiency.
+# - all_gather: (D−1) hops; recorded payload is the LOCAL shard, each
+#   shard forwarded (D−1) times.
+# - ppermute: one hop per call (neighbor shifts in the Brent–Luk ring).
+# - pmax: scalar all-reduce — latency only.
+# ---------------------------------------------------------------------
+
+ICI_ALPHA_S = 1e-6       # per-hop latency, seconds
+ICI_BW_BPS = 45e9        # per-link one-way bandwidth, bytes/second
+
+
+def time_alpha_beta(model: dict, D: int, alpha: float = ICI_ALPHA_S,
+                    bw: float = ICI_BW_BPS) -> float:
+    """Projected seconds for the collectives of ``model`` on a
+    D-device ring (α latency + β bandwidth terms per collective)."""
+    if D <= 1:
+        return 0.0
+    t = 0.0
+    calls, nbytes = model["calls"], model["bytes"]
+    for kind, c in calls.items():
+        b = nbytes.get(kind, 0)
+        if kind == "psum":
+            t += c * 2 * (D - 1) * alpha + 2 * b * (D - 1) / (D * bw)
+        elif kind == "all_gather":
+            t += c * (D - 1) * alpha + b * (D - 1) / bw
+        elif kind == "ppermute":
+            t += c * alpha + b / bw
+        elif kind == "pmax":
+            t += c * 2 * (D - 1) * alpha
+        else:  # unknown collective: charge latency only
+            t += c * alpha
+    return t
+
+
+def projected_eigh_scaling(n: int, Ds=(8, 16, 64), sweeps: int = 4,
+                           alpha: float = ICI_ALPHA_S,
+                           bw: float = ICI_BW_BPS) -> list:
+    """Projected α-β comm time of ``distributed_eigh`` per mesh size:
+    rows of ``(D, rounds_per_sweep, total_s, per_sweep_s)`` for a fixed
+    [n, n] problem (strong scaling: w shrinks as D grows)."""
+    rows = []
+    for D in Ds:
+        if n % (2 * D):
+            continue
+        w = n // (2 * D)
+        per_sweep = time_alpha_beta(
+            model_eigh_per_sweep(n, D, w), D, alpha, bw
+        )
+        total = time_alpha_beta(
+            model_eigh_adaptive(n, D, w, sweeps), D, alpha, bw
+        )
+        rows.append((D, max(2 * D - 1, 1), total, per_sweep))
+    return rows

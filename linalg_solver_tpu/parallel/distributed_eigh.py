@@ -51,6 +51,9 @@ class DistributedEigh(NamedTuple):
     #                       column-sharded like the input
     converged: jax.Array  # [] bool: off-diagonal mass ≤ tol·‖A‖_F
     offnorm: jax.Array    # [] final ‖offdiag‖_F / ‖A‖_F
+    sweeps_used: jax.Array  # [] int32: sweeps actually paid (adaptive
+    #                       early exit — converged inputs stop at the
+    #                       first sweep whose off-mass meets tol)
 
 
 def _rotate_ring(x, axis: str, p: int):
@@ -102,7 +105,8 @@ def _closest_to_identity(V):
     return W * jnp.where(s == 0, 1.0, s)[None, :]
 
 
-def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
+def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int,
+                       tol: float):
     n = a_loc.shape[0]
     dtype = a_loc.dtype
     d = lax.axis_index(axis)
@@ -153,13 +157,52 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
             tid, bid = _rotate_ring((tid, bid), axis, p)
         return C_top, C_bot, W_top, W_bot, tid, bid
 
-    st = (C_top, C_bot, W_top, W_bot, tid0, bid0)
-    # round_body is traced once; its collectives execute every trip.
-    with comm.loop_scale(sweeps * rounds):
-        st = lax.fori_loop(0, sweeps * rounds, round_body, st)
+    def off_mass(C_top, C_bot):
+        """Off-diagonal mass of the local columns (everything outside
+        the two diagonal w×w blocks), + total Frobenius mass.  Summed
+        DIRECTLY over the zeroed-block copy — a ``total − ondiag``
+        subtraction of two ~‖A‖²_F f32 sums cancels catastrophically
+        (observed: junk magnitudes and small NEGATIVES whose sqrt
+        reported NaN while the true off-norm was 8e-7)."""
+        C = jnp.concatenate([C_top, C_bot], axis=1)
+        zw = jnp.zeros((w, w), dtype)
+        Co = lax.dynamic_update_slice(C, zw, ((2 * d) * w, 0))
+        Co = lax.dynamic_update_slice(Co, zw, ((2 * d + 1) * w, w))
+        off = comm.psum(jnp.sum(Co * Co), axis)
+        fro = comm.psum(jnp.sum(C * C), axis)
+        return off, fro
+
+    # ADAPTIVE sweep loop: whole sweeps only (the Brent–Luk ring has
+    # period 2p−1, so contents are home exactly at sweep boundaries),
+    # early-exiting once the off-diagonal mass meets tol — converged
+    # inputs stop paying ICI traffic after one confirming sweep
+    # (previously: always sweeps·(2p−1) rounds).  The two per-sweep
+    # scalar psums are the check's entire comm cost.  Convergence test
+    # on SQUARED masses: off ≤ tol²·fro ⟺ ‖off‖_F/‖A‖_F ≤ tol.
+    st0 = (C_top, C_bot, W_top, W_bot, tid0, bid0)
+
+    def sweep_cond(carry):
+        _, k, off, fro = carry
+        return (k < sweeps) & (off > (tol * tol) * fro)
+
+    def sweep_body(carry):
+        st, k, _, _ = carry
+        with comm.loop_scale(rounds):
+            st = lax.fori_loop(0, rounds, round_body, st)
+        off, fro = off_mass(st[0], st[1])
+        return st, k + 1, off, fro
+
+    # The while body is traced ONCE: the meter records ONE sweep's
+    # collectives (comm.model_eigh_per_sweep); the dynamic trip count
+    # is reported back as ``sweeps_used`` for the exact assertion
+    # counted_per_sweep × sweeps_used == model(sweeps_used).
+    off0, fro0 = off_mass(C_top, C_bot)
+    st, k, off, fro = lax.while_loop(
+        sweep_cond, sweep_body,
+        (st0, jnp.int32(0), off0, fro0),
+    )
     C_top, C_bot, W_top, W_bot, tid, bid = st
-    # contents are home again (the ring has period 2p−1 and we ran
-    # whole sweeps): tid == 2d, bid == 2d+1.
+    # contents are home again (whole sweeps only): tid==2d, bid==2d+1.
 
     # eigenvalues: diagonal of the (block-diagonalized) matrix, written
     # at the global positions of the local blocks; one psum replicates.
@@ -174,21 +217,8 @@ def _eigh_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
     wvec = lax.dynamic_update_slice(wvec, db, ((2 * d + 1) * w,))
     wvec = comm.psum(wvec, axis)
 
-    # convergence: off-diagonal mass of the local columns (everything
-    # outside the two diagonal w×w blocks).  Summed DIRECTLY over the
-    # zeroed-block copy — a ``total − ondiag`` subtraction of two ~‖A‖²_F
-    # f32 sums cancels catastrophically (observed: junk magnitudes and
-    # small NEGATIVES whose sqrt reported NaN while the true off-norm
-    # was 8e-7).
-    C = jnp.concatenate([C_top, C_bot], axis=1)
-    zw = jnp.zeros((w, w), dtype)
-    Co = lax.dynamic_update_slice(C, zw, ((2 * d) * w, 0))
-    Co = lax.dynamic_update_slice(Co, zw, ((2 * d + 1) * w, w))
-    off = comm.psum(jnp.sum(Co * Co), axis)
-    fro = comm.psum(jnp.sum(C * C), axis)
-
     V_loc = jnp.concatenate([W_top, W_bot], axis=1)
-    return wvec, V_loc, off, fro
+    return wvec, V_loc, off, fro, k
 
 
 class DistributedSVDJacobi(NamedTuple):
@@ -199,13 +229,16 @@ class DistributedSVDJacobi(NamedTuple):
     V: jax.Array          # [n, n] right singular vectors, column-sharded
     converged: jax.Array  # [] bool
     offnorm: jax.Array    # [] final Gram off-diagonality
+    sweeps_used: jax.Array  # [] int32: sweeps actually paid
 
 
-def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
+def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int,
+                      tol: float):
     """One-sided block Jacobi: orthogonalize column blocks pairwise.
     Columns are fully local (rows unsharded), so the 2w×2w Gram and the
     rotation are communication-free — the ring rotation is the ONLY
-    collective."""
+    collective (plus one scalar pmax per sweep for the adaptive
+    convergence check)."""
     m = a_loc.shape[0]
     dtype = a_loc.dtype
     d = lax.axis_index(axis)
@@ -236,9 +269,38 @@ def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
             W_top, W_bot = _rotate_ring((W_top, W_bot), axis, p)
         return C_top, C_bot, W_top, W_bot
 
-    st = (C_top, C_bot, W_top, W_bot)
-    with comm.loop_scale(sweeps * rounds):
-        st = lax.fori_loop(0, sweeps * rounds, round_body, st)
+    def gram_offmax(C_top, C_bot):
+        """Gram off-diagonality of the LOCAL pair (the pairwise
+        criterion every pair satisfied at its last visit), maxed over
+        devices — one scalar pmax."""
+        C = jnp.concatenate([C_top, C_bot], axis=1)
+        G = jnp.einsum("mi,mk->ik", C, C, precision=_HIGH)
+        dG = jnp.diagonal(G)
+        scale = jnp.sqrt(
+            jnp.maximum(dG[:, None] * dG[None, :],
+                        jnp.finfo(dtype).tiny)
+        )
+        offmax = jnp.max(jnp.abs(G - jnp.diag(dG)) / scale)
+        return comm.pmax(offmax, axis)
+
+    # ADAPTIVE sweep loop, same structure as _eigh_jacobi_local: whole
+    # sweeps, early exit on the pairwise Gram criterion.
+    st0 = (C_top, C_bot, W_top, W_bot)
+
+    def sweep_cond(carry):
+        _, k, offmax = carry
+        return (k < sweeps) & (offmax > tol)
+
+    def sweep_body(carry):
+        st, k, _ = carry
+        with comm.loop_scale(rounds):
+            st = lax.fori_loop(0, rounds, round_body, st)
+        return st, k + 1, gram_offmax(st[0], st[1])
+
+    st, k, offmax = lax.while_loop(
+        sweep_cond, sweep_body,
+        (st0, jnp.int32(0), gram_offmax(C_top, C_bot)),
+    )
     C_top, C_bot, W_top, W_bot = st
     C = jnp.concatenate([C_top, C_bot], axis=1)
     Wl = jnp.concatenate([W_top, W_bot], axis=1)
@@ -253,19 +315,7 @@ def _svd_jacobi_local(a_loc, axis: str, p: int, w: int, sweeps: int):
         svec, s_loc[w:], ((2 * d + 1) * w,)
     )
     svec = comm.psum(svec, axis)
-
-    # convergence: final Gram off-diagonality of the LOCAL pair (the
-    # pairwise criterion every pair satisfied at its last visit).
-    G = jnp.einsum("mi,mk->ik", C, C, precision=_HIGH)
-    dG = jnp.diagonal(G)
-    scale = jnp.sqrt(
-        jnp.maximum(dG[:, None] * dG[None, :], jnp.finfo(dtype).tiny)
-    )
-    offmax = jnp.max(
-        jnp.abs(G - jnp.diag(dG)) / scale
-    )
-    offmax = lax.pmax(offmax, axis)
-    return U_loc, svec, Wl, offmax
+    return U_loc, svec, Wl, offmax, k
 
 
 @functools.partial(
@@ -285,7 +335,10 @@ def distributed_svd_jacobi(
     Jacobi: column blocks are pairwise orthogonalized through local
     2w×2w Gram eigensolves; the only communication is the ring
     rotation of [m, w] blocks.  Requires ``n % (2p) == 0``.  Singular
-    values come back unsorted but paired with U/V columns."""
+    values come back unsorted but paired with U/V columns.  The sweep
+    loop is ADAPTIVE: it stops at the first sweep whose pairwise Gram
+    criterion meets ``tol`` (``sweeps`` is the cap; ``sweeps_used``
+    reports the count actually paid)."""
     m, n = a.shape
     p = mesh.shape[axis]
     if n % (2 * p) != 0:
@@ -294,16 +347,17 @@ def distributed_svd_jacobi(
             f"n={n}, p={p}"
         )
     w = n // (2 * p)
-    U, s, V, off = shard_map(
+    U, s, V, off, k = shard_map(
         functools.partial(
-            _svd_jacobi_local, axis=axis, p=p, w=w, sweeps=sweeps
+            _svd_jacobi_local, axis=axis, p=p, w=w, sweeps=sweeps,
+            tol=tol,
         ),
         mesh=mesh,
         in_specs=P(None, axis),
-        out_specs=(P(None, axis), P(), P(None, axis), P()),
+        out_specs=(P(None, axis), P(), P(None, axis), P(), P()),
         check_vma=False,
     )(a)
-    return DistributedSVDJacobi(U, s, V, off <= tol, off)
+    return DistributedSVDJacobi(U, s, V, off <= tol, off, k)
 
 
 @functools.partial(
@@ -324,6 +378,13 @@ def distributed_eigh(
     Eigenvalues come back UNSORTED (block-Jacobi order) but paired
     with V's columns; sort on the host if order matters.  ``w`` is
     replicated, ``V`` keeps the input's column sharding.
+
+    The sweep loop is ADAPTIVE: after every sweep the off-diagonal
+    mass is checked (two scalar psums) and the loop exits as soon as
+    ``‖offdiag‖_F ≤ tol·‖A‖_F`` — converged inputs stop paying the
+    ring's ICI traffic instead of always burning ``sweeps·(2p−1)``
+    rounds.  ``sweeps`` is the cap; ``sweeps_used`` reports the count
+    actually paid (comm model: ``comm.model_eigh_adaptive``).
     """
     n = a.shape[0]
     p = mesh.shape[axis]
@@ -334,14 +395,15 @@ def distributed_eigh(
         )
     w = n // (2 * p)
 
-    wvec, V, off, fro = shard_map(
+    wvec, V, off, fro, k = shard_map(
         functools.partial(
-            _eigh_jacobi_local, axis=axis, p=p, w=w, sweeps=sweeps
+            _eigh_jacobi_local, axis=axis, p=p, w=w, sweeps=sweeps,
+            tol=tol,
         ),
         mesh=mesh,
         in_specs=P(None, axis),
-        out_specs=(P(), P(None, axis), P(), P()),
+        out_specs=(P(), P(None, axis), P(), P(), P()),
         check_vma=False,
     )(a)
     offnorm = jnp.sqrt(off / jnp.maximum(fro, jnp.finfo(a.dtype).tiny))
-    return DistributedEigh(wvec, V, offnorm <= tol, offnorm)
+    return DistributedEigh(wvec, V, offnorm <= tol, offnorm, k)
