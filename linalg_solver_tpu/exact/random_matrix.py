@@ -8,10 +8,18 @@ matrices L·U with ±1 diagonals, so P⁻¹ stays integral.
 
 All internal products run under ``ignore_log`` so generation stays silent.
 
+The generation strategies live as module-level functions; the builder is
+a thin dispatch over them and the ``gen_*`` conveniences call them
+directly.  The ORDER of ``random`` draws inside each strategy is part of
+the byte-golden contract with the reference CLI (same seed ⇒ same
+matrices ⇒ identical ``output.tex``): row-major entry draws; rejection
+loops redraw whole candidates; the unimodular transform draws U before
+L, and within each triangular factor the diagonal sign before that
+row's off-diagonal entries (capability parity with
+/root/reference/linalg_solver/random_matrix.py:7-267).
+
 The batched on-device generators live in ``linalg_solver_tpu.ops.generate``;
 this module is their exact single-matrix counterpart.
-
-Capability parity with /root/reference/linalg_solver/random_matrix.py:7-267.
 """
 
 from __future__ import annotations
@@ -28,6 +36,97 @@ Dist = Callable[[], Any]
 def _default_dist() -> int:
     return random.randint(-5, 5)
 
+
+# ---------------------------------------------------------------------------
+# Generation strategies (module-level; the builder dispatches to these)
+# ---------------------------------------------------------------------------
+
+def _draw_items(dist: Dist, rows: int, cols: int) -> List[List[Any]]:
+    """Row-major iid draws — one ``dist()`` call per entry, rows outer."""
+    return [[dist() for _ in range(cols)] for _ in range(rows)]
+
+
+def _draw_until_rank(dist: Dist, rows: int, cols: int, target: int) -> Matrix:
+    """Rejection sampling: redraw the whole candidate until its rank
+    (sympy, silent) hits ``target``."""
+    while True:
+        cand = Matrix(_draw_items(dist, rows, cols))
+        if cand.rank() == target:
+            return cand
+
+
+def _random_matrix(dist: Dist, rows: int, cols: int) -> Matrix:
+    return Matrix(_draw_items(dist, rows, cols))
+
+
+def _full_rank_matrix(dist: Dist, n: int) -> Matrix:
+    return _draw_until_rank(dist, n, n, n)
+
+
+def _rank_factored_matrix(dist: Dist, rows: int, cols: int,
+                          rank: int) -> Matrix:
+    """Prescribed rank as a full-rank factorization A(rows×rank)·B(rank×cols);
+    A is drawn (and rejection-tested) completely before B."""
+    lhs = _draw_until_rank(dist, rows, rank, rank)
+    rhs = _draw_until_rank(dist, rank, cols, rank)
+    return ignore_log(lambda: lhs * rhs)
+
+
+def _similar_to(form: Matrix, n: int) -> Matrix:
+    """Conjugate ``form`` by a fresh unimodular transform: P⁻¹·form·P
+    (P integral with integral inverse, so entries stay exact)."""
+    P = gen_unimodular_matrix(n)
+    P_inv = P.inverse()
+    return ignore_log(lambda: P_inv * form * P)
+
+
+def _diagonal_form(eig_mults: List[Tuple[Any, int]]) -> Matrix:
+    flat: List[Any] = []
+    for eig, mult in eig_mults:
+        flat.extend([eig] * mult)
+    return Matrix.diagonal(flat)
+
+
+def _jordan_form(n: int, blocks: List[Tuple[Any, int]]) -> Matrix:
+    """Block-diagonal Jordan matrix: eigenvalue on the diagonal, ones on
+    the first superdiagonal within each block."""
+    total = sum(size for _, size in blocks)
+    if total != n:
+        raise ValueError(
+            f"Sum of Jordan block sizes ({total}) must equal matrix "
+            f"size ({n})"
+        )
+    J = [[0] * n for _ in range(n)]
+    offset = 0
+    for eigenvalue, size in blocks:
+        for k in range(offset, offset + size):
+            J[k][k] = eigenvalue
+            if k + 1 < offset + size:
+                J[k][k + 1] = 1
+        offset += size
+    return Matrix(J)
+
+
+def _triangular_rows(n: int, dist: Dist, upper: bool) -> List[List[Any]]:
+    """One triangular factor of the unimodular transform.  Per row: the
+    ±1 diagonal sign is drawn FIRST, then that row's off-diagonal
+    entries in ascending column order — the draw order the golden
+    contract fixes."""
+    rows: List[List[Any]] = []
+    for i in range(n):
+        diag = random.choice([-1, 1])
+        span = range(i + 1, n) if upper else range(i)
+        offd = {j: dist() for j in span}
+        rows.append(
+            [offd[j] if j in offd else (diag if j == i else 0)
+             for j in range(n)]
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Fluent builder (thin dispatch over the strategies)
+# ---------------------------------------------------------------------------
 
 class RandomMatrixBuilder:
     def __init__(self) -> None:
@@ -61,10 +160,12 @@ class RandomMatrixBuilder:
         return self
 
     def with_eigenvalues(self, eigenvalues) -> "RandomMatrixBuilder":
-        if isinstance(eigenvalues[0], tuple):
-            self.eigenvalues = eigenvalues
-        else:
-            self.eigenvalues = [(e, 1) for e in eigenvalues]
+        first = eigenvalues[0]
+        self.eigenvalues = (
+            list(eigenvalues)
+            if isinstance(first, tuple)
+            else [(e, 1) for e in eigenvalues]
+        )
         return self
 
     def with_jordan_blocks(
@@ -77,36 +178,39 @@ class RandomMatrixBuilder:
     def is_square(self) -> bool:
         return self.num_rows == self.num_cols
 
+    def _structured_modes(self) -> List[str]:
+        """Names of the mutually-exclusive structure requests set."""
+        return [
+            name
+            for name in ("eigenvalues", "rank", "jordan_blocks")
+            if getattr(self, name) is not None
+        ]
+
     def assert_requirements(self) -> None:
-        if self.eigenvalues is not None:
+        modes = self._structured_modes()
+        pretty = {
+            "eigenvalues": "eigenvalues",
+            "rank": "rank",
+            "jordan_blocks": "Jordan blocks",
+        }
+        for a in modes:
+            for b in modes:
+                assert a == b, (
+                    f"Cannot specify both {pretty[a]} and {pretty[b]}."
+                )
+        if "eigenvalues" in modes:
             assert self.is_square(), "Diagonalizable matrix must be square."
             assert sum(m for _, m in self.eigenvalues) == self.num_rows, (
                 "Sum of eigenvalue multiplicities must match matrix size."
             )
-            assert self.rank is None, "Cannot specify both eigenvalues and rank."
-            assert self.jordan_blocks is None, (
-                "Cannot specify both eigenvalues and Jordan blocks."
-            )
-        if self.rank is not None:
+        if "rank" in modes:
             assert self.rank <= min(self.num_rows, self.num_cols), (
                 "Rank cannot exceed min(num_rows, num_cols)."
             )
-            assert self.eigenvalues is None, (
-                "Cannot specify both rank and eigenvalues."
-            )
-            assert self.jordan_blocks is None, (
-                "Cannot specify both rank and Jordan blocks."
-            )
-        if self.jordan_blocks is not None:
+        if "jordan_blocks" in modes:
             assert self.is_square(), "Jordan block matrix must be square."
             assert sum(s for _, s in self.jordan_blocks) == self.num_rows, (
                 "Sum of Jordan block sizes must match matrix size."
-            )
-            assert self.eigenvalues is None, (
-                "Cannot specify both Jordan blocks and eigenvalues."
-            )
-            assert self.rank is None, (
-                "Cannot specify both Jordan blocks and rank."
             )
 
     # -- build dispatch ----------------------------------------------------
@@ -117,141 +221,78 @@ class RandomMatrixBuilder:
 
     def build(self) -> Matrix:
         self.assert_requirements()
-        if self.jordan_blocks is not None:
+        mode = (self._structured_modes() or ["random"])[0]
+        if mode == "jordan_blocks":
             return self.build_jordanized()
-        if self.eigenvalues is not None:
+        if mode == "eigenvalues":
             return self.build_diagonalizable()
-        if self.rank is not None:
-            if (
-                self.rank == min(self.num_rows, self.num_cols)
-                and self.num_rows == self.num_cols
-            ):
+        if mode == "rank":
+            square = self.num_rows == self.num_cols
+            if square and self.rank == self.num_rows:
                 return self.build_full_rank()
             return self.build_rank()
         return self.build_random()
 
-    # -- strategies ---------------------------------------------------------
+    # -- strategies (delegate to the module-level implementations) ---------
     def build_random(self) -> Matrix:
-        dist = self.dist or _default_dist
-        return Matrix(
-            [[dist() for _ in range(self.num_cols)] for _ in range(self.num_rows)]
+        return _random_matrix(
+            self.dist or _default_dist, self.num_rows, self.num_cols
         )
 
     def build_full_rank(self) -> Matrix:
-        dist = self.dist or _default_dist
-        N = self.num_rows
-        while True:
-            candidate = Matrix([[dist() for _ in range(N)] for _ in range(N)])
-            if candidate.rank() == N:
-                return candidate
+        return _full_rank_matrix(self.dist or _default_dist, self.num_rows)
 
     def build_rank(self) -> Matrix:
-        dist = self.dist or _default_dist
-        rows, cols, rank = self.num_rows, self.num_cols, self.rank
-        while True:
-            A = Matrix([[dist() for _ in range(rank)] for _ in range(rows)])
-            if A.rank() == rank:
-                break
-        while True:
-            B = Matrix([[dist() for _ in range(cols)] for _ in range(rank)])
-            if B.rank() == rank:
-                break
-        return ignore_log(lambda: A * B)
+        return _rank_factored_matrix(
+            self.dist or _default_dist,
+            self.num_rows, self.num_cols, self.rank,
+        )
 
     def build_diagonalizable(self) -> Matrix:
-        N = self.num_rows
-        diag: List[Any] = []
-        for eig, mult in self.eigenvalues:
-            diag.extend([eig] * mult)
-        D = Matrix.diagonal(diag)
+        D = _diagonal_form(self.eigenvalues)
         if not self.do_randomize_from_diagonal_form:
             return D
-        P = gen_unimodular_matrix(N)
-        P_inv = P.inverse()
-        return ignore_log(lambda: P_inv * D * P)
+        return _similar_to(D, self.num_rows)
 
     def build_jordan(self) -> Matrix:
-        N = self.num_rows
-        total = sum(size for _, size in self.jordan_blocks)
-        if total != N:
-            raise ValueError(
-                f"Sum of Jordan block sizes ({total}) must equal matrix "
-                f"size ({N})"
-            )
-        J = [[0 for _ in range(N)] for _ in range(N)]
-        pos = 0
-        for eigenvalue, size in self.jordan_blocks:
-            for i in range(size):
-                J[pos + i][pos + i] = eigenvalue
-                if i < size - 1:
-                    J[pos + i][pos + i + 1] = 1
-            pos += size
-        return Matrix(J)
+        return _jordan_form(self.num_rows, self.jordan_blocks)
 
     def build_jordanized(self) -> Matrix:
-        J = self.build_jordan()
-        N = self.num_rows
-        P = gen_unimodular_matrix(N)
-        P_inv = P.inverse()
-        return ignore_log(lambda: P_inv * J * P)
+        return _similar_to(self.build_jordan(), self.num_rows)
 
 
 # ---------------------------------------------------------------------------
-# Convenience generators
+# Convenience generators (call the strategies directly; like the
+# reference's, they do NOT run assert_requirements)
 # ---------------------------------------------------------------------------
 
 def raw_gen_rand_matrix(
     rows: int, cols: int, dist: Optional[Dist] = None
 ) -> Matrix:
-    return (
-        RandomMatrixBuilder.new()
-        .with_size(rows, cols)
-        .with_dist(dist)
-        .build_random()
-    )
+    return _random_matrix(dist or _default_dist, rows, cols)
 
 
 def gen_regular_matrix(N: int, dist: Optional[Dist] = None) -> Matrix:
-    return (
-        RandomMatrixBuilder.new()
-        .with_size(N, N)
-        .with_dist(dist)
-        .build_full_rank()
-    )
+    return _full_rank_matrix(dist or _default_dist, N)
 
 
 def gen_matrix_with_rank(
     rows: int, cols: int, rank: Optional[int] = None,
     dist: Optional[Dist] = None,
 ) -> Matrix:
-    return (
-        RandomMatrixBuilder.new()
-        .with_size(rows, cols)
-        .with_rank(rank or min(rows, cols))
-        .with_dist(dist)
-        .build_rank()
+    return _rank_factored_matrix(
+        dist or _default_dist, rows, cols, rank or min(rows, cols)
     )
 
 
 def gen_jordan_matrix(N: int, blocks: List[Tuple[Any, int]]) -> Matrix:
-    return (
-        RandomMatrixBuilder.new()
-        .with_size(N, N)
-        .with_jordan_blocks(blocks)
-        .build_jordan()
-    )
+    return _jordan_form(N, blocks)
 
 
 def gen_matrix_with_jordan_blocks(
     N: int, blocks: List[Tuple[Any, int]], dist: Optional[Dist] = None
 ) -> Matrix:
-    return (
-        RandomMatrixBuilder.new()
-        .with_size(N, N)
-        .with_jordan_blocks(blocks)
-        .with_dist(dist)
-        .build_jordanized()
-    )
+    return _similar_to(_jordan_form(N, blocks), N)
 
 
 def gen_diagonalizable_matrix(
@@ -260,36 +301,17 @@ def gen_diagonalizable_matrix(
     dist: Optional[Dist] = None,
 ) -> Matrix:
     if eigenvalues is None:
-        eigenvalues = [
-            ((dist() if dist is not None else _default_dist()), 1)
-            for _ in range(N)
-        ]
-    return (
-        RandomMatrixBuilder.new()
-        .with_size(N, N)
-        .with_eigenvalues(eigenvalues)
-        .with_dist(dist)
-        .build_diagonalizable()
-    )
+        draw = dist if dist is not None else _default_dist
+        eigenvalues = [(draw(), 1) for _ in range(N)]
+    return _similar_to(_diagonal_form(eigenvalues), N)
 
 
 def gen_unimodular_matrix(N: int, dist: Optional[Dist] = None) -> Matrix:
-    """L·U with ±1 diagonal entries: det = ±1, hence an exact integer inverse
-    — the similarity transform used by the structured builders."""
-    random_sign = lambda: random.choice([-1, 1])
+    """L·U with ±1 diagonal entries: det = ±1, hence an exact integer
+    inverse — the similarity transform used by the structured builders.
+    Draw order (golden contract): U's rows first, then L's."""
     if dist is None:
-        dist = lambda: random.randint(-1, 1)
-
-    U = [[0 for _ in range(N)] for _ in range(N)]
-    for i in range(N):
-        U[i][i] = random_sign()
-        for j in range(i + 1, N):
-            U[i][j] = dist()
-
-    L = [[0 for _ in range(N)] for _ in range(N)]
-    for i in range(N):
-        L[i][i] = random_sign()
-        for j in range(i):
-            L[i][j] = dist()
-
-    return ignore_log(lambda: Matrix(L) * Matrix(U))
+        dist = lambda: random.randint(-1, 1)  # noqa: E731
+    U = Matrix(_triangular_rows(N, dist, upper=True))
+    L = Matrix(_triangular_rows(N, dist, upper=False))
+    return ignore_log(lambda: L * U)
