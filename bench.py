@@ -49,15 +49,21 @@ def main() -> None:
 
     from linalg_solver_tpu.ops import dispatch
 
-    # backend="rbt": random-butterfly preconditioning + the SEARCH-FREE
-    # pivot-free LU kernel + two f32 refinement rounds, per-lane gated
-    # with a redraw/pivoted rescue.  Removing the per-column pivot
-    # chain (the measured binding constraint of the pivoted path — see
-    # STATUS.md's ceiling model) is worth ~10% over backend="mixed" in
-    # the same process (675 vs 616 GFLOP/s, resid 1.29e-7 vs 1.32e-7;
-    # 789 GFLOP/s in a warmer process) at equal f64-verified accuracy.
+    # backend="auto" — the DEFAULT path every user gets — routes this
+    # shape to the RBT backend (random-butterfly preconditioning + the
+    # search-free pivot-free LU kernel + two f32 refinement rounds,
+    # per-lane gated with a redraw/pivoted rescue; see
+    # ops/dispatch._resolve's measured routing table).  Removing the
+    # per-column pivot chain is worth ~10% over backend="mixed"
+    # same-process (675 vs 616 GFLOP/s, resid 1.29e-7 vs 1.32e-7) at
+    # equal f64-verified accuracy.
+    from linalg_solver_tpu.ops.dispatch import _resolve
+
+    assert _resolve("auto", "solve", N) == "rbt", (
+        "auto must route the headline shape to rbt"
+    )
     ours = jax.jit(
-        lambda a, b: dispatch.solve_batched(a, b, backend="rbt")
+        lambda a, b: dispatch.solve_batched(a, b, backend="auto")
     )
     baseline = jax.jit(
         lambda a, b: jnp.linalg.solve(a, b[..., None])[..., 0]
@@ -100,7 +106,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "batched 256x256 LU factor+solve (B=256, RBT pivot-free bf16/f32)",
+                "metric": "batched 256x256 LU factor+solve (B=256, backend=auto -> RBT pivot-free bf16/f32)",
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / gflops_base, 3),

@@ -1,0 +1,79 @@
+"""Rescue-firing benchmark (VERDICT r2 weak-4): the headline solve on
+batches where k lanes are ADVERSARIAL (singular leading minors via a
+hard-zero top-left block, or fully zero lanes) for k in {0, 1, 8, 64},
+plus a non-shifted gaussian κ-spread variant — measures what the
+per-lane gate + redraw/pivoted rescue actually costs when it FIRES,
+not just untaken.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python examples/bench_r3_rescue.py
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from linalg_solver_tpu.ops import rbt
+from linalg_solver_tpu.utils.benchmarking import device_slope_time
+
+B, N, nb = 256, 256, 64
+FLOPS = B * (2.0 / 3.0 * N**3 + 2.0 * N**2)
+
+solver = jax.jit(functools.partial(
+    rbt.pallas_solve_rbt_batched, nb=nb, ir_steps=2,
+    fallback="redraw", lookahead=8))
+
+
+def measure(tag, a, b):
+    x = np.asarray(solver(a, b), np.float64)
+    a64 = np.asarray(a, np.float64)
+    b64 = np.asarray(b, np.float64)
+    # f64 HOST residuals (a bf16 einsum check lies); report the worst
+    # lane among the solvable ones
+    r = np.linalg.norm(
+        np.einsum("bij,bj->bi", a64, x) - b64, axis=1
+    ) / np.maximum(np.linalg.norm(b64, axis=1), 1e-30)
+    finite = np.isfinite(r)
+    sec = device_slope_time(solver, a, b)
+    print(f"{tag:28s} {sec*1e3:7.3f} ms  {FLOPS/sec/1e9:7.1f} GFLOP/s"
+          f"  worst-finite-lane resid {np.max(r[finite]):.2e}"
+          f"  finite {int(np.sum(finite))}/{B}", flush=True)
+    return sec
+
+
+key = jax.random.PRNGKey(0)
+k_a, k_b = jax.random.split(key)
+base = jax.random.normal(k_a, (B, N, N), jnp.float32) + (
+    4.0 * N**0.5
+) * jnp.eye(N, dtype=jnp.float32)
+b = jax.random.normal(k_b, (B, N), jnp.float32)
+
+times = {}
+for k in (0, 1, 8, 64):
+    a = np.asarray(base).copy()
+    for lane in range(k):
+        if lane % 2 == 0:
+            # singular leading minor: zero the top-left 32x32 block
+            # (still full-rank overall with the bottom rows) — defeats
+            # no-pivot LU but not the pivoted rescue
+            a[lane, :32, :32] = 0.0
+        else:
+            # fully zero lane: genuinely singular, must be flagged,
+            # not crash the batch
+            a[lane] = 0.0
+    times[k] = measure(f"adversarial k={k}", jnp.asarray(a), b)
+
+# κ-spread gaussian (NO diagonal shift): condition numbers ~1e3-1e5,
+# the realistic hard class the friendly bench input avoids
+g = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (B, N, N),
+                                 jnp.float32))
+times["gauss"] = measure("gaussian (no shift)", jnp.asarray(g), b)
+
+print(f"\npenalties vs k=0: "
+      + ", ".join(f"k={k}: {times[k]/times[0]:.2f}x"
+                  for k in (1, 8, 64))
+      + f", gaussian: {times['gauss']/times[0]:.2f}x")

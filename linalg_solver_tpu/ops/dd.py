@@ -43,16 +43,25 @@ _HIGH = jax.lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 def two_sum(a, b):
-    """Exact sum: returns (s, e) with s = fl(a+b), s + e = a + b."""
-    s = a + b
+    """Exact sum: returns (s, e) with s = fl(a+b), s + e = a + b.
+
+    The rounded sum is pinned behind an ``optimization_barrier``: in
+    some fusion configurations XLA's algebraic simplifier rewrites
+    ``(a+b) − a → b`` (numerically unsafe), which zeroes the error
+    term — measured as a 4e-8 relative collapse of the dd quotient
+    chain in ``_eig_dd_refine`` while the identical graph with
+    distinct parameters stayed exact.  The barrier costs nothing
+    arithmetic-wise; it only forbids that rewrite."""
+    s = jax.lax.optimization_barrier(a + b)
     v = s - a
     e = (a - (s - v)) + (b - v)
     return s, e
 
 
 def fast_two_sum(a, b):
-    """Exact sum assuming |a| >= |b| (or a = 0)."""
-    s = a + b
+    """Exact sum assuming |a| >= |b| (or a = 0).  Barrier: see
+    ``two_sum``."""
+    s = jax.lax.optimization_barrier(a + b)
     e = b - (s - a)
     return s, e
 
@@ -419,18 +428,9 @@ def eigh_dd_batched(a: jax.Array, t: int = 6) -> DDEighResult:
     # the two_prod split explicitly)
     num_hi, num_lo = _dot_columns_dd(V, av.hi, av.lo)
     den_hi, den_lo = _dot_columns_dd(V, V, jnp.zeros_like(V))
-    # w = num / den (den ≈ 1; one Newton step on the dd reciprocal).
-    # The Newton correction e = 1 − den·inv0 lives entirely BELOW
-    # f32 resolution, so den_hi·inv0 must be an exact TwoProd — a
-    # plain f32 product rounds e away and floors the whole quotient
-    # at ~6e-8 (measured before the fix).
-    inv0 = 1.0 / den_hi
-    p, pe = _two_prod(den_hi, inv0)
-    e_hi, e_lo = dd_add_f32(
-        -p, -(pe + den_lo * inv0), jnp.ones_like(den_hi)
-    )
-    q, qe = _two_prod(inv0, e_hi)
-    inv_hi, inv_lo = dd_add_f32(q, qe + inv0 * e_lo, inv0)
+    # w = num / den (den ≈ 1; one Newton step on the dd reciprocal —
+    # see _dd_recip for why the TwoProd there is load-bearing).
+    inv_hi, inv_lo = _dd_recip(den_hi, den_lo)
     w_hi, w_lo = _dd_mul_dd(num_hi, num_lo, inv_hi, inv_lo)
     # residual ‖Av − w v‖ per column, dd-computed then collapsed
     rz_hi = av.hi - w_hi[:, None, :] * V
@@ -441,13 +441,19 @@ def eigh_dd_batched(a: jax.Array, t: int = 6) -> DDEighResult:
 
 def _two_prod(a, b):
     """Dekker exact product: (p, e) with p = fl(a·b), p + e = a·b.
-    Split-based (no FMA dependency); exact in IEEE f32."""
+    Split-based (no FMA dependency); exact in IEEE f32.
+
+    The splitter products are pinned behind ``optimization_barrier``:
+    in fused graphs XLA's algebraic simplifier can rewrite
+    ``a·c − (a·c − a) → a``, collapsing the split (same unsafe-rewrite
+    family as the ``two_sum`` barrier — measured as an f32-level
+    collapse of the eig_dd quotient)."""
     p = a * b
     c = jnp.float32(4097.0)  # 2^12 + 1 splitter for f32
-    a1 = a * c
+    a1 = jax.lax.optimization_barrier(a * c)
     ah = a1 - (a1 - a)
     al = a - ah
-    b1 = b * c
+    b1 = jax.lax.optimization_barrier(b * c)
     bh = b1 - (b1 - b)
     bl = b - bh
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -645,3 +651,200 @@ def inverse_dd_batched(
     _, x_hi, x_lo, resid = jax.lax.while_loop(cond, body, init)
     ok = (resid <= 1e-10) & jnp.all(jnp.isfinite(x_hi), axis=(1, 2))
     return DDInverseResult(x_hi, x_lo, resid, ok)
+
+
+# ---------------------------------------------------------------------------
+# General (non-symmetric) eigenvalue refinement: f64-class spectra on chip
+# ---------------------------------------------------------------------------
+
+def _dd_recip(d_hi, d_lo):
+    """dd reciprocal by one Newton step.  The correction
+    ``e = 1 − d·inv0`` lives entirely BELOW f32 resolution, so
+    ``d_hi·inv0`` must be an exact TwoProd — a plain f32 product
+    rounds e away and floors the quotient at ~6e-8 (the eigh_dd
+    lesson)."""
+    inv0 = 1.0 / d_hi
+    p, pe = _two_prod(d_hi, inv0)
+    e_hi, e_lo = dd_add_f32(
+        -p, -(pe + d_lo * inv0), jnp.ones_like(d_hi)
+    )
+    q, qe = _two_prod(inv0, e_hi)
+    return dd_add_f32(q, qe + inv0 * e_lo, inv0)
+
+
+class DDEigResult(NamedTuple):
+    """dd-refined GENERAL (non-symmetric) eigenvalues.
+
+    ``lam_re/lam_im`` carry the refined spectrum as f32 with trailing
+    dd bits in ``*_lo``; ``s`` is the per-eigenvalue reciprocal
+    condition ``|yᴴx|`` (unit right/left eigenvectors — dgeevx RCONDE);
+    ``resid`` the dd-computed ``‖Av − λv‖₂`` per column; ``err_bound``
+    the first-order honest bound ``resid / s`` (|λ̂ − λ| ≲ ‖r‖·‖y‖ /
+    |yᴴv|) — CLUSTERED or defective eigenvalues show up as small s /
+    large err_bound rather than silently-wrong digits."""
+
+    lam_re: jax.Array     # [B, n]
+    lam_re_lo: jax.Array  # [B, n]
+    lam_im: jax.Array     # [B, n]
+    lam_im_lo: jax.Array  # [B, n]
+    s: jax.Array          # [B, n]
+    resid: jax.Array      # [B, n]
+    err_bound: jax.Array  # [B, n]
+    valid: jax.Array      # [B, n] both eigenvectors exist
+    converged: jax.Array  # [B]
+
+
+def eig_dd_batched(a: jax.Array, t: int = 6) -> DDEigResult:
+    """General real-batch eigenvalues to (near-)f64 accuracy on f32
+    hardware — the TPU-native answer to "general spectra cap at f32"
+    (native f64 is absent and the emulated-f64 Schur miscompiles,
+    `ops/schur.py` guard).
+
+    One f32 Schur pass gives right AND left eigenvectors (left via the
+    ``J Tᵀ J`` reversal trick of ``eig_condition_batched``); the
+    TWO-SIDED Rayleigh quotient ``λ = yᴴAv / yᴴv`` evaluated against
+    the ORIGINAL matrix in error-free slice GEMMs + float-float
+    arithmetic is then second-order accurate: eigenvector errors ε of
+    the f32 pass contribute O(ε²/s), so separated spectra land at
+    ~1e-11·‖A‖ while the dd bilinear forms (~2⁻⁴⁸) stay far below.
+    Complex pairs are handled in re/im arithmetic throughout.
+
+    Honesty: clustering/defectiveness defeats quadratic convergence —
+    exactly there ``s`` collapses and ``err_bound = resid/s`` grows;
+    callers gate on ``err_bound``, never on wishful digits.
+
+    STRUCTURE (load-bearing): the Schur pass is a chunked HOST driver,
+    so this entry is not itself jitted; the heavy refinement core
+    (trevc, back-transforms, slice GEMMs, compensated dot scans) IS
+    jitted; but the final compensated division tail runs EAGERLY,
+    op-by-op.  XLA:CPU's fused-loop codegen does not honor the exact
+    rounding the float-float chains rely on — the compiled HLO is a
+    correct Dekker sequence, yet execution returns a different error
+    term than the op-by-op semantics (verified by emulating the
+    optimized HLO in numpy f32: emulation exact to 2.8e-16, XLA
+    execution off by 3.6e-9 = the collapsed lo word).
+    ``optimization_barrier`` does not prevent it (the rewrite happens
+    at codegen, below HLO).  Eager dispatch executes each op as its
+    own program — no cross-op fusion, exact everywhere; the tail is
+    O(B·n) scalars, so the extra dispatches are noise."""
+    from .schur import real_schur_vectors
+
+    f32 = jnp.float32
+    a32 = a.astype(f32)
+    sv = real_schur_vectors(a32)
+    (Vr, Vi, Avr_hi, Avr_lo, Avi_hi, Avi_lo, num_re, num_im,
+     den_re, den_im, lam0_re, lam0_im, valid) = _eig_dd_core(
+        a32, sv.T, sv.Q, sv.scale, t
+    )
+
+    # ---- EAGER compensated tail: λ = num·conj(den)/|den|² in dd ----
+    den2 = dd_add_dd(
+        *_dd_mul_dd(*den_re, *den_re), *_dd_mul_dd(*den_im, *den_im)
+    )
+    s = jnp.sqrt(jnp.maximum(den2[0], 0.0))  # |yᴴv|, unit y and v
+    # defective lanes have yᴴv → 0: guard the reciprocal, fall back to
+    # the Schur eigenvalue there (flagged through s / err_bound).
+    degenerate = s < jnp.float32(1e-12)
+    den2_safe = (jnp.where(degenerate, 1.0, den2[0]),
+                 jnp.where(degenerate, 0.0, den2[1]))
+    inv_hi, inv_lo = _dd_recip(*den2_safe)
+    pre = dd_add_dd(
+        *_dd_mul_dd(*num_re, *den_re), *_dd_mul_dd(*num_im, *den_im)
+    )
+    pim = dd_add_dd(
+        *_dd_mul_dd(*num_im, *den_re),
+        *dd_neg(*_dd_mul_dd(*num_re, *den_im)),
+    )
+    lr_hi, lr_lo = _dd_mul_dd(*pre, inv_hi, inv_lo)
+    li_hi, li_lo = _dd_mul_dd(*pim, inv_hi, inv_lo)
+    lr_hi = jnp.where(degenerate, lam0_re, lr_hi)
+    lr_lo = jnp.where(degenerate, 0.0, lr_lo)
+    li_hi = jnp.where(degenerate, lam0_im, li_hi)
+    li_lo = jnp.where(degenerate, 0.0, li_lo)
+
+    # dd residual ‖Av − λv‖ per column (collapsed pair is plenty at
+    # the ~1e-14 scale the bound needs); eager too — the cancellation
+    # Av − λv is exactly what fused codegen reorders.
+    rr = (Avr_hi - (lr_hi[:, None, :] * Vr - li_hi[:, None, :] * Vi)
+          + Avr_lo - (lr_lo[:, None, :] * Vr - li_lo[:, None, :] * Vi))
+    ri = (Avi_hi - (lr_hi[:, None, :] * Vi + li_hi[:, None, :] * Vr)
+          + Avi_lo - (lr_lo[:, None, :] * Vi + li_lo[:, None, :] * Vr))
+    resid = jnp.sqrt(jnp.sum(rr * rr + ri * ri, axis=1))
+    err_bound = resid / jnp.maximum(s, jnp.float32(1e-30))
+
+    return DDEigResult(
+        lr_hi, lr_lo, li_hi, li_lo, s, resid, err_bound,
+        valid, sv.converged,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("t",))
+@f32_matmuls
+def _eig_dd_core(a32, T, Q, scale, t: int):
+    """Jitted heavy part: eigenvectors, back-transforms, dd A·V, and
+    the compensated column dots (their TwoSum chains live inside scan
+    bodies, which XLA does not fuse across — verified exact under
+    jit).  The division tail is deliberately NOT here: see
+    ``eig_dd_batched``'s structure note."""
+    from .schur import _eigvals_from_T, _trevc_full
+
+    B, n, _ = a32.shape
+    Xr, Xi, valid_r = _trevc_full(T)
+    # left eigenvectors: Tᵀ is quasi-LOWER triangular; conjugating by
+    # the anti-diagonal J restores upper form with reversed blocks —
+    # one extra _trevc_full call (reference-free; see
+    # ops/schur.eig_condition_batched for the derivation).
+    S = jnp.swapaxes(T, 1, 2)[:, ::-1, ::-1]
+    Zr, Zi, valid_l = _trevc_full(S)
+    Yr = Zr[:, ::-1, ::-1]
+    Yi = Zi[:, ::-1, ::-1]
+    valid_l = valid_l[:, ::-1]
+    lam0_re, lam0_im = _eigvals_from_T(T)
+    lamS_re, lamS_im = _eigvals_from_T(S)
+    lamS_im = lamS_im[:, ::-1]
+    conj_fix = jnp.abs(lamS_im - lam0_im) < jnp.abs(lamS_im + lam0_im)
+    Yi = jnp.where(conj_fix[:, None, :], -Yi, Yi)
+
+    def back(Yr, Yi, mul):
+        """T-basis → original basis (A = D⁻¹ Q T Qᵀ D): right eigvecs
+        ride D⁻¹Q (mul = 1/scale), left eigvecs ride D Q (mul =
+        scale); unit-normalize complex columns."""
+        with jax.default_matmul_precision("float32"):
+            Vr = jnp.einsum("bij,bjk->bik", Q, Yr, precision=_HIGH)
+            Vi = jnp.einsum("bij,bjk->bik", Q, Yi, precision=_HIGH)
+        Vr = Vr * mul[:, :, None]
+        Vi = Vi * mul[:, :, None]
+        nrm = jnp.maximum(
+            jnp.sqrt(jnp.sum(Vr * Vr + Vi * Vi, axis=1)), 1e-30
+        )
+        return Vr / nrm[:, None, :], Vi / nrm[:, None, :]
+
+    Vr, Vi = back(Xr, Xi, 1.0 / scale)
+    Wr, Wi = back(Yr, Yi, scale)
+
+    # A·[Vr | Vi] once in dd; split back into the re/im products.
+    av = matmul_dd_batched(a32, jnp.concatenate([Vr, Vi], axis=2), t=t)
+    Avr_hi, Avi_hi = av.hi[:, :, :n], av.hi[:, :, n:]
+    Avr_lo, Avi_lo = av.lo[:, :, :n], av.lo[:, :, n:]
+
+    zero = jnp.zeros_like(Vr)
+    # numerator yᴴ(Av) = [yrᵀAvr + yiᵀAvi] + i[yrᵀAvi − yiᵀAvr]
+    num_re = dd_add_dd(
+        *_dot_columns_dd(Wr, Avr_hi, Avr_lo),
+        *_dot_columns_dd(Wi, Avi_hi, Avi_lo),
+    )
+    num_im = dd_add_dd(
+        *_dot_columns_dd(Wr, Avi_hi, Avi_lo),
+        *dd_neg(*_dot_columns_dd(Wi, Avr_hi, Avr_lo)),
+    )
+    # denominator yᴴv
+    den_re = dd_add_dd(
+        *_dot_columns_dd(Wr, Vr, zero),
+        *_dot_columns_dd(Wi, Vi, zero),
+    )
+    den_im = dd_add_dd(
+        *_dot_columns_dd(Wr, Vi, zero),
+        *dd_neg(*_dot_columns_dd(Wi, Vr, zero)),
+    )
+    return (Vr, Vi, Avr_hi, Avr_lo, Avi_hi, Avi_lo, num_re, num_im,
+            den_re, den_im, lam0_re, lam0_im, valid_r & valid_l)

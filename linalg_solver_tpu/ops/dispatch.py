@@ -59,17 +59,62 @@ _BLOCKED_PALLAS_OPS = {"lu_factor", "solve", "det", "inverse"}
 
 #: above this size XLA's own blocked LU (big panels, big GEMMs) wins —
 #: measured at N=1024: 687 GFLOP/s for jnp.linalg vs ~260 for ours
-#: (the VMEM-resident panel no longer fits at full lane width).
+#: (the VMEM-resident panel no longer fits at full lane width).  For
+#: SOLVE with N % 128 == 0 the large-N mixed path (XLA panels + bf16
+#: trailing updates) beats even that: 723 vs 698 at N=1024, 1770 vs
+#: 1508 at N=2048 — auto routes there.
 _XLA_CROSSOVER_N = 1024
+
+#: below this size the RBT butterfly+refinement overhead outweighs the
+#: pivot-chain saving for SOLVE (same-process chip sweep, B=256:
+#: N=128 mixed 375 vs rbt 239 GFLOP/s; N=192 a tie (524 vs 517);
+#: N=256 rbt 670 vs 626; B=64 N=512 rbt 779 vs 544;
+#: examples/bench_r3_routing.py + /tmp bench_192).
+_RBT_SOLVE_MIN_N = 256
+
+
+def _rbt_nb(n: int) -> Optional[int]:
+    """Panel width the RBT no-pivot kernel can use for N, or None."""
+    return next((w for w in (64, 48, 32, 16, 8) if n % w == 0), None)
 
 
 def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
+    """Pick the measured-best backend for ``backend="auto"``.
+
+    Routing evidence (same-process A/B on the v5e chip, round-3 sweep
+    `examples/bench_r3_routing.py`; see STATUS.md):
+
+    - tiny N (one lane tile fits VMEM): the batch-in-lanes GJ kernel
+      dominates everything (1.94M 64×64 inverses/s same-process).
+    - solve, 256 ≤ N < 1024: ``rbt`` (gated + rescued, safe by
+      construction) — 670-780 GFLOP/s vs mixed's 540-630.
+    - solve, 8 ≤ N < 256: ``mixed`` (bf16-factored + f32 IR with the
+      per-lane divergence rescue) — 375 vs rbt's 239 at N=128; a tie
+      at N=192.
+    - solve, N ≥ 1024 (N % 128 == 0): ``mixed`` routes internally to
+      ``ops.lu_large.large_solve_mixed`` which beats plain XLA.
+    - inverse, N above the GJ tile: ``rbt`` wins at every measured
+      size (111k vs 108k at 128, 31.4k vs 26.5k at 256, 3.3k vs
+      blocked 1.7k / xla 2.7k at 512).
+    """
     if backend == "auto":
         if _pallas_available():
             from . import pallas
 
             if pallas.supports(op, n):
                 return "pallas"
+            if op == "solve" and n is not None:
+                if n >= _XLA_CROSSOVER_N:
+                    return "mixed" if n % 128 == 0 else "xla"
+                if n >= _RBT_SOLVE_MIN_N and _rbt_nb(n):
+                    return "rbt"
+                if _rbt_nb(n):
+                    return "mixed"
+            if op == "inverse" and n is not None:
+                if n >= _XLA_CROSSOVER_N:
+                    return "xla"
+                if _rbt_nb(n):
+                    return "rbt"
             if (
                 n is not None
                 and n >= _XLA_CROSSOVER_N

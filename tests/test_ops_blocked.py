@@ -327,7 +327,8 @@ class TestMixedPrecisionSolve:
 
     def test_dispatch_mixed_backend_routes(self, monkeypatch):
         """backend="mixed" must reach the iteratively-refined solve
-        (opt-in; never selected by auto)."""
+        (also what auto picks for 8 <= N < 256 on TPU — see
+        tests/test_dispatch_routing.py)."""
         from linalg_solver_tpu.ops import dispatch
 
         called = {}

@@ -263,3 +263,119 @@ class TestDDInverse:
         A = np.zeros((1, 32, 32), np.float32)
         r = inverse_dd_batched(jnp.asarray(A))
         assert not bool(np.asarray(r.ok)[0])
+
+
+class TestEigDD:
+    """General (non-symmetric) dd eigenvalue refinement: two-sided
+    Rayleigh quotients in error-free arithmetic on the f32 Schur
+    output (VERDICT r2 item 7)."""
+
+    @staticmethod
+    def _nearest_dev(lam, oracle):
+        """Max nearest-neighbor deviation (np.sort_complex orders by
+        real part and scrambles roundoff-close spectra — match each
+        computed eigenvalue to its closest oracle instead)."""
+        dev = 0.0
+        for z in lam:
+            dev = max(dev, np.min(np.abs(oracle - z)))
+        return dev
+
+    def test_separated_spectrum_f64_class(self):
+        from linalg_solver_tpu.ops.dd import eig_dd_batched
+
+        rng = np.random.RandomState(11)
+        B, n = 4, 24
+        # separated real + complex spectra: distinct-diagonal dominant
+        # part plus O(1) asymmetric noise (gaps ~4 >> perturbation)
+        base = np.stack([
+            np.diag(np.linspace(0, 4 * (n - 1), n))
+            + rng.randn(n, n) for _ in range(B)
+        ]).astype(np.float32)
+        r = eig_dd_batched(jnp.asarray(base))
+        assert bool(np.all(np.asarray(r.converged)))
+        assert bool(np.all(np.asarray(r.valid)))
+        for b in range(B):
+            oracle = np.linalg.eigvals(base[b].astype(np.float64))
+            lam_dd = (
+                np.asarray(r.lam_re[b], np.float64)
+                + np.asarray(r.lam_re_lo[b], np.float64)
+                + 1j * (np.asarray(r.lam_im[b], np.float64)
+                        + np.asarray(r.lam_im_lo[b], np.float64))
+            )
+            anorm = np.linalg.norm(base[b].astype(np.float64), 2)
+            dev = self._nearest_dev(lam_dd, oracle)
+            assert dev <= 1e-10 * anorm, (b, dev, anorm)
+            # and the refinement genuinely beat the f32 Schur spectrum
+            lam_f32 = (np.asarray(r.lam_re[b], np.float64)
+                       + 1j * np.asarray(r.lam_im[b], np.float64))
+            # (hi part alone is the f32-representable refined value —
+            # compare the claimed bound instead)
+            eb = np.asarray(r.err_bound[b], np.float64)
+            true_err = np.array(
+                [np.min(np.abs(oracle - z)) for z in lam_dd]
+            )
+            assert np.all(true_err <= np.maximum(eb, 1e-12) * 20), (
+                b, float(np.max(true_err / np.maximum(eb, 1e-30)))
+            )
+
+    def test_defective_flags_honest(self):
+        """A Jordan block defeats quadratic refinement — the result
+        must SAY so (s collapses, err_bound >= the actual error) rather
+        than report false digits."""
+        from linalg_solver_tpu.ops.dd import eig_dd_batched
+
+        n = 8
+        J = np.eye(n, dtype=np.float32) * 2.0
+        for i in range(n - 1):
+            J[i, i + 1] = 1.0
+        rng = np.random.RandomState(3)
+        P = np.eye(n) + 0.1 * rng.randn(n, n)
+        A = (P @ J @ np.linalg.inv(P)).astype(np.float32)
+        r = eig_dd_batched(jnp.asarray(A[None]))
+        oracle = np.linalg.eigvals(A.astype(np.float64))
+        lam_dd = (
+            np.asarray(r.lam_re[0], np.float64)
+            + np.asarray(r.lam_re_lo[0], np.float64)
+            + 1j * (np.asarray(r.lam_im[0], np.float64)
+                    + np.asarray(r.lam_im_lo[0], np.float64))
+        )
+        true_err = np.array(
+            [np.min(np.abs(oracle - z)) for z in lam_dd]
+        )
+        eb = np.asarray(r.err_bound[0], np.float64)
+        s = np.asarray(r.s[0], np.float64)
+        # the Jordan chain must be visible: tiny s somewhere and the
+        # bound covering the actual error (no silent false precision)
+        assert float(np.min(s)) < 1e-2
+        assert np.all(true_err <= np.maximum(eb, 1e-10) * 20), (
+            float(np.max(true_err / np.maximum(eb, 1e-30)))
+        )
+
+    def test_complex_pairs_refined(self):
+        from linalg_solver_tpu.ops.dd import eig_dd_batched
+
+        rng = np.random.RandomState(5)
+        n = 16
+        # well-separated complex pairs: block-diagonal rotations with
+        # distinct radii + small noise, conjugated by a random basis
+        blocks = []
+        for k in range(n // 2):
+            rad, ang = 2.0 + 3.0 * k, 0.4 + 0.2 * k
+            c, sn = rad * np.cos(ang), rad * np.sin(ang)
+            blocks.append(np.array([[c, sn], [-sn, c]]))
+        D = np.zeros((n, n))
+        for k, blk in enumerate(blocks):
+            D[2 * k:2 * k + 2, 2 * k:2 * k + 2] = blk
+        P = np.eye(n) + 0.2 * rng.randn(n, n)
+        A = (P @ D @ np.linalg.inv(P)).astype(np.float32)
+        r = eig_dd_batched(jnp.asarray(A[None]))
+        oracle = np.linalg.eigvals(A.astype(np.float64))
+        lam_dd = (
+            np.asarray(r.lam_re[0], np.float64)
+            + np.asarray(r.lam_re_lo[0], np.float64)
+            + 1j * (np.asarray(r.lam_im[0], np.float64)
+                    + np.asarray(r.lam_im_lo[0], np.float64))
+        )
+        anorm = np.linalg.norm(A.astype(np.float64), 2)
+        dev = self._nearest_dev(lam_dd, oracle)
+        assert dev <= 1e-9 * anorm, (dev, anorm)
