@@ -77,3 +77,11 @@ print(f"\npenalties vs k=0: "
       + ", ".join(f"k={k}: {times[k]/times[0]:.2f}x"
                   for k in (1, 8, 64))
       + f", gaussian: {times['gauss']/times[0]:.2f}x")
+
+# Regression bound: the rescue's cost granularity is the BATCH (the
+# lax.cond re-runs the full pipeline + nested pivoted pass), so k=1
+# costs the same as k=64 — assert the flat penalty stays bounded.
+assert times[1] / times[0] < 7.0, (
+    f"rescue-firing penalty regressed: {times[1]/times[0]:.2f}x"
+)
+print("penalty bound OK (<7x)")

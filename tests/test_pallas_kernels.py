@@ -203,3 +203,94 @@ class TestAffineSolveGJ:
         img = np.einsum("bij,bjk->bik", Ad, gens)
         assert np.abs(img[:, :, :][mask[:, None, :].repeat(8, 1)]).max() < 1e-2
         assert int(np.asarray(sub.dim)[0]) == 3  # n - rank = 8 - 5
+
+
+class TestInvRBTFusedKernel:
+    """Fused RBT no-pivot inverse kernel (metric-2 hot path): in-kernel
+    butterflies + span-restricted no-pivot GJ + gate/rescue."""
+
+    def test_well_conditioned_matches_oracle(self):
+        from linalg_solver_tpu.ops.pallas.inv_rbt_kernel import (
+            inverse_rbt_fused_batched,
+        )
+
+        rng = np.random.RandomState(0)
+        n = 64
+        A = (rng.randn(8, n, n)
+             + 4 * np.sqrt(n) * np.eye(n)).astype(np.float32)
+        X = np.asarray(
+            inverse_rbt_fused_batched(jnp.asarray(A), interpret=True),
+            np.float64,
+        )
+        err = np.max(np.abs(
+            np.einsum("bij,bjk->bik", A.astype(np.float64), X)
+            - np.eye(n)
+        ))
+        assert err < 5e-5, err
+
+    def test_adversarial_lanes_rescued(self):
+        from linalg_solver_tpu.ops.pallas.inv_rbt_kernel import (
+            inverse_rbt_fused_batched,
+        )
+
+        rng = np.random.RandomState(1)
+        n = 32
+        A = (rng.randn(6, n, n)
+             + 4 * np.sqrt(n) * np.eye(n)).astype(np.float32)
+        # lane 0: zero leading block (kills no-pivot LU, still regular)
+        A[0, :8, :8] = 0.0
+        X = np.asarray(
+            inverse_rbt_fused_batched(jnp.asarray(A), interpret=True),
+            np.float64,
+        )
+        err = np.max(np.abs(
+            np.einsum("bij,bjk->bik", A.astype(np.float64), X)
+            - np.eye(n)
+        ))
+        assert err < 1e-2, err  # pivoted-rescue accuracy class
+
+    def test_singular_lane_does_not_poison_batch(self):
+        from linalg_solver_tpu.ops.pallas.inv_rbt_kernel import (
+            inverse_rbt_fused_batched,
+        )
+
+        rng = np.random.RandomState(2)
+        n = 16
+        A = (rng.randn(4, n, n)
+             + 4 * np.sqrt(n) * np.eye(n)).astype(np.float32)
+        A[1] = 0.0
+        X = np.asarray(
+            inverse_rbt_fused_batched(jnp.asarray(A), interpret=True),
+            np.float64,
+        )
+        keep = [0, 2, 3]
+        err = np.max(np.abs(
+            np.einsum("bij,bjk->bik", A[keep].astype(np.float64),
+                      X[keep]) - np.eye(n)
+        ))
+        assert err < 5e-5, err
+
+    def test_ns_polish_improves(self):
+        from linalg_solver_tpu.ops.pallas.inv_rbt_kernel import (
+            inverse_rbt_fused_batched,
+        )
+
+        rng = np.random.RandomState(3)
+        n = 32
+        A = (rng.randn(4, n, n)
+             + 3 * np.sqrt(n) * np.eye(n)).astype(np.float32)
+
+        def err_of(ns):
+            X = np.asarray(
+                inverse_rbt_fused_batched(
+                    jnp.asarray(A), ns_steps=ns, interpret=True
+                ),
+                np.float64,
+            )
+            return np.max(np.abs(
+                np.einsum("bij,bjk->bik", A.astype(np.float64), X)
+                - np.eye(n)
+            ))
+
+        assert err_of(1) <= err_of(0) * 1.5
+        assert err_of(1) < 5e-6
