@@ -175,6 +175,60 @@ def _nopivot_solve(ph: _NoPivotPhases, b3, m: int, nb: int):
     return _nopivot_backward(ph, ys, m, nb)
 
 
+def _explicit_inverse_from_phases(ph: _NoPivotPhases, N: int, nb: int):
+    """Build the FULL preconditioned inverse ``inv_p = U⁻¹ L⁻¹`` from
+    the phase artifacts by BLOCK SUBSTITUTION on matrix right-hand
+    sides: block-rows of ``L⁻¹`` forward, then block-rows of
+    ``U⁻¹ L⁻¹`` backward — ~``2m²`` batched ``[B, nb, N]``-wide GEMMs
+    reusing the per-phase ``l11⁻¹``/``u11⁻¹`` the phases already
+    computed.  No D&C concatenate tree, no extra triangular
+    inversions."""
+    m = N // nb
+
+    # forward: Y_i = l11i_i (E_i - sum_{j<i} L_{i,j} Y_j), full width
+    ys: List = []
+    eye = jnp.eye(N, dtype=ph.panels[0].dtype)
+    for i in range(m):
+        acc = jnp.broadcast_to(
+            eye[i * nb:(i + 1) * nb, :],
+            (ph.panels[0].shape[0], nb, N),
+        )
+        for j in range(i):
+            lij = ph.panels[j][:, (i - j) * nb:(i - j + 1) * nb, :]
+            acc = acc - lij @ ys[j]
+        ys.append(ph.l11s_inv[i] @ acc)
+
+    # backward: X_i = u11i_i (Y_i - sum_{j>i} U12_{i,j-i-1} X_j)
+    xs: List = [None] * m
+    for i in reversed(range(m)):
+        acc = ys[i]
+        for j in range(i + 1, m):
+            w0 = (j - i - 1) * nb
+            acc = acc - ph.u12s[i][:, :, w0:w0 + nb] @ xs[j]
+        xs[i] = ph.u11s_inv[i] @ acc
+    return jnp.concatenate(xs, axis=1)
+
+
+def _phases_full_inverse(
+    a_p: jax.Array, nb: int, interpret: bool, lookahead: int
+):
+    """Factor with the no-pivot panel kernel, then build the FULL
+    preconditioned inverse so the first solve and every refinement
+    round is ONE batched GEMM against ``inv_p``.
+
+    Round-3 ablation (examples/bench_r3_rbt_ablate.py +
+    bench_r3_micro2.py): the phase kernels cost ~0.66 ms while the
+    per-phase backward substitution stage cost ~2.27 ms at B=N=256 —
+    the motivation for holding the explicit inverse.  A first attempt
+    that assembled full L/U and ran the D&C/Neumann
+    ``invert_unit_lower``/``invert_upper`` on ``[B, N, N]`` measured
+    SLOWER than the walk it replaced (5.7 vs 4.3 ms e2e); this version
+    block-substitutes directly from the phase artifacts instead."""
+    N = a_p.shape[1]
+    ph = _nopivot_lu_phases(a_p, nb, interpret, lookahead=lookahead)
+    return _explicit_inverse_from_phases(ph, N, nb), ph.ok
+
+
 def _inverse_core(
     a32: jax.Array,
     nb: int,
@@ -185,10 +239,14 @@ def _inverse_core(
     interpret: bool,
     lookahead: int,
     gate: bool,
+    engine: str = "kernel",
+    leaf: int = 16,
 ):
     """One fallback-free RBT inverse pass: ``A⁻¹ = V (UᵀAV)⁻¹ Uᵀ``
     with ``ns_steps`` Newton–Schulz polish rounds against the ORIGINAL
-    matrix.  With ``gate`` also returns per-lane failure flags."""
+    matrix.  With ``gate`` also returns per-lane failure flags.
+    ``engine="recursive"`` replaces the no-pivot panel kernel with the
+    log-depth GEMM Schur recursion (``ops.lu_recursive``)."""
     B, N, _ = a32.shape
     m = N // nb
     f32 = a32.dtype
@@ -203,7 +261,17 @@ def _inverse_core(
             ),
             1, 2,
         )
-        if m == 1:
+        if engine == "recursive":
+            from .lu_recursive import inverse_nopivot_recursive
+
+            inv_p, rec_ok = inverse_nopivot_recursive(a_p, leaf=leaf)
+            ph = _NoPivotPhases(None, None, None, None, rec_ok, None)
+        elif engine == "hybrid":
+            inv_p, hy_ok = _phases_full_inverse(
+                a_p, nb, interpret, lookahead
+            )
+            ph = _NoPivotPhases(None, None, None, None, hy_ok, None)
+        elif m == 1:
             ph = _nopivot_lu_phases(
                 a_p, nb, interpret, lookahead=lookahead
             )
@@ -262,7 +330,7 @@ def _pivoted_inverse(a32: jax.Array, nb: int, interpret: bool):
     jax.jit,
     static_argnames=(
         "nb", "ns_steps", "factor_precision", "depth", "interpret",
-        "fallback", "lookahead",
+        "fallback", "lookahead", "engine", "leaf",
     ),
 )
 def pallas_inverse_rbt_batched(
@@ -274,6 +342,8 @@ def pallas_inverse_rbt_batched(
     interpret: bool = False,
     fallback: str | bool = "redraw",
     lookahead: int = 8,
+    engine: str = "kernel",
+    leaf: int = 16,
 ) -> jax.Array:
     """Batched inverse via RBT preconditioning + pivot-free LU.
 
@@ -304,7 +374,8 @@ def pallas_inverse_rbt_batched(
 
     core = functools.partial(
         _inverse_core, a32, nb, ns_steps, factor_precision, d,
-        interpret=interpret, lookahead=lookahead,
+        interpret=interpret, lookahead=lookahead, engine=engine,
+        leaf=leaf,
     )
     x, bad = core(keys=(17, 29), gate=bool(fallback))
 
@@ -345,13 +416,18 @@ def _solve_core(
     interpret: bool,
     lookahead: int,
     gate: bool,
+    engine: str = "kernel",
+    leaf: int = 16,
 ):
     """One fallback-free RBT solve pass: butterfly, no-pivot factor,
     substitution, ``ir_steps`` refinement rounds against the ORIGINAL
     system.  With ``gate`` also returns the per-lane failure flags
     (zero pivot / non-contracting refinement), computed from values the
     refinement loop already produced — the gate itself adds no
-    post-loop full-matrix passes."""
+    post-loop full-matrix passes.  ``engine="recursive"`` factors with
+    the log-depth GEMM Schur recursion (``ops.lu_recursive``) instead
+    of the no-pivot panel kernel: the preconditioned inverse is built
+    once (all MXU work), then every solve is one GEMM."""
     B, N, _ = a32.shape
     m = N // nb
     f32 = a32.dtype
@@ -372,10 +448,23 @@ def _solve_core(
             1, 2,
         )
         b_p = butterfly_apply(b3, diags_u, trans=True)
-        ph = _nopivot_lu_phases(
-            a_p, nb, interpret, rhs=b_p, lookahead=lookahead
-        )
-        y = _nopivot_backward(ph, ph.ys, m, nb)
+        if engine == "recursive":
+            from .lu_recursive import inverse_nopivot_recursive
+
+            inv_p, rec_ok = inverse_nopivot_recursive(a_p, leaf=leaf)
+            ph = _NoPivotPhases(None, None, None, None, rec_ok, None)
+            y = inv_p @ b_p
+        elif engine == "hybrid":
+            inv_p, hy_ok = _phases_full_inverse(
+                a_p, nb, interpret, lookahead
+            )
+            ph = _NoPivotPhases(None, None, None, None, hy_ok, None)
+            y = inv_p @ b_p
+        else:
+            ph = _nopivot_lu_phases(
+                a_p, nb, interpret, rhs=b_p, lookahead=lookahead
+            )
+            y = _nopivot_backward(ph, ph.ys, m, nb)
         x = butterfly_apply(y, diags_v, trans=False)
 
     rmax = xmax = zcmax = None
@@ -387,7 +476,10 @@ def _solve_core(
             xmax = jnp.max(jnp.abs(x), axis=(1, 2))
         with jax.default_matmul_precision(factor_precision):
             rp = butterfly_apply(resid, diags_u, trans=True)
-            z = _nopivot_solve(ph, rp, m, nb)
+            if engine in ("recursive", "hybrid"):
+                z = inv_p @ rp
+            else:
+                z = _nopivot_solve(ph, rp, m, nb)
             zc = butterfly_apply(z, diags_v, trans=False)
             if gate and step == ir_steps - 1:
                 zcmax = jnp.max(jnp.abs(zc), axis=(1, 2))
@@ -425,7 +517,7 @@ def _solve_core(
     jax.jit,
     static_argnames=(
         "nb", "ir_steps", "factor_precision", "depth", "interpret",
-        "fallback", "lookahead",
+        "fallback", "lookahead", "engine", "leaf",
     ),
 )
 def pallas_solve_rbt_batched(
@@ -438,6 +530,8 @@ def pallas_solve_rbt_batched(
     interpret: bool = False,
     fallback: str | bool = "redraw",
     lookahead: int = 8,
+    engine: str = "kernel",
+    leaf: int = 16,
 ) -> jax.Array:
     """Solve ``a @ x = b`` via RBT preconditioning + pivot-free LU +
     iterative refinement (+ per-lane rescue).
@@ -481,7 +575,8 @@ def pallas_solve_rbt_batched(
 
     core = functools.partial(
         _solve_core, a32, b3, nb, ir_steps, factor_precision, d,
-        interpret=interpret, lookahead=lookahead,
+        interpret=interpret, lookahead=lookahead, engine=engine,
+        leaf=leaf,
     )
     x, bad = core(keys=(17, 29), gate=bool(fallback))
 
