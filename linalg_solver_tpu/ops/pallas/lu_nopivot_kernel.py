@@ -39,7 +39,8 @@ GROUP = 8
 
 
 def _nopivot_kernel(a_hbm, out_hbm, ok_ref, work, sems, *, m: int,
-                    nb: int, bt: int, lookahead: int):
+                    nb: int, bt: int, lookahead: int,
+                    group: int = GROUP):
     """One batch tile: factor the ``[nb, m, bt]`` panel in VMEM with
     pivot(c) = row c.  ``ok`` reports every pivot nonzero (per lane)."""
     i = pl.program_id(0)
@@ -56,6 +57,7 @@ def _nopivot_kernel(a_hbm, out_hbm, ok_ref, work, sems, *, m: int,
     chunk_w = max(8, min(nb, budget // (4 * m * bt * 4) // 8 * 8))
 
     ok0 = jnp.ones((bt,), dtype)
+    GRP = group
 
     def one_step(c, corrections):
         """Column ``c``: correct by the window's earlier steps, build
@@ -72,7 +74,7 @@ def _nopivot_kernel(a_hbm, out_hbm, ok_ref, work, sems, *, m: int,
         f = col * inv[None, :] * below * has[None, :]
         return col, oh, f, has
 
-    for g0 in range(0, nb, GROUP):
+    for g0 in range(0, nb, GRP):
         w = nb - g0
 
         def la_step(kk, ok, g0=g0, w=w):
@@ -115,7 +117,7 @@ def _nopivot_kernel(a_hbm, out_hbm, ok_ref, work, sems, *, m: int,
             return ok
 
         ok0 = lax.fori_loop(
-            0, max(min(GROUP, nb - g0) // lookahead, 1), la_step, ok0
+            0, max(min(GRP, nb - g0) // lookahead, 1), la_step, ok0
         )
 
     ok_ref[:] = (ok0[None, :] > 0).astype(jnp.int32)
@@ -140,8 +142,15 @@ def panel_factor_nopivot(
     where a diagonal pivot was exactly zero."""
     B, m, _ = panel.shape
     assert nb >= 2 and nb % 2 == 0, f"even nb >= 2 required, got {nb}"
-    lookahead = min(lookahead, GROUP)
-    while GROUP % lookahead:
+    # static column-group width: follows lookahead above the default so
+    # deeper windows (la=16) amortize the per-iteration machinery over
+    # more columns; must divide nb.
+    group = max(GROUP, lookahead)
+    while nb % group:
+        group //= 2
+    group = max(group, 2)
+    lookahead = min(lookahead, group)
+    while group % lookahead:
         lookahead -= 1
     bt = LANES
     pad = (-B) % bt
@@ -157,7 +166,8 @@ def panel_factor_nopivot(
     )  # [nb, m, Bp]
 
     kernel = functools.partial(
-        _nopivot_kernel, m=m, nb=nb, bt=bt, lookahead=lookahead
+        _nopivot_kernel, m=m, nb=nb, bt=bt, lookahead=lookahead,
+        group=group,
     )
     out, ok = pl.pallas_call(
         kernel,

@@ -294,3 +294,63 @@ class TestInvRBTFusedKernel:
 
         assert err_of(1) <= err_of(0) * 1.5
         assert err_of(1) < 5e-6
+
+
+class TestButterflyKernel:
+    """Fused two-sided butterfly (ops/pallas/butterfly_kernel.py) vs
+    the per-level XLA passes in ops.rbt."""
+
+    @pytest.mark.parametrize("depth", [1, 2])
+    @pytest.mark.parametrize("trans", [True, False])
+    def test_matches_xla_path(self, depth, trans):
+        from linalg_solver_tpu.ops import rbt
+        from linalg_solver_tpu.ops.pallas.butterfly_kernel import (
+            butterfly_two_sided,
+        )
+
+        B, N = 3, 32
+        a = jnp.asarray(
+            np.random.RandomState(depth).randn(B, N, N)
+            .astype(np.float32)
+        )
+        du = rbt.rbt_diags(jax.random.PRNGKey(7), N, depth,
+                           jnp.float32)
+        dv = rbt.rbt_diags(jax.random.PRNGKey(9), N, depth,
+                           jnp.float32)
+        want = rbt.butterfly_apply(a, du, trans=trans)
+        want = jnp.swapaxes(
+            rbt.butterfly_apply(jnp.swapaxes(want, 1, 2), dv, trans),
+            1, 2,
+        )
+        got = butterfly_two_sided(
+            a, tuple(du), tuple(dv), depth=depth,
+            trans_rows=trans, trans_cols=trans, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_batch_padding(self):
+        # B not a multiple of the kernel's batch tile
+        from linalg_solver_tpu.ops import rbt
+        from linalg_solver_tpu.ops.pallas.butterfly_kernel import (
+            butterfly_two_sided,
+        )
+
+        B, N = 5, 16
+        a = jnp.asarray(
+            np.random.RandomState(0).randn(B, N, N).astype(np.float32)
+        )
+        du = rbt.rbt_diags(jax.random.PRNGKey(1), N, 2, jnp.float32)
+        dv = rbt.rbt_diags(jax.random.PRNGKey(2), N, 2, jnp.float32)
+        want = rbt.butterfly_apply(a, du, trans=True)
+        want = jnp.swapaxes(
+            rbt.butterfly_apply(jnp.swapaxes(want, 1, 2), dv, True),
+            1, 2,
+        )
+        got = butterfly_two_sided(
+            a, tuple(du), tuple(dv), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
