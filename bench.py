@@ -80,8 +80,11 @@ def main() -> None:
     t_base = _time_fn(baseline, a, b)
     del resid
 
-    # BASELINE metric 2: 1k-batch Gauss-Jordan inverse matrices/sec
-    # (the Pallas batch-in-lanes kernel) vs jnp.linalg.inv.
+    # BASELINE metric 2: 1k-batch 64x64 inverse matrices/sec vs
+    # jnp.linalg.inv.  The facade routes to the fused RBT no-pivot
+    # kernel (in-kernel butterflies + span-restricted Gauss-Jordan +
+    # probe-gated pivoted rescue): 2.27M vs the pivoted GJ kernel's
+    # 0.90M mat/s same-process (examples/bench_r3_inv.py).
     Bi, Ni = 1024, 64
     ai = jax.random.normal(
         jax.random.PRNGKey(3), (Bi, Ni, Ni), jnp.float32
@@ -110,7 +113,7 @@ def main() -> None:
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / gflops_base, 3),
-                "metric2": "1k-batch 64x64 Gauss-Jordan inverse (Pallas)",
+                "metric2": "1k-batch 64x64 inverse (fused RBT no-pivot Pallas kernel, probe-gated)",
                 "value2": round(Bi / t_inv, 0),
                 "unit2": "matrices/s",
                 "vs_baseline2": round(t_inv_base / t_inv, 3),

@@ -46,7 +46,12 @@ run("pivoted GJ kernel (current)",
 for ns, fb in ((0, False), (0, True), (1, True), (2, True)):
     run(f"fused RBT ns={ns} fb={fb}",
         jax.jit(functools.partial(
-            inverse_rbt_fused_batched, ns_steps=ns, fallback=fb)), ai)
+            inverse_rbt_fused_batched, ns_steps=ns, fallback=fb,
+            gate_mode="full")), ai)
+run("fused RBT ns=0 fb=probe",
+    jax.jit(functools.partial(
+        inverse_rbt_fused_batched, ns_steps=0, fallback=True,
+        gate_mode="probe")), ai)
 from linalg_solver_tpu.ops import rbt
 
 for leaf in (8, 16):

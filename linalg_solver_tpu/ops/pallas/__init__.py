@@ -53,6 +53,15 @@ def supports(op: str, n: int | None = None) -> bool:
 
 
 def inverse_batched(a: jax.Array) -> jax.Array:
+    """Small-N batched inverse: the fused RBT no-pivot kernel where the
+    shape supports it (in-kernel butterflies + span-restricted GJ +
+    probe-gated pivoted rescue — 2.27M vs the pivoted kernel's 0.90M
+    64x64 matrices/s on chip, round-3 bench examples/bench_r3_inv.py),
+    else the deterministic pivoted GJ kernel."""
+    from . import inv_rbt_kernel
+
+    if inv_rbt_kernel.supported(a.shape[-1]):
+        return inv_rbt_kernel.inverse_rbt_fused_batched(a)
     return gj_kernel.inverse_batched(a)
 
 

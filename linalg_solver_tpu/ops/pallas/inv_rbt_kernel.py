@@ -225,7 +225,9 @@ def _diags_lanes(key, n: int, depth: int, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ns_steps", "depth", "interpret", "fallback"),
+    static_argnames=(
+        "ns_steps", "depth", "interpret", "fallback", "gate_mode",
+    ),
 )
 def inverse_rbt_fused_batched(
     a: jax.Array,
@@ -233,13 +235,27 @@ def inverse_rbt_fused_batched(
     depth: int = 2,
     interpret: bool = False,
     fallback: bool = True,
+    gate_mode: str = "probe",
 ) -> jax.Array:
     """Batched small-N inverse via the fused RBT no-pivot GJ kernel.
 
     ``ns_steps`` optional Newton–Schulz polish rounds against the
-    ORIGINAL matrix (2 GEMMs each); ``fallback`` gates each lane on the
-    f32 residual ``max|I − AX|`` and rescues failures through the
-    deterministic pivoted GJ kernel (``lax.cond``, free untaken)."""
+    ORIGINAL matrix (2 GEMMs each); ``fallback`` gates each lane and
+    rescues failures through the deterministic pivoted GJ kernel
+    (``lax.cond``, free untaken).
+
+    ``gate_mode`` picks the per-lane failure signal when ``ns_steps ==
+    0`` (with polish rounds the full residual exists anyway and is
+    reused):
+
+    - ``"probe"`` (default): ``max|A(Xv) − v|`` for a fixed random
+      probe ``v`` — two batched GEMVs (~5% of the full-residual GEMM's
+      cost at the metric-2 shape: 1.65M → 2.3M matrices/s).  A one-
+      dimensional sample of the operator error: divergence/NaN lanes
+      are caught with certainty (non-finite propagates), merely-
+      inaccurate lanes with probability ~1 for a random probe.
+    - ``"full"``: the f32-HIGHEST residual ``max|I − AX|`` (the
+      strictest gate; what the solve path's refinement uses)."""
     B, n, _ = a.shape
     f32 = jnp.result_type(a.dtype, jnp.float32)
     a32 = a.astype(f32)
@@ -271,11 +287,22 @@ def inverse_rbt_fused_batched(
     if not fallback:
         return x.astype(a.dtype) if a.dtype != f32 else x
 
-    with jax.default_matmul_precision("float32"):
-        r = eye - jnp.einsum("bij,bjk->bik", a32, x, precision=hp)
-    rmax = jnp.max(jnp.abs(r), axis=(1, 2))
+    if ns_steps == 0 and gate_mode == "probe":
+        # Fixed random probe: rmax = max|A(Xv) - v| per lane.
+        v = jax.random.normal(jax.random.PRNGKey(83), (n, 1), f32)
+        with jax.default_matmul_precision("float32"):
+            xv = jnp.einsum("bij,jk->bik", x, v, precision=hp)
+            axv = jnp.einsum("bij,bjk->bik", a32, xv, precision=hp)
+        # scale-aware: compare against tol * |v|_inf
+        rmax = jnp.max(jnp.abs(axv - v[None]), axis=(1, 2))
+        rtol = 1e-2 * jnp.max(jnp.abs(v))
+    else:
+        with jax.default_matmul_precision("float32"):
+            r = eye - jnp.einsum("bij,bjk->bik", a32, x, precision=hp)
+        rmax = jnp.max(jnp.abs(r), axis=(1, 2))
+        rtol = jnp.asarray(1e-2, f32)
     # NaN-proof: `nan <= t` is False — flag non-small.
-    bad = (~okb) | ~(rmax <= 1e-2)
+    bad = (~okb) | ~(rmax <= rtol)
 
     def _rescue(xx):
         from . import gj_kernel as _gjk

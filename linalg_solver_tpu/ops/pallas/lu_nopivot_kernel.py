@@ -142,6 +142,11 @@ def panel_factor_nopivot(
     where a diagonal pivot was exactly zero."""
     B, m, _ = panel.shape
     assert nb >= 2 and nb % 2 == 0, f"even nb >= 2 required, got {nb}"
+    if interpret:
+        # lookahead only changes scheduling, not results; the la=32
+        # window's unrolled body makes interpret-mode (CPU test)
+        # execution pathologically slow.
+        lookahead = min(lookahead, 8)
     # static column-group width: follows lookahead above the default so
     # deeper windows (la=16) amortize the per-iteration machinery over
     # more columns; must divide nb.

@@ -354,3 +354,47 @@ class TestButterflyKernel:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
+
+
+class TestInvRBTGateModes:
+    """probe vs full gate: the probe (two batched GEMVs) must catch the
+    same failures the full f32 residual does on structured breakage."""
+
+    @pytest.mark.parametrize("gate_mode", ["probe", "full"])
+    def test_adversarial_lane_rescued_by_gate(self, gate_mode):
+        from linalg_solver_tpu.ops.pallas.inv_rbt_kernel import (
+            inverse_rbt_fused_batched,
+        )
+
+        rng = np.random.RandomState(5)
+        n = 32
+        A = (rng.randn(5, n, n)
+             + 4 * np.sqrt(n) * np.eye(n)).astype(np.float32)
+        A[2, :8, :8] = 0.0  # regular, but no-pivot LU breaks
+        X = np.asarray(
+            inverse_rbt_fused_batched(
+                jnp.asarray(A), interpret=True, gate_mode=gate_mode
+            ),
+            np.float64,
+        )
+        err = np.max(np.abs(
+            np.einsum("bij,bjk->bik", A.astype(np.float64), X)
+            - np.eye(n)
+        ))
+        assert err < 1e-2, (gate_mode, err)
+
+    def test_probe_matches_full_on_clean_batch(self):
+        from linalg_solver_tpu.ops.pallas.inv_rbt_kernel import (
+            inverse_rbt_fused_batched,
+        )
+
+        rng = np.random.RandomState(6)
+        n = 16
+        A = (rng.randn(4, n, n)
+             + 4 * np.sqrt(n) * np.eye(n)).astype(np.float32)
+        Xp = np.asarray(inverse_rbt_fused_batched(
+            jnp.asarray(A), interpret=True, gate_mode="probe"))
+        Xf = np.asarray(inverse_rbt_fused_batched(
+            jnp.asarray(A), interpret=True, gate_mode="full"))
+        # no lane fires either gate: identical untaken-branch results
+        np.testing.assert_allclose(Xp, Xf, rtol=1e-6, atol=1e-7)
