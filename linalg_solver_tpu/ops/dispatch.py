@@ -211,21 +211,17 @@ def _solve_impl(a: jax.Array, b: jax.Array, backend: str = "auto"):
         from . import rbt as _rbt
 
         n = a.shape[-1]
-        # nb=32 preferred: panel VPU work scales with nb while the
-        # trailing updates ride the MXU — measured 855 vs 808 GFLOP/s
-        # against nb=64 at B=N=256 (examples/bench_r3_combo*.py);
-        # nb=16 loses to glue op count (658).
-        nb = next(
-            (w for w in (32, 64, 48, 16, 8) if n % w == 0), None
-        )
-        if nb is None:
+        if _rbt_nb(n) is None:
             raise ValueError(
                 f"backend='rbt' needs N divisible by a panel width "
-                f"in (32, 64, 48, 16, 8); got N={n} — pad the batch "
+                f"in (64, 48, 32, 16, 8); got N={n} — pad the batch "
                 f"or use backend='auto'."
             )
+        # nb=None: rbt picks the measured size-dependent optimum
+        # (32 at N<=384, 64 above — examples/bench_r3_combo*.py and
+        # the N=512 A/B in docs/HISTORY.md).
         return _rbt.pallas_solve_rbt_batched(
-            a, b, nb=nb, interpret=not _pallas_available()
+            a, b, interpret=not _pallas_available()
         )
     if be == "mixed":
         # bf16-factored + f32 iteratively-refined (dsgesv recipe):

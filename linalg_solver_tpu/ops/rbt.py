@@ -549,7 +549,7 @@ def _solve_core(
 def pallas_solve_rbt_batched(
     a: jax.Array,
     b: jax.Array,
-    nb: int = 32,
+    nb: Optional[int] = None,
     ir_steps: int = 2,
     factor_precision: str = "bfloat16",
     depth: int = 2,
@@ -585,6 +585,13 @@ def pallas_solve_rbt_batched(
     - ``False``: no gate, no rescue (callers residual-check
       themselves)."""
     B, N, _ = a.shape
+    if nb is None:
+        # Measured optimum is size-dependent (chip sweep, round 3):
+        # nb=32 at N=256 (855 vs 808 GF/s), nb=64 at N=512 (759 vs
+        # 652) — panel VPU work scales with nb, glue op count with
+        # N/nb, and the balance tips between.
+        pref = (32, 64, 48, 16, 8) if N <= 384 else (64, 48, 32, 16, 8)
+        nb = next((w for w in pref if N % w == 0), N)
     nb = min(nb, N)
     assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
     if fallback is True:
