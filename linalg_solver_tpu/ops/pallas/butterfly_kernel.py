@@ -117,6 +117,10 @@ def butterfly_two_sided(
     (``UᵀAV``); the inverse reconstruction ``V X Uᵀ`` is
     ``(False, False)`` with ``(diags_v, diags_u)``."""
     B, n, _ = a.shape
+    assert n % (1 << depth) == 0, (
+        f"butterfly_two_sided(depth={depth}) needs n % {1 << depth} "
+        f"== 0 (even segments at every level), got n={n}"
+    )
     d = jnp.ones((1, n), a.dtype)
     du = list(diags_rows) + [d[0]] * (2 - len(diags_rows))
     dv = list(diags_cols) + [d[0]] * (2 - len(diags_cols))
@@ -150,6 +154,12 @@ def butterfly_two_sided(
     return out[:B]
 
 
-def supported(n: int, dtype=jnp.float32) -> bool:
-    """VMEM: in+out tiles ``2·_BT·n²·4`` must fit comfortably."""
-    return n >= 4 and (n & 1) == 0 and 2 * _BT * n * n * 4 <= 12 * 2**20
+def supported(n: int, depth: int = 2, dtype=jnp.float32) -> bool:
+    """VMEM: in+out tiles ``2·_BT·n²·4`` must fit comfortably; every
+    butterfly level needs even segments (level ``depth−1`` has segments
+    of ``n >> (depth−1)``, so ``n % (1 << depth) == 0``)."""
+    return (
+        n >= (1 << depth)
+        and n % (1 << depth) == 0
+        and 2 * _BT * n * n * 4 <= 12 * 2**20
+    )

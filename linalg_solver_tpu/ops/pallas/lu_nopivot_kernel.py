@@ -129,11 +129,14 @@ def _nopivot_kernel(a_hbm, out_hbm, ok_ref, work, sems, *, m: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "interpret", "lookahead")
+    jax.jit,
+    static_argnames=(
+        "nb", "interpret", "lookahead", "interpret_full_lookahead"
+    ),
 )
 def panel_factor_nopivot(
     panel: jax.Array, nb: int, interpret: bool = False,
-    lookahead: int = 2,
+    lookahead: int = 2, interpret_full_lookahead: bool = False,
 ):
     """Factor a ``[B, M, nb]`` panel in place with pivot(c) = row c
     (no search, no row motion).  Returns ``(panel_u, ok)``:
@@ -142,10 +145,13 @@ def panel_factor_nopivot(
     where a diagonal pivot was exactly zero."""
     B, m, _ = panel.shape
     assert nb >= 2 and nb % 2 == 0, f"even nb >= 2 required, got {nb}"
-    if interpret:
+    if interpret and not interpret_full_lookahead:
         # lookahead only changes scheduling, not results; the la=32
         # window's unrolled body makes interpret-mode (CPU test)
-        # execution pathologically slow.
+        # execution pathologically slow.  Tests that need to cover the
+        # widened-window path (the production default is la=32) pass
+        # interpret_full_lookahead=True on tiny shapes
+        # (tests/test_pallas_kernels.py::TestNoPivotWideLookahead).
         lookahead = min(lookahead, 8)
     # static column-group width: follows lookahead above the default so
     # deeper windows (la=16) amortize the per-iteration machinery over

@@ -92,7 +92,7 @@ def _butterfly_two_sided_fast(
     # interpret=True (CPU tests) takes the XLA path: interpret-mode
     # Pallas is orders of magnitude slower and the kernel's math is
     # differentially tested on its own (TestButterflyKernel).
-    if not interpret and _bfk.supported(n) and depth in (1, 2):
+    if not interpret and depth in (1, 2) and _bfk.supported(n, depth):
         return _bfk.butterfly_two_sided(
             a, tuple(diags_rows), tuple(diags_cols), depth=depth,
             trans_rows=trans, trans_cols=trans, interpret=False,
@@ -539,6 +539,62 @@ def _solve_core(
     return x, bad
 
 
+def _compacted_rescue(
+    core2, pivoted, a32, b3, x, bad, K: int
+):
+    """Lane-compacted rescue (VERDICT r3 item 2): gather up to ``K``
+    flagged lanes into a fixed sub-batch, re-run the redraw pipeline on
+    THAT sub-batch only (one kernel tile instead of the whole batch),
+    with the deterministic pivoted rescue nested inside for lanes that
+    fail twice; scatter the rescued lanes back.  If more than ``K``
+    lanes flag, fall back to the full-batch redraw (k=1 must be cheap;
+    mass failure is allowed to cost a full pass).
+
+    ``core2(a_sub, b_sub) -> (x2, bad2)`` re-runs the gated pipeline
+    with independent keys; ``pivoted(a_sub, b_sub) -> x`` is the
+    deterministic fallback."""
+    B = a32.shape[0]
+    f32 = a32.dtype
+
+    def _full(xx):
+        y2, bad2 = core2(a32, b3)
+
+        def _resc2(yy):
+            yp = pivoted(a32, b3)
+            return jnp.where(bad2[:, None], yp, yy)
+
+        y2 = jax.lax.cond(jnp.any(bad2), _resc2, lambda yy: yy, y2)
+        return jnp.where(bad[:, None], y2, xx)
+
+    if K >= B:
+        return jax.lax.cond(jnp.any(bad), _full, lambda xx: xx, x)
+
+    def _compact(xx):
+        # flagged lanes first (top_k on 0/1 scores; ties keep index
+        # order, so unflagged filler lanes are harmless re-solves)
+        _, idx = jax.lax.top_k(bad.astype(jnp.int32), K)
+        a_sub = jnp.take(a32, idx, axis=0)
+        b_sub = jnp.take(b3, idx, axis=0)
+        y2, bad2 = core2(a_sub, b_sub)
+
+        def _resc2(yy):
+            yp = pivoted(a_sub, b_sub)
+            return jnp.where(bad2[:, None], yp, yy)
+
+        y2 = jax.lax.cond(jnp.any(bad2), _resc2, lambda yy: yy, y2)
+        # scatter: one-hot GEMM (TPU-friendly; ops/select.py pattern)
+        sel = jax.nn.one_hot(idx, B, dtype=f32)          # [K, B]
+        upd = jnp.einsum("kb,kn->bn", sel, y2)
+        return jnp.where(bad[:, None], upd, xx)
+
+    def _dispatch(xx):
+        return jax.lax.cond(
+            jnp.sum(bad.astype(jnp.int32)) <= K, _compact, _full, xx
+        )
+
+    return jax.lax.cond(jnp.any(bad), _dispatch, lambda xx: xx, x)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -556,7 +612,7 @@ def pallas_solve_rbt_batched(
     interpret: bool = False,
     fallback: str | bool = "redraw",
     lookahead: int = 32,
-    engine: str = "kernel",
+    engine: str = "auto",
     leaf: int = 16,
 ) -> jax.Array:
     """Solve ``a @ x = b`` via RBT preconditioning + pivot-free LU +
@@ -591,7 +647,13 @@ def pallas_solve_rbt_batched(
         # 652) — panel VPU work scales with nb, glue op count with
         # N/nb, and the balance tips between.
         pref = (32, 64, 48, 16, 8) if N <= 384 else (64, 48, 32, 16, 8)
-        nb = next((w for w in pref if N % w == 0), N)
+        nb = next((w for w in pref if N % w == 0), None)
+        if nb is None:
+            raise ValueError(
+                f"pallas_solve_rbt_batched needs N divisible by a "
+                f"panel width in {pref}; got N={N} — pad the batch "
+                f"or use ops.dispatch with backend='auto'."
+            )
     nb = min(nb, N)
     assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
     if fallback is True:
@@ -605,6 +667,52 @@ def pallas_solve_rbt_batched(
     d = depth
     while (N >> (d - 1)) % 2:
         d -= 1  # shrink depth until segments stay even
+
+    if engine == "auto":
+        from .pallas import solve_fused_kernel as _sfk
+
+        # The one-launch fused kernel (butterfly + factor + substitution
+        # + refinement, all VMEM-resident) where the shape fits —
+        # measured 1.78 vs 3.29 ms for the phase path at B=N=256.
+        engine = (
+            "fused"
+            if vector_input and b3.shape[-1] == 1
+            and _sfk.supported(N, nb)
+            else "kernel"
+        )
+
+    if engine == "fused":
+        from .pallas import solve_fused_kernel as _sfk
+
+        b2 = b3[:, :, 0]
+        x2, bad = _sfk.solve_fused_rbt(
+            a32, b2, keys=(17, 29), nb=nb, ir_steps=ir_steps,
+            depth=d, interpret=interpret,
+        )
+        if not fallback:
+            return x2
+
+        def _core2(a_s, b_s):
+            return _sfk.solve_fused_rbt(
+                a_s, b_s, keys=(101, 103), nb=nb, ir_steps=ir_steps,
+                depth=d, interpret=interpret,
+            )
+
+        def _pivoted(a_s, b_s):
+            return blocked_solve_batched(
+                a_s, b_s[:, :, None], nb=nb, ir_steps=2
+            )[:, :, 0]
+
+        if fallback == "pivoted":
+            def _core2(a_s, b_s):  # noqa: F811 — direct pivoted rescue
+                yp = _pivoted(a_s, b_s)
+                return yp, jnp.zeros(yp.shape[:1], bool)
+
+        from .pallas.solve_fused_kernel import LANES as _SFK_LANES
+
+        return _compacted_rescue(
+            _core2, _pivoted, a32, b2, x2, bad, K=_SFK_LANES
+        )
 
     core = functools.partial(
         _solve_core, a32, b3, nb, ir_steps, factor_precision, d,

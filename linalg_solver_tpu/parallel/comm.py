@@ -241,9 +241,19 @@ def model_eigh(n: int, p: int, w: int, sweeps: int,
 
 # ---------------------------------------------------------------------
 # α-β (latency + bandwidth) time model: projected wall time of the
-# modeled collectives on a D-device ICI ring.  Constants are TPU v5e
-# class (per-link one-way bandwidth ~45 GB/s, per-hop latency ~1 µs);
-# override per topology.  Collective shapes on a bidirectional ring:
+# modeled collectives on a D-device ICI ring.
+#
+# CONSTANT SOURCES (public; this image has no egress to re-verify):
+# "How to Scale Your Model" (jax-ml.github.io/scaling-book), TPU-specs
+# table: TPU v5e ICI one-way bandwidth = 4.5e10 B/s per link (v5p:
+# 9e10; v4: 4.5e10), 2D torus with up to 4 links/chip; the book's
+# latency-bound collective analysis uses ~1 µs per ICI hop.  These are
+# marketing/idealized figures — achieved bandwidth and software launch
+# overheads vary — so every projected table in STATUS.md carries the
+# ×{0.5, 1, 2} sensitivity band from ``time_alpha_beta_band`` rather
+# than a single point.  Override per topology.
+#
+# Collective shapes on a bidirectional ring:
 #
 # - psum (all-reduce = reduce-scatter + all-gather): 2(D−1) hops of
 #   latency; each byte crosses the ring twice at (D−1)/D efficiency.
@@ -280,6 +290,21 @@ def time_alpha_beta(model: dict, D: int, alpha: float = ICI_ALPHA_S,
     return t
 
 
+def time_alpha_beta_band(model: dict, D: int,
+                         factors=(0.5, 1.0, 2.0)) -> tuple:
+    """Sensitivity band (best, nominal, worst) seconds for ``model``:
+    α and β each scaled by the given factors, combined so "best" takes
+    the optimistic end of both (α, bw × 2) and "worst" the pessimistic
+    (α × 2, bw × 0.5).  The band brackets the idealized public
+    constants — see the CONSTANT SOURCES note above."""
+    lo, mid, hi = factors
+    return (
+        time_alpha_beta(model, D, ICI_ALPHA_S * lo, ICI_BW_BPS * hi),
+        time_alpha_beta(model, D, ICI_ALPHA_S * mid, ICI_BW_BPS * mid),
+        time_alpha_beta(model, D, ICI_ALPHA_S * hi, ICI_BW_BPS * lo),
+    )
+
+
 def projected_eigh_scaling(n: int, Ds=(8, 16, 64), sweeps: int = 4,
                            alpha: float = ICI_ALPHA_S,
                            bw: float = ICI_BW_BPS) -> list:
@@ -298,4 +323,21 @@ def projected_eigh_scaling(n: int, Ds=(8, 16, 64), sweeps: int = 4,
             model_eigh_adaptive(n, D, w, sweeps), D, alpha, bw
         )
         rows.append((D, max(2 * D - 1, 1), total, per_sweep))
+    return rows
+
+
+def projected_eigh_scaling_band(n: int, Ds=(8, 16, 64),
+                                sweeps: int = 4) -> list:
+    """Strong-scaling projection with the α/β sensitivity band: rows of
+    ``(D, rounds_per_sweep, (best_s, nominal_s, worst_s))`` — the
+    STATUS.md table format (VERDICT r3 item 7)."""
+    rows = []
+    for D in Ds:
+        if n % (2 * D):
+            continue
+        w = n // (2 * D)
+        band = time_alpha_beta_band(
+            model_eigh_adaptive(n, D, w, sweeps), D
+        )
+        rows.append((D, max(2 * D - 1, 1), band))
     return rows

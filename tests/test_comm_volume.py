@@ -129,6 +129,23 @@ class TestCommVolume:
         assert [r[1] for r in rows] == [15, 31, 127]
         assert all(r[2] > r[3] > 0 for r in rows)
 
+    def test_alpha_beta_sensitivity_band(self):
+        """The ×{0.5,1,2} band brackets the nominal projection, the
+        worst case is ≤ 4× the best (α and β each span 4×), and the
+        banded strong-scaling table matches the point table at its
+        nominal column."""
+        m = comm.model_eigh_adaptive(1024, 8, 64, 4)
+        lo, mid, hi = comm.time_alpha_beta_band(m, 8)
+        assert 0 < lo < mid < hi
+        assert hi <= 4 * lo * 1.0000001
+        assert mid == comm.time_alpha_beta(m, 8)
+        band_rows = comm.projected_eigh_scaling_band(1024, Ds=(8, 16))
+        point_rows = comm.projected_eigh_scaling(1024, Ds=(8, 16))
+        for br, pr in zip(band_rows, point_rows):
+            assert br[0] == pr[0] and br[1] == pr[1]
+            assert br[2][1] == pytest.approx(pr[2])
+            assert br[2][0] < br[2][1] < br[2][2]
+
     def test_meter_inactive_is_transparent(self):
         """No meter: results identical (wrappers are pass-through)."""
         D, nb, n = 2, 4, 16

@@ -398,3 +398,42 @@ class TestInvRBTGateModes:
             jnp.asarray(A), interpret=True, gate_mode="full"))
         # no lane fires either gate: identical untaken-branch results
         np.testing.assert_allclose(Xp, Xf, rtol=1e-6, atol=1e-7)
+
+
+class TestNoPivotWideLookahead:
+    """The production solve default is lookahead=32 (group=32, one
+    unrolled window per 32 columns), but interpret mode clamps to 8 —
+    so the widened-window scheduling was never differentially tested
+    (ADVICE r3).  Force the full window on tiny shapes and check the
+    result is IDENTICAL to the clamped schedule (lookahead only changes
+    scheduling, never values) and correct vs numpy."""
+
+    pytestmark = pytest.mark.slow
+
+    @pytest.mark.parametrize("la", [16, 32])
+    def test_wide_window_matches_clamped(self, la):
+        from linalg_solver_tpu.ops.pallas.lu_nopivot_kernel import (
+            panel_factor_nopivot,
+        )
+
+        nb = la  # group follows lookahead; one window per group
+        A = make_batch(3, nb, seed=la)  # square panel, m == nb
+        out_wide, ok_wide = panel_factor_nopivot(
+            jnp.asarray(A), nb, interpret=True, lookahead=la,
+            interpret_full_lookahead=True,
+        )
+        out_ref, ok_ref = panel_factor_nopivot(
+            jnp.asarray(A), nb, interpret=True, lookahead=8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_wide), np.asarray(out_ref),
+            rtol=2e-5, atol=2e-5,
+        )
+        assert np.array_equal(np.asarray(ok_wide), np.asarray(ok_ref))
+        # and the factorization is a genuine no-pivot LU: L @ U == A
+        W = np.asarray(out_wide, np.float64)
+        L = np.tril(W, -1) + np.eye(nb)
+        U = np.triu(W)
+        np.testing.assert_allclose(
+            np.einsum("bij,bjk->bik", L, U), A, rtol=1e-4, atol=1e-4,
+        )
