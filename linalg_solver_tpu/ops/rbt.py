@@ -582,9 +582,15 @@ def _compacted_rescue(
             return jnp.where(bad2[:, None], yp, yy)
 
         y2 = jax.lax.cond(jnp.any(bad2), _resc2, lambda yy: yy, y2)
-        # scatter: one-hot GEMM (TPU-friendly; ops/select.py pattern)
+        # scatter: one-hot GEMM (TPU-friendly; ops/select.py pattern).
+        # HIGHEST precision is mandatory: the default bf16 pass rounds
+        # the rescued VALUES (measured: a rescued kappa~9e3 lane came
+        # back with resid 0.65 instead of 8e-4).
         sel = jax.nn.one_hot(idx, B, dtype=f32)          # [K, B]
-        upd = jnp.einsum("kb,kn->bn", sel, y2)
+        upd = jnp.einsum(
+            "kb,kn->bn", sel, y2,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jnp.where(bad[:, None], upd, xx)
 
     def _dispatch(xx):
