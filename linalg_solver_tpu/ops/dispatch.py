@@ -229,13 +229,14 @@ def _solve_impl(a: jax.Array, b: jax.Array, backend: str = "auto"):
         # on hard input should residual-check (models.solver).
         n = a.shape[-1]
         if n >= _XLA_CROSSOVER_N and n % 128 == 0:
-            # Large-N regime: XLA-native panels + one-pass bf16
-            # trailing updates (the lanes kernel starves here —
-            # measured 723 vs jnp.solve's 698 GFLOP/s at B=16 N=1024,
-            # 1770 vs 1508 at N=2048, residual 1.1e-7 vs 2.6e-7).
+            # Large-N regime: RBT block elimination — no pivot gathers,
+            # no getrf column loops, diagonal-block inverses + GEMMs
+            # only, per-lane gated with a pivoted large_solve_mixed
+            # rescue (round-4 chip A/B: 3007 vs mixed's 1621 GF/s at
+            # B=8 N=2048; 1227 vs 721 at B=16 N=1024; resid 1.2e-7).
             from . import lu_large as _lul
 
-            return _lul.large_solve_mixed(a, b, nb=128, ir_steps=1)
+            return _lul.large_solve_rbt(a, b, nb=128, ir_steps=2)
         nb = next(
             (w for w in (64, 48, 32, 16, 8) if n % w == 0), None
         )

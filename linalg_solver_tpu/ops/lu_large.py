@@ -140,3 +140,174 @@ def large_solve_mixed(
         r = b - jnp.einsum("bij,bj->bi", a, x, precision=_HIGH)
         x = x + large_lu_solve(fac, r)
     return x
+
+
+# ---------------------------------------------------------------------
+# RBT large-N solve: no pivoting, no gathers, no getrf column loops.
+#
+# Round-4 micro-profile of large_solve_mixed at B=8, N=2048
+# (examples/bench_r4_large_micro.py): 28.3 ms e2e of which the 16
+# lax.linalg.lu panel calls cost 16.8 ms (sequential column loops —
+# op-overhead, not FLOPs) and the trailing-row pivot gathers 5.6 ms,
+# while ALL the trailing GEMMs cost 0.48 ms at the chip's measured
+# 177 TF/s bf16 roofline.  This path removes both non-GEMM costs the
+# RBT way: two-sided random-butterfly preconditioning makes block
+# elimination without pivoting stable for generic input, the nb×nb
+# diagonal-block inverses run on the fused Pallas kernel (in-kernel
+# butterflies + no-pivot GJ + in-kernel rescue ladder,
+# ops/pallas/inv_rbt_kernel.py), and everything else is batched MXU
+# GEMM work.  A per-lane gate + lax.cond fallback to the pivoted
+# ``large_solve_mixed`` keeps the safety contract of ``ops.rbt``.
+# ---------------------------------------------------------------------
+
+
+class LargeRBT(NamedTuple):
+    """Block-elimination artifacts (tuples of length ``N/nb``):
+    ``A = L·U`` with unit-block-lower ``L`` (``l21h`` below the
+    diagonal) and block-upper ``U`` (diagonal blocks ``D_k`` held as
+    their INVERSES, off-diagonal blocks ``a12`` raw)."""
+
+    dinv: tuple        # [B, nb, nb]  D_k^{-1}
+    l21h: tuple        # [B, M-nb, nb]  A21 @ D_k^{-1}
+    a12: tuple         # [B, nb, M-nb]
+    ok: jax.Array      # [B] all diagonal-block inverses finite
+
+
+def _rbt_block_factor(
+    a_p: jax.Array, nb: int, interpret: bool = False
+) -> LargeRBT:
+    B, N, _ = a_p.shape
+    phases = N // nb
+    A = a_p
+    dinvs, l21hs, a12s = [], [], []
+    ok = jnp.ones((B,), bool)
+    for k in range(phases):
+        D = A[:, :nb, :nb]
+        # XLA's pivoted inverse for the nb×nb diagonal blocks.  The
+        # fused Pallas inverse kernel is 17× faster STANDALONE (0.27 vs
+        # ~0.5 ms... per call it is comparable) but interleaving a
+        # pallas_call into this big XLA program measured ~5 ms of extra
+        # materialization per call on this runtime (85 vs 9.6 ms for
+        # the whole factor) — the custom-call boundary breaks fusion
+        # around the [B, M, M] trailing dataflow.  A singular block
+        # yields non-finite entries that the e2e gate flags.
+        Dinv = jnp.linalg.inv(D)
+        ok = ok & jnp.all(jnp.isfinite(Dinv), axis=(1, 2))
+        dinvs.append(Dinv)
+        if A.shape[1] > nb:
+            A12 = A[:, :nb, nb:]
+            L21h = _bf16_mm(A[:, nb:, :nb], Dinv)
+            a12s.append(A12)
+            l21hs.append(L21h)
+            A = A[:, nb:, nb:] - _bf16_mm(L21h, A12)
+        else:
+            a12s.append(jnp.zeros((B, nb, 0), a_p.dtype))
+            l21hs.append(jnp.zeros((B, 0, nb), a_p.dtype))
+    return LargeRBT(tuple(dinvs), tuple(l21hs), tuple(a12s), ok)
+
+
+def _rbt_block_solve(fac: LargeRBT, b: jax.Array, nb: int) -> jax.Array:
+    phases = len(fac.dinv)
+    rhs = b
+    ys = []
+    for k in range(phases):
+        y = rhs[:, :nb]
+        ys.append(y)
+        rest = rhs[:, nb:]
+        if rest.shape[1]:
+            rest = rest - jnp.einsum(
+                "bij,bj->bi", fac.l21h[k], y, precision=_HIGH
+            )
+        rhs = rest
+    x = jnp.zeros((b.shape[0], 0), b.dtype)
+    for k in reversed(range(phases)):
+        rhs_k = ys[k]
+        if x.shape[1]:
+            rhs_k = rhs_k - jnp.einsum(
+                "bij,bj->bi", fac.a12[k], x, precision=_HIGH
+            )
+        xk = jnp.einsum(
+            "bij,bj->bi", fac.dinv[k], rhs_k, precision=_HIGH
+        )
+        x = jnp.concatenate([xk, x], axis=1)
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb", "ir_steps", "depth", "fallback", "interpret"),
+)
+@f32_matmuls
+def large_solve_rbt(
+    a: jax.Array,
+    b: jax.Array,
+    nb: int = 128,
+    ir_steps: int = 2,
+    depth: int = 2,
+    fallback: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Large-N batched solve via RBT block elimination (see the module
+    section comment).  Per-lane gated like ``ops.rbt``: refinement
+    contraction + residual thresholds, with a ``lax.cond`` fallback to
+    the pivoted ``large_solve_mixed`` for flagged lanes (full-batch —
+    B is small in this regime by construction)."""
+    from .rbt import _butterfly_two_sided_fast, butterfly_apply, rbt_diags
+
+    B, N, _ = a.shape
+    assert N % nb == 0, (N, nb)
+    f32 = jnp.result_type(a.dtype, jnp.float32)
+    a32 = a.astype(f32)
+    b32 = b.astype(f32)
+
+    d = depth
+    while d > 1 and (N >> (d - 1)) % 2:
+        d -= 1
+    diags_u = rbt_diags(jax.random.PRNGKey(17), N, d, f32)
+    diags_v = rbt_diags(jax.random.PRNGKey(29), N, d, f32)
+
+    a_p = _butterfly_two_sided_fast(
+        a32, diags_u, diags_v, trans=True, interpret=interpret
+    )
+    b_p = butterfly_apply(b32[:, :, None], diags_u, trans=True)[..., 0]
+    fac = _rbt_block_factor(a_p, nb, interpret=interpret)
+    y = _rbt_block_solve(fac, b_p, nb)
+    x = butterfly_apply(y[:, :, None], diags_v, trans=False)[..., 0]
+
+    if fallback:
+        amax = jnp.max(jnp.abs(a32), axis=(1, 2))
+        bmax = jnp.max(jnp.abs(b32), axis=1)
+    rmax = xmax = zcmax = None
+    for step in range(ir_steps):
+        r = b32 - jnp.einsum("bij,bj->bi", a32, x, precision=_HIGH)
+        if fallback and step == ir_steps - 1:
+            rmax = jnp.max(jnp.abs(r), axis=1)
+            xmax = jnp.max(jnp.abs(x), axis=1)
+        rp = butterfly_apply(r[:, :, None], diags_u, trans=True)[..., 0]
+        z = _rbt_block_solve(fac, rp, nb)
+        zc = butterfly_apply(z[:, :, None], diags_v, trans=False)[..., 0]
+        if fallback and step == ir_steps - 1:
+            zcmax = jnp.max(jnp.abs(zc), axis=1)
+        x = x + zc
+
+    if not fallback:
+        return x
+
+    eps = jnp.asarray(1e-30, f32)
+    bad = ~fac.ok
+    if ir_steps == 0:
+        r = b32 - jnp.einsum("bij,bj->bi", a32, x, precision=_HIGH)
+        rmax = jnp.max(jnp.abs(r), axis=1)
+        scale = jnp.maximum(bmax, amax * jnp.max(jnp.abs(x), axis=1))
+        bad |= ~(rmax <= 1e-2 * jnp.maximum(scale, eps))
+    else:
+        bad |= ~(zcmax <= 0.3 * jnp.maximum(xmax, eps))
+        if ir_steps >= 2:
+            scale = jnp.maximum(bmax, amax * xmax)
+            bad |= ~(rmax <= 1e-4 * jnp.maximum(scale, eps))
+
+    def _rescue(xx):
+        yp = large_solve_mixed(a32, b32, nb=nb, ir_steps=2)
+        return jnp.where(bad[:, None], yp, xx)
+
+    return jax.lax.cond(jnp.any(bad), _rescue, lambda xx: xx, x)

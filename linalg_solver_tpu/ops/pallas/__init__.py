@@ -49,6 +49,15 @@ def supports(op: str, n: int | None = None) -> bool:
         return False
     if n is None:
         return True
+    if op == "inverse":
+        # the fused RBT kernel reaches n=180 (its [n, 2n, 128] work +
+        # copies budget), well past the pivoted GJ tile: at n=128 it
+        # measured 0.21 ms/128 matrices vs the phase-structured path's
+        # ~1.2 ms (round-4 chip probe)
+        from . import inv_rbt_kernel
+
+        if inv_rbt_kernel.supported(n):
+            return True
     return gj_kernel.supported(n, _WIDTH[op](n), budget=_BUDGET.get(op))
 
 

@@ -288,10 +288,11 @@ def _inv_rbt_kernel(a_hbm, du0, du1, dv0, dv1, eu0, eu1, ev0, ev1, vr,
 
 def supported(n: int) -> bool:
     """work [n,2n,BT] + acopy/stash [n,n,BT] f32 within the VMEM
-    budget, with even butterfly segments."""
+    budget (~34 MB at n=128 against the measured ~120 MB ceiling),
+    with even butterfly segments."""
     return (
         n >= 4 and n % 4 == 0
-        and 4 * n * n * BT * 4 <= 32 * 2**20
+        and 4 * n * n * BT * 4 <= 80 * 2**20
     )
 
 

@@ -120,3 +120,75 @@ class TestLargeSolveMixed:
         )
         want = np.linalg.solve(A.astype(np.float64), b[..., None])[..., 0]
         assert np.abs(x - want).max() / np.abs(want).max() < 1e-5
+
+
+class TestLargeSolveRBT:
+    """RBT block elimination for the large-N regime (round 4): no
+    pivoting, no gathers — butterflies + diagonal-block inverses +
+    GEMMs, per-lane gated with a pivoted large_solve_mixed rescue."""
+
+    def test_matches_numpy(self):
+        from linalg_solver_tpu.ops.lu_large import large_solve_rbt
+
+        rng = np.random.RandomState(0)
+        B, N = 4, 128
+        a = (rng.randn(B, N, N)
+             + 4 * np.sqrt(N) * np.eye(N)).astype(np.float32)
+        b = rng.randn(B, N).astype(np.float32)
+        x = np.asarray(large_solve_rbt(
+            jnp.asarray(a), jnp.asarray(b), nb=32, interpret=True
+        ), np.float64)
+        r = np.linalg.norm(
+            np.einsum("bij,bj->bi", a.astype(np.float64), x) - b,
+            axis=1,
+        ) / np.linalg.norm(b, axis=1)
+        assert r.max() < 1e-5, r
+
+    def test_adversarial_lane_rescued(self):
+        from linalg_solver_tpu.ops.lu_large import large_solve_rbt
+
+        rng = np.random.RandomState(1)
+        B, N = 4, 128
+        a = (rng.randn(B, N, N)
+             + 4 * np.sqrt(N) * np.eye(N)).astype(np.float32)
+        # lane 1: singular leading 32x32 minor (defeats no-pivot block
+        # elimination at nb=32 unless the butterfly/rescue handles it)
+        a[1, :32, :32] = 0.0
+        b = rng.randn(B, N).astype(np.float32)
+        x = np.asarray(large_solve_rbt(
+            jnp.asarray(a), jnp.asarray(b), nb=32, interpret=True
+        ), np.float64)
+        r = np.linalg.norm(
+            np.einsum("bij,bj->bi", a.astype(np.float64), x) - b,
+            axis=1,
+        ) / np.linalg.norm(b, axis=1)
+        # the adversarial lane converges through the butterflies + IR
+        # with small NORMWISE backward error (the gate's contract);
+        # clean lanes stay at the f32 floor
+        assert r[1] < 2e-3, r
+        assert np.delete(r, 1).max() < 1e-5, r
+        nrm = np.linalg.norm(a[1].astype(np.float64)) * np.linalg.norm(
+            x[1]
+        ) + np.linalg.norm(b[1])
+        eta = np.linalg.norm(
+            np.einsum("ij,j->i", a[1].astype(np.float64), x[1]) - b[1]
+        ) / nrm
+        assert eta < 1e-5, eta
+
+    def test_fallback_false_flags_not_required(self):
+        from linalg_solver_tpu.ops.lu_large import large_solve_rbt
+
+        rng = np.random.RandomState(2)
+        B, N = 2, 64
+        a = (rng.randn(B, N, N)
+             + 4 * np.sqrt(N) * np.eye(N)).astype(np.float32)
+        b = rng.randn(B, N).astype(np.float32)
+        x = np.asarray(large_solve_rbt(
+            jnp.asarray(a), jnp.asarray(b), nb=16, fallback=False,
+            interpret=True,
+        ), np.float64)
+        r = np.linalg.norm(
+            np.einsum("bij,bj->bi", a.astype(np.float64), x) - b,
+            axis=1,
+        ) / np.linalg.norm(b, axis=1)
+        assert r.max() < 1e-5, r
