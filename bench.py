@@ -50,13 +50,14 @@ def main() -> None:
     from linalg_solver_tpu.ops import dispatch
 
     # backend="auto" — the DEFAULT path every user gets — routes this
-    # shape to the RBT backend (random-butterfly preconditioning + the
-    # search-free pivot-free LU kernel + two f32 refinement rounds,
-    # per-lane gated with a redraw/pivoted rescue; see
-    # ops/dispatch._resolve's measured routing table).  Removing the
-    # per-column pivot chain is worth ~10% over backend="mixed"
-    # same-process (675 vs 616 GFLOP/s, resid 1.29e-7 vs 1.32e-7) at
-    # equal f64-verified accuracy.
+    # shape to the RBT backend, which since round 4 is the ONE-LAUNCH
+    # fused kernel (ops/pallas/solve_fused_kernel.py): butterfly
+    # preconditioning, pivot-free f32 LU, substitution, and both
+    # refinement rounds in a single pallas_call with the trail and a
+    # pristine copy of A resident in VMEM; per-lane gated with a
+    # lane-compacted redraw/pivoted rescue.  Same-process A/B: 1.78 ms
+    # vs the round-3 phase path's 3.29 ms at equal f64-verified
+    # accuracy (see ops/dispatch._resolve's measured routing table).
     from linalg_solver_tpu.ops.dispatch import _resolve
 
     assert _resolve("auto", "solve", N) == "rbt", (
@@ -82,9 +83,11 @@ def main() -> None:
 
     # BASELINE metric 2: 1k-batch 64x64 inverse matrices/sec vs
     # jnp.linalg.inv.  The facade routes to the fused RBT no-pivot
-    # kernel (in-kernel butterflies + span-restricted Gauss-Jordan +
-    # probe-gated pivoted rescue): 2.27M vs the pivoted GJ kernel's
-    # 0.90M mat/s same-process (examples/bench_r3_inv.py).
+    # kernel: in-kernel butterflies + span-restricted Gauss-Jordan +
+    # in-kernel Rademacher probe gate + in-kernel redraw/pivoted
+    # rescue ladder under pl.when (2.9-3.6M ungated, 2.3-4.5M gated
+    # same-process vs the pivoted GJ kernel's ~0.9M;
+    # examples/bench_r4_inv.py).
     Bi, Ni = 1024, 64
     ai = jax.random.normal(
         jax.random.PRNGKey(3), (Bi, Ni, Ni), jnp.float32
@@ -109,11 +112,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "batched 256x256 LU factor+solve (B=256, backend=auto -> RBT pivot-free bf16/f32)",
+                "metric": "batched 256x256 LU factor+solve (B=256, backend=auto -> one-launch fused RBT kernel, f32)",
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gflops / gflops_base, 3),
-                "metric2": "1k-batch 64x64 inverse (fused RBT no-pivot Pallas kernel, probe-gated)",
+                "metric2": "1k-batch 64x64 inverse (fused RBT kernel, in-kernel probe gate + rescue ladder)",
                 "value2": round(Bi / t_inv, 0),
                 "unit2": "matrices/s",
                 "vs_baseline2": round(t_inv_base / t_inv, 3),
