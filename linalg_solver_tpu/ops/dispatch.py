@@ -92,7 +92,10 @@ def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
       per-lane divergence rescue) — 375 vs rbt's 239 at N=128; a tie
       at N=192.
     - solve, N ≥ 1024 (N % 128 == 0): ``mixed`` routes internally to
-      ``ops.lu_large.large_solve_mixed`` which beats plain XLA.
+      ``ops.lu_large.large_solve_rbt`` which beats plain XLA ~2×.
+      The 1024 crossover is measured, not assumed: at N=512/768 the
+      lanes path still wins (754/783 vs block elimination's 325/709
+      GF/s, round-4 A/B) — XLA block inverses get expensive at B≥32.
     - inverse, N above the GJ tile: ``rbt`` wins at every measured
       size (111k vs 108k at 128, 31.4k vs 26.5k at 256, 3.3k vs
       blocked 1.7k / xla 2.7k at 512).
