@@ -96,9 +96,11 @@ def _resolve(backend: str, op: str, n: Optional[int] = None) -> str:
       The 1024 crossover is measured, not assumed: at N=512/768 the
       lanes path still wins (754/783 vs block elimination's 325/709
       GF/s, round-4 A/B) — XLA block inverses get expensive at B≥32.
-    - inverse, N above the GJ tile: ``rbt`` wins at every measured
-      size (111k vs 108k at 128, 31.4k vs 26.5k at 256, 3.3k vs
-      blocked 1.7k / xla 2.7k at 512).
+    - inverse, N ≤ 180 (the fused RBT kernel's VMEM reach): the
+      ``pallas`` facade — 0.21 ms/128 matrices at N=128 vs the phase
+      path's ~1.2 ms (round-4 probe).  Above that: ``rbt`` wins at
+      every measured size (31.4k vs 26.5k at 256, 3.3k vs blocked
+      1.7k / xla 2.7k at 512).
     """
     if backend == "auto":
         if _pallas_available():

@@ -153,10 +153,10 @@ def large_solve_mixed(
 # 177 TF/s bf16 roofline.  This path removes both non-GEMM costs the
 # RBT way: two-sided random-butterfly preconditioning makes block
 # elimination without pivoting stable for generic input, the nb×nb
-# diagonal-block inverses run on the fused Pallas kernel (in-kernel
-# butterflies + no-pivot GJ + in-kernel rescue ladder,
-# ops/pallas/inv_rbt_kernel.py), and everything else is batched MXU
-# GEMM work.  A per-lane gate + lax.cond fallback to the pivoted
+# diagonal blocks are inverted directly (XLA's pivoted inverse — see
+# the note in _rbt_block_factor for why the Pallas inverse kernel is
+# NOT used here), and everything else is batched MXU GEMM work.  A
+# per-lane gate + lax.cond fallback to the pivoted
 # ``large_solve_mixed`` keeps the safety contract of ``ops.rbt``.
 # ---------------------------------------------------------------------
 
@@ -173,9 +173,7 @@ class LargeRBT(NamedTuple):
     ok: jax.Array      # [B] all diagonal-block inverses finite
 
 
-def _rbt_block_factor(
-    a_p: jax.Array, nb: int, interpret: bool = False
-) -> LargeRBT:
+def _rbt_block_factor(a_p: jax.Array, nb: int) -> LargeRBT:
     B, N, _ = a_p.shape
     phases = N // nb
     A = a_p
@@ -270,7 +268,7 @@ def large_solve_rbt(
         a32, diags_u, diags_v, trans=True, interpret=interpret
     )
     b_p = butterfly_apply(b32[:, :, None], diags_u, trans=True)[..., 0]
-    fac = _rbt_block_factor(a_p, nb, interpret=interpret)
+    fac = _rbt_block_factor(a_p, nb)
     y = _rbt_block_solve(fac, b_p, nb)
     x = butterfly_apply(y[:, :, None], diags_v, trans=False)[..., 0]
 

@@ -337,17 +337,9 @@ def _inv_rbt_call(a_t, du, dv, eu, ev, vr, interpret: bool,
 
 
 def _diags_lanes(key, n: int, depth: int, dtype):
-    """Butterfly diagonals broadcast to the [n, BT] kernel layout;
-    always two refs (level 1 unused at depth 1)."""
-    from ..rbt import rbt_diags
+    from ..rbt import diags_lanes
 
-    ds = rbt_diags(key, n, depth, dtype)
-    while len(ds) < 2:
-        ds = ds + [jnp.ones((n,), dtype)]
-    return tuple(
-        jnp.broadcast_to(d[:, None], (n, BT)).astype(dtype)
-        for d in ds
-    )
+    return diags_lanes(key, n, depth, dtype, BT)
 
 
 @functools.partial(
@@ -407,7 +399,7 @@ def inverse_rbt_fused_batched(
         a_t, du, dv, eu, ev, vr, interpret, d, rescue=hot
     )
     x = jnp.transpose(out, (2, 0, 1))[:B]
-    if hot or not fallback:
+    if hot:
         return x.astype(a.dtype) if a.dtype != f32 else x
 
     bad = bad_k[0, :B].astype(bool)
@@ -417,6 +409,9 @@ def inverse_rbt_fused_batched(
         with jax.default_matmul_precision("float32"):
             r = eye - jnp.einsum("bij,bjk->bik", a32, x, precision=hp)
             x = x + jnp.einsum("bij,bjk->bik", x, r, precision=hp)
+
+    if not fallback:
+        return x.astype(a.dtype) if a.dtype != f32 else x
 
     # Polish rounds / gate_mode="full": gate on the f32-HIGHEST full
     # residual (strictest; the kernel's zero-pivot/probe flags OR in).

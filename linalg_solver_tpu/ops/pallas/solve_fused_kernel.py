@@ -341,15 +341,9 @@ def _fused_call(a_t, b_t, du, dv, nb: int, ir_steps: int, depth: int,
 
 
 def _diags_lanes(key, n: int, depth: int, dtype):
-    from ..rbt import rbt_diags
+    from ..rbt import diags_lanes
 
-    ds = rbt_diags(key, n, depth, dtype)
-    while len(ds) < 2:
-        ds = ds + [jnp.ones((n,), dtype)]
-    return tuple(
-        jnp.broadcast_to(d[:, None], (n, LANES)).astype(dtype)
-        for d in ds
-    )
+    return diags_lanes(key, n, depth, dtype, LANES)
 
 
 @functools.partial(

@@ -52,6 +52,19 @@ def rbt_diags(key: jax.Array, n: int, depth: int, dtype) -> list:
     ]
 
 
+def diags_lanes(key: jax.Array, n: int, depth: int, dtype, lanes: int):
+    """Butterfly diagonals broadcast to an ``[n, lanes]`` kernel
+    layout; always two arrays (level 1 all-ones at depth 1) — shared
+    by the fused solve/inverse Pallas kernels."""
+    ds = rbt_diags(key, n, depth, dtype)
+    while len(ds) < 2:
+        ds = ds + [jnp.ones((n,), dtype)]
+    return tuple(
+        jnp.broadcast_to(d[:, None], (n, lanes)).astype(dtype)
+        for d in ds
+    )
+
+
 def _bf_level(x: jax.Array, r: jax.Array, seg: int, trans: bool):
     """One butterfly level along axis 1 of ``x [B, N, K]``: block-diag
     of ``N/seg`` butterflies ``B = (1/√2)[[R0, R1], [R0, −R1]]`` with
@@ -690,6 +703,13 @@ def pallas_solve_rbt_batched(
     if engine == "fused":
         from .pallas import solve_fused_kernel as _sfk
 
+        if b3.shape[-1] != 1:
+            raise ValueError(
+                "engine='fused' solves a single RHS vector; got "
+                f"matrix RHS with {b3.shape[-1]} columns — use "
+                "engine='kernel' (or the default engine='auto', which "
+                "routes matrix RHS to the phase engine)."
+            )
         b2 = b3[:, :, 0]
         x2, bad = _sfk.solve_fused_rbt(
             a32, b2, keys=(17, 29), nb=nb, ir_steps=ir_steps,
