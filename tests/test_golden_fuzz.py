@@ -344,6 +344,40 @@ class TestFuzzOptimalDeterminant:
                 f"optimal det DM trial {trial} sizes={sizes}",
             )
 
+    def test_fuzz_optimal_polynomial_addrow(self, reference):
+        """24 characteristic-matrix cases (entries in Q[x], x on the
+        diagonal) with shared-sparsity row pairs: the fraction-free
+        AddRow derivation must stay polynomial-safe (reference
+        determinant.py:620-719 divides by the src pivot AFTER the
+        products — the logged text is the highest-entropy polynomial
+        surface)."""
+        rng = random.Random(959595)
+        x = sympy.Symbol("x")
+        for trial in range(24):
+            n = rng.choice([3, 4, 4, 5])
+            items = [
+                [
+                    sympy.Integer(rng.randint(-3, 3))
+                    if rng.random() < 0.5 else sympy.Integer(0)
+                    for _ in range(n)
+                ]
+                for _ in range(n)
+            ]
+            for i in range(n):
+                items[i][i] = items[i][i] - x  # A − xI pattern
+            # a shared-sparsity row pair (x-free) to invite AddRow
+            if n >= 3:
+                i, j = 0, 1
+                for c in range(n):
+                    if c not in (i, j):
+                        v = rng.randint(1, 3)
+                        items[i][c] = sympy.Integer(v)
+                        items[j][c] = sympy.Integer(rng.randint(1, 3))
+            self._run_case(
+                reference, items,
+                f"optimal det poly trial {trial} n={n}",
+            )
+
     def test_fuzz_optimal_addrow_chains(self, reference):
         """24 patterns engineered for AddRow: pairs of rows with
         near-identical sparsity (eliminating one entry via a row
