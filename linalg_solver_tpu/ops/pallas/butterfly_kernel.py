@@ -148,6 +148,13 @@ def butterfly_two_sided(
         out_specs=pl.BlockSpec((_BT, n, n), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, n, n), a.dtype),
+        # Mosaic double-buffers the in/out blocks: the default 16 MB
+        # scoped-VMEM limit OOMs at n=384 (17.84 MB) even though
+        # supported() passes — raise it explicitly (the chip has
+        # ~120 MB usable; examples/probe_vmem.py).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(ap, du[0][None, :], du[1][None, :], dv[0][None, :],
       dv[1][None, :])

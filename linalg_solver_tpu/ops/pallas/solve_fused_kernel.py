@@ -53,15 +53,38 @@ _SQRT_HALF = 0.7071067811865476
 _VMEM_BUDGET = 110 * 2**20
 
 
+#: column-chunk height for the streamed-residual variant's HBM reads
+_STREAM_CK = 32
+
+#: VMEM budget for the streamed variant (trail + one chunk buffer).
+#: N=448 (110 MB) was tried and FAILED remote compile even under the
+#: ~120 MB probe ceiling — per-kernel accounting leaves less headroom
+#: than a single flat scratch; 100 MB admits up to N=384 (80 MB).
+_VMEM_BUDGET_STREAM = 100 * 2**20
+
+
 def supported(n: int, nb: int = 32) -> bool:
-    """work + orig f32 tiles fit VMEM; phases and butterfly segments
-    line up (depth-2 needs n % 4 == 0; handled by depth shrink for
-    n % 4 == 2)."""
+    """work + pristine-copy f32 tiles fit VMEM; phases and butterfly
+    segments line up (depth-2 needs n % 4 == 0; handled by depth
+    shrink for n % 4 == 2)."""
     return (
         n >= 2 * nb
         and n % nb == 0
         and n % 2 == 0
         and 2 * n * n * LANES * 4 <= _VMEM_BUDGET
+    )
+
+
+def supported_streamed(n: int, nb: int = 32) -> bool:
+    """The STREAMED-RESIDUAL variant holds only the trail in VMEM and
+    re-reads A from HBM in column chunks for each refinement residual
+    — reaches N=384/448 where the two-copy variant tops out at 320."""
+    need = (n * n + _STREAM_CK * n) * LANES * 4
+    return (
+        n >= 2 * nb
+        and n % nb == 0
+        and n % _STREAM_CK == 0
+        and need <= _VMEM_BUDGET_STREAM
     )
 
 
@@ -141,8 +164,13 @@ def _bf_vec(ref, diags, n, depth, trans):
 
 
 def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
-                  work, orig, yv, rv, xv, bo, ipiv, sems, *,
-                  n: int, bt: int, nb: int, depth: int, ir_steps: int):
+                  work, aux, yv, rv, xv, bo, ipiv, sems, *,
+                  n: int, bt: int, nb: int, depth: int, ir_steps: int,
+                  hold_orig: bool = True):
+    """``aux`` is the pristine copy of A when ``hold_orig`` (two-copy
+    variant, N ≤ 320) or a ``[_STREAM_CK, n, bt]`` chunk buffer when
+    not (streamed-residual variant, N ≤ 448: refinement residuals
+    re-read A from HBM in column chunks)."""
     i = pl.program_id(0)
     dtype = work.dtype
     du = (du0, du1)[:depth]
@@ -154,10 +182,11 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
     load.start()
     load.wait()
 
-    # Pristine copy for the f32 refinement residuals + gate scales.
-    orig[:, :, :] = work[:, :, :]
+    amax = jnp.max(jnp.abs(work[:, :, :]), axis=(0, 1))      # [bt]
+    if hold_orig:
+        # Pristine copy for the f32 refinement residuals.
+        aux[:, :, :] = work[:, :, :]
     bo[:, :] = b_ref[:, :]
-    amax = jnp.max(jnp.abs(orig[:, :, :]), axis=(0, 1))      # [bt]
     bmax = jnp.max(jnp.abs(bo[:, :]), axis=0)                # [bt]
 
     # A' = Uᵀ A V ; b' = Uᵀ b
@@ -250,11 +279,33 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
     # Iterative refinement vs the ORIGINAL system, f32 throughout
     # (gate statistics mirror ops.rbt._solve_core exactly).
     # ------------------------------------------------------------------
+    def _residual():
+        """rv := bo − A·xv against the ORIGINAL A — from the VMEM copy
+        (hold_orig) or streamed from HBM in column chunks."""
+        if hold_orig:
+            rv[:, :] = bo[:, :] - jnp.sum(
+                aux[:, :, :] * xv[:, :][:, None, :], axis=0
+            )
+        else:
+            rv[:, :] = bo[:, :]
+            for c0 in range(0, n, _STREAM_CK):
+                dma = pltpu.make_async_copy(
+                    a_hbm.at[
+                        pl.ds(c0, _STREAM_CK), :, pl.ds(i * bt, bt)
+                    ],
+                    aux, sems.at[0],
+                )
+                dma.start()
+                dma.wait()
+                rv[:, :] = rv[:, :] - jnp.sum(
+                    aux[:, :, :]
+                    * xv[c0:c0 + _STREAM_CK, :][:, None, :],
+                    axis=0,
+                )
+
     rmax = zcmax = xmax = jnp.zeros((bt,), dtype)
     for step in range(ir_steps):
-        rv[:, :] = bo[:, :] - jnp.sum(
-            orig[:, :, :] * xv[:, :][:, None, :], axis=0
-        )
+        _residual()
         if step == ir_steps - 1:
             rmax = jnp.max(jnp.abs(rv[:, :]), axis=0)
             xmax = jnp.max(jnp.abs(xv[:, :]), axis=0)
@@ -267,9 +318,7 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
         xv[:, :] = xv[:, :] + rv[:, :]
 
     if ir_steps == 0:
-        rv[:, :] = bo[:, :] - jnp.sum(
-            orig[:, :, :] * xv[:, :][:, None, :], axis=0
-        )
+        _residual()
         rmax = jnp.max(jnp.abs(rv[:, :]), axis=0)
 
     # NaN-proof per-lane failure flags (nan <= t is False — flag
@@ -292,15 +341,18 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nb", "ir_steps", "depth", "interpret")
+    jax.jit,
+    static_argnames=("nb", "ir_steps", "depth", "interpret",
+                     "hold_orig"),
 )
 def _fused_call(a_t, b_t, du, dv, nb: int, ir_steps: int, depth: int,
-                interpret: bool):
+                interpret: bool, hold_orig: bool = True):
     n, _, Bp = a_t.shape
     bt = LANES
+    aux_shape = (n, n, bt) if hold_orig else (_STREAM_CK, n, bt)
     kernel = functools.partial(
         _fused_kernel, n=n, bt=bt, nb=nb, depth=depth,
-        ir_steps=ir_steps,
+        ir_steps=ir_steps, hold_orig=hold_orig,
     )
     x_t, bad = pl.pallas_call(
         kernel,
@@ -324,7 +376,7 @@ def _fused_call(a_t, b_t, du, dv, nb: int, ir_steps: int, depth: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((n, n, bt), a_t.dtype),   # work (factors)
-            pltpu.VMEM((n, n, bt), a_t.dtype),   # orig (residuals)
+            pltpu.VMEM(aux_shape, a_t.dtype),    # pristine A / chunk buf
             pltpu.VMEM((n, bt), a_t.dtype),      # yv
             pltpu.VMEM((n, bt), a_t.dtype),      # rv
             pltpu.VMEM((n, bt), a_t.dtype),      # xv
@@ -348,7 +400,9 @@ def _diags_lanes(key, n: int, depth: int, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "ir_steps", "depth", "interpret"),
+    static_argnames=(
+        "nb", "ir_steps", "depth", "interpret", "force_stream"
+    ),
 )
 def solve_fused_rbt(
     a: jax.Array,
@@ -358,13 +412,21 @@ def solve_fused_rbt(
     ir_steps: int = 2,
     depth: int = 2,
     interpret: bool = False,
+    force_stream: bool = False,
 ):
     """One-launch RBT solve of ``a @ x = b`` (vector RHS).
 
     Returns ``(x [B, N], bad [B])`` — per-lane failure flags with the
     same semantics as ``ops.rbt._solve_core(gate=True)``; rescue policy
-    is the caller's (``ops.rbt.pallas_solve_rbt_batched``)."""
+    is the caller's (``ops.rbt.pallas_solve_rbt_batched``).  N ≤ 320
+    holds a pristine VMEM copy of A for the refinement residuals;
+    N = 352..448 streams A back from HBM in column chunks instead
+    (``supported_streamed``)."""
     B, N, _ = a.shape
+    hold = supported(N, nb) and not force_stream
+    assert hold or supported_streamed(N, nb), (
+        f"solve_fused_rbt: N={N} (nb={nb}) exceeds both VMEM variants"
+    )
     f32 = jnp.result_type(a.dtype, jnp.float32)
     a32 = a.astype(f32)
     b32 = b.astype(f32)
@@ -385,7 +447,7 @@ def solve_fused_rbt(
     a_t = jnp.transpose(a32, (2, 1, 0))    # [col j, row i, batch]
     b_t = jnp.transpose(b32, (1, 0))       # [row i, batch]
     x_t, bad = _fused_call(
-        a_t, b_t, du, dv, nb, ir_steps, d, interpret
+        a_t, b_t, du, dv, nb, ir_steps, d, interpret, hold_orig=hold
     )
     return (
         jnp.transpose(x_t, (1, 0))[:B],

@@ -692,11 +692,23 @@ def pallas_solve_rbt_batched(
 
         # The one-launch fused kernel (butterfly + factor + substitution
         # + refinement, all VMEM-resident) where the shape fits —
-        # measured 1.78 vs 3.29 ms for the phase path at B=N=256.
+        # measured 1.78 vs 3.29 ms for the phase path at B=N=256, and
+        # it wins even at half-full lane tiles (785 vs 759 GF/s at
+        # B=64 N=256).  The STREAMED-residual variant extends it to
+        # N=384, where the N³ lane-padded VPU work only pays at high
+        # lane utilization: 1858 vs 1162 GF/s at B=128 N=384, but 644
+        # vs 867 at B=64 (half the lanes are filler) — so it routes
+        # only when the padded tiles are ≥ 3/4 full.
+        lanes_util_ok = (
+            B % _sfk.LANES == 0 or B % _sfk.LANES >= 96
+        )
         engine = (
             "fused"
             if vector_input and b3.shape[-1] == 1
-            and _sfk.supported(N, nb)
+            and (
+                _sfk.supported(N, nb)
+                or (_sfk.supported_streamed(N, nb) and lanes_util_ok)
+            )
             else "kernel"
         )
 

@@ -100,3 +100,30 @@ class TestSolveFusedKernel:
             np.einsum("bij,bjk->bik", a.astype(np.float64), xm) - bm
         ))
         assert r < 1e-3, r
+
+    def test_streamed_residual_variant_matches(self):
+        """The streamed-residual variant (refinement re-reads A from
+        HBM in column chunks instead of a VMEM copy) must match the
+        two-copy variant's accuracy."""
+        a, b = _batch(6, 64, seed=17)
+        xh, bh = solve_fused_rbt(
+            jnp.asarray(a), jnp.asarray(b), interpret=True
+        )
+        xs, bs = solve_fused_rbt(
+            jnp.asarray(a), jnp.asarray(b), interpret=True,
+            force_stream=True,
+        )
+        rh = _resid(a, b, xh)
+        rs = _resid(a, b, xs)
+        assert rh.max() < 1e-5 and rs.max() < 1e-5, (rh, rs)
+        assert not np.asarray(bh).any() and not np.asarray(bs).any()
+
+    def test_supported_streamed_bounds(self):
+        from linalg_solver_tpu.ops.pallas.solve_fused_kernel import (
+            supported_streamed,
+        )
+
+        assert supported_streamed(384)
+        assert supported_streamed(352)
+        assert not supported_streamed(448)  # failed remote compile
+        assert not supported_streamed(100)  # 32-chunk divisibility
