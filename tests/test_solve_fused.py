@@ -127,3 +127,18 @@ class TestSolveFusedKernel:
         assert supported_streamed(352)
         assert not supported_streamed(448)  # failed remote compile
         assert not supported_streamed(100)  # 32-chunk divisibility
+
+    def test_nan_lane_does_not_poison_batch(self):
+        """A lane containing NaN must flag (NaN-proof gate) and must
+        not corrupt other lanes through the compacted rescue."""
+        from linalg_solver_tpu.ops import rbt
+
+        a, b = _batch(5, 64, seed=23)
+        a[3, 10, 11] = np.nan
+        x = np.asarray(rbt.pallas_solve_rbt_batched(
+            jnp.asarray(a), jnp.asarray(b), nb=32, interpret=True
+        ), np.float64)
+        r = _resid(a, b, x)
+        keep = np.array([0, 1, 2, 4])
+        assert r[keep].max() < 1e-5, r
+        assert not np.isfinite(r[3])  # honest non-finite, not garbage
