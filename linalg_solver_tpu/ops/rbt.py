@@ -722,9 +722,14 @@ def pallas_solve_rbt_batched(
                 "engine='kernel' (or the default engine='auto', which "
                 "routes matrix RHS to the phase engine)."
             )
+        # The fused kernel's phase width optimum differs from the
+        # phase engine's: smaller phases shrink the constant masked
+        # trailing block (chip sweep at B=N=256: nb=16 1.46-1.69 ms,
+        # nb=32 1.76-1.80, nb=64 1.97-2.05; nb=8 ties 16).
+        nbf = 16 if N % 16 == 0 else nb
         b2 = b3[:, :, 0]
         x2, bad = _sfk.solve_fused_rbt(
-            a32, b2, keys=(17, 29), nb=nb, ir_steps=ir_steps,
+            a32, b2, keys=(17, 29), nb=nbf, ir_steps=ir_steps,
             depth=d, interpret=interpret,
         )
         if not fallback:
@@ -732,7 +737,7 @@ def pallas_solve_rbt_batched(
 
         def _core2(a_s, b_s):
             return _sfk.solve_fused_rbt(
-                a_s, b_s, keys=(101, 103), nb=nb, ir_steps=ir_steps,
+                a_s, b_s, keys=(101, 103), nb=nbf, ir_steps=ir_steps,
                 depth=d, interpret=interpret,
             )
 
