@@ -109,8 +109,10 @@ def main() -> None:
     # take the best of 5 slope measurements instead of 3.
     from linalg_solver_tpu.utils.benchmarking import device_slope_time
 
+    # Same repeats for BOTH sides of the ratio (min-estimator bias
+    # under ±25% chip variance — ADVICE r4).
     t_inv = device_slope_time(inv_ours, ai, i1=5, i2=25, repeats=5)
-    t_inv_base = _time_fn(inv_base, ai)
+    t_inv_base = device_slope_time(inv_base, ai, i1=5, i2=25, repeats=5)
 
     gflops = flops / t_ours / 1e9
     gflops_base = flops / t_base / 1e9

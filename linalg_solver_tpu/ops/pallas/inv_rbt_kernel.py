@@ -289,9 +289,12 @@ def _inv_rbt_kernel(a_hbm, du0, du1, dv0, dv1, eu0, eu1, ev0, ev1, vr,
 def supported(n: int) -> bool:
     """work [n,2n,BT] + acopy/stash [n,n,BT] f32 within the VMEM
     budget (~34 MB at n=128 against the measured ~120 MB ceiling),
-    with even butterfly segments."""
+    with even butterfly segments.  Capped at the MEASURED reach
+    n=180 (round-4 chip probe) — the raw VMEM budget would admit up
+    to n=200, but those sizes are unverified and ops.rbt's phase path
+    wins at every measured size above 180 (ADVICE r4)."""
     return (
-        n >= 4 and n % 4 == 0
+        n >= 4 and n % 4 == 0 and n <= 180
         and 4 * n * n * BT * 4 <= 80 * 2**20
     )
 
@@ -346,6 +349,7 @@ def _diags_lanes(key, n: int, depth: int, dtype):
     jax.jit,
     static_argnames=(
         "ns_steps", "depth", "interpret", "fallback", "gate_mode",
+        "return_flags",
     ),
 )
 def inverse_rbt_fused_batched(
@@ -355,6 +359,7 @@ def inverse_rbt_fused_batched(
     interpret: bool = False,
     fallback: bool = True,
     gate_mode: str = "probe",
+    return_flags: bool = False,
 ) -> jax.Array:
     """Batched small-N inverse via the fused RBT no-pivot GJ kernel.
 
@@ -369,7 +374,13 @@ def inverse_rbt_fused_batched(
     ``ns_steps`` optional Newton–Schulz polish rounds against the
     ORIGINAL matrix (2 GEMMs each) — gated OUTSIDE on the full f32
     residual; ``gate_mode="full"`` likewise gates on ``max|I − AX|``
-    (strictest) with an outside pivoted rescue under ``lax.cond``."""
+    (strictest) with an outside pivoted rescue under ``lax.cond``.
+
+    ``return_flags=True`` also returns the FINAL per-lane ``bad [B]``
+    bool flags: lanes that failed every rescue level (truly singular
+    input) come back as finite garbage values, and these flags are the
+    only signal — the kernel materializes them either way (ADVICE
+    r4)."""
     B, n, _ = a.shape
     f32 = jnp.result_type(a.dtype, jnp.float32)
     a32 = a.astype(f32)
@@ -400,7 +411,10 @@ def inverse_rbt_fused_batched(
     )
     x = jnp.transpose(out, (2, 0, 1))[:B]
     if hot:
-        return x.astype(a.dtype) if a.dtype != f32 else x
+        x = x.astype(a.dtype) if a.dtype != f32 else x
+        if return_flags:
+            return x, bad_k[0, :B].astype(bool)
+        return x
 
     bad = bad_k[0, :B].astype(bool)
     eye = jnp.eye(n, dtype=f32)
@@ -411,7 +425,8 @@ def inverse_rbt_fused_batched(
             x = x + jnp.einsum("bij,bjk->bik", x, r, precision=hp)
 
     if not fallback:
-        return x.astype(a.dtype) if a.dtype != f32 else x
+        x = x.astype(a.dtype) if a.dtype != f32 else x
+        return (x, bad) if return_flags else x
 
     # Polish rounds / gate_mode="full": gate on the f32-HIGHEST full
     # residual (strictest; the kernel's zero-pivot/probe flags OR in).
@@ -427,4 +442,5 @@ def inverse_rbt_fused_batched(
         return jnp.where(bad[:, None, None], yp, xx)
 
     x = jax.lax.cond(jnp.any(bad), _rescue_x, lambda xx: xx, x)
-    return x.astype(a.dtype) if a.dtype != f32 else x
+    x = x.astype(a.dtype) if a.dtype != f32 else x
+    return (x, bad) if return_flags else x

@@ -668,11 +668,19 @@ def pallas_solve_rbt_batched(
         pref = (32, 64, 48, 16, 8) if N <= 384 else (64, 48, 32, 16, 8)
         nb = next((w for w in pref if N % w == 0), None)
         if nb is None:
-            raise ValueError(
-                f"pallas_solve_rbt_batched needs N divisible by a "
-                f"panel width in {pref}; got N={N} — pad the batch "
-                f"or use ops.dispatch with backend='auto'."
-            )
+            if N % 2 == 0:
+                # No preferred panel width divides N (e.g. N=100):
+                # single-panel fallback — one no-pivot kernel call over
+                # the whole matrix.  Compiles fine at the small N where
+                # such sizes occur; the tuned widths above exist only
+                # because multi-phase shrinking wins when available.
+                nb = N
+            else:
+                raise ValueError(
+                    f"pallas_solve_rbt_batched needs even N (butterfly "
+                    f"segments); got N={N} — pad the batch or use "
+                    f"ops.dispatch with backend='auto'."
+                )
     nb = min(nb, N)
     assert N % nb == 0, f"N={N} must be divisible by nb={nb}"
     if fallback is True:

@@ -51,35 +51,43 @@ def pcformat(fstr: str, *vals) -> str:
     return fstr % tuple(cformat(v) for v in vals)
 
 
+#: infix glyph per supported operator
+_ARITH_GLYPH = {"+": "+", "-": "-", "*": r" \cdot "}
+
+
 def pretty_print_arithmetic(a: Any, op: str, b: Any) -> str:
-    """Render a binary arithmetic expression with sign-aware simplification."""
-    if op == "+":
-        if b == 0:
-            return cformat(a)
-        if a == 0:
-            return cformat(b)
-        if b < 0:
-            b = -b
-        return pcformat(r"%s+%s", a, b)
-    if op == "-":
-        if b == 0:
-            return cformat(a)
-        if a == 0:
-            return cformat(-b)
-        if b < 0:
-            b = -b
-        return pcformat(r"%s-%s", a, b)
+    """Render a binary arithmetic expression with sign-aware simplification.
+
+    Three rewrites before the generic infix render, byte-compatible with
+    the reference's output (reference ``linalg_solver/fmt.py:32-59``):
+    identity/annihilator absorption (``x±0``, ``0+x``, ``1·x``, ``0·x``),
+    then a negative right operand is replaced by its magnitude — for
+    ``*`` the sign migrates onto the left factor, for ``+``/``-`` it is
+    simply dropped (callers feed magnitudes with a separately chosen
+    operator), then ``cformat(a) ⟨glyph⟩ cformat(b)``."""
+    glyph = _ARITH_GLYPH.get(op)
+    if glyph is None:
+        raise ValueError(f"Unsupported operator: {op!r}")
+
     if op == "*":
+        # annihilator, then unit factors (left before right).
         if a == 0 or b == 0:
             return cformat(0)
-        if a == 1:
-            return cformat(b)
-        if b == 1:
+        for unit, other in ((a, b), (b, a)):
+            if unit == 1:
+                return cformat(other)
+    else:
+        # additive absorption; "0 - b" folds the operator into b.
+        if b == 0:
             return cformat(a)
-        if b < 0:
-            a, b = -a, -b
-        return pcformat(r"%s \cdot %s", a, b)
-    raise ValueError(f"Unsupported operator: {op!r}")
+        if a == 0:
+            return cformat(b if op == "+" else -b)
+
+    if b < 0:
+        b = -b
+        if op == "*":
+            a = -a
+    return cformat(a) + glyph + cformat(b)
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,8 @@
 """Models, mesh/sharding, trace replay, and driver entry point tests —
 the multichip path runs on the 8 virtual CPU devices from conftest."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -210,11 +212,14 @@ class TestTraceReplay:
         assert r"\StepSim" in text or r"\sim" in text
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
 class TestGraftEntry:
     def test_entry_compiles(self):
         import sys
 
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, _REPO_ROOT)
         import __graft_entry__ as ge
 
         fn, args = ge.entry()
@@ -229,7 +234,7 @@ class TestGraftEntry:
     def test_dryrun_multichip(self, capsys):
         import sys
 
-        sys.path.insert(0, "/root/repo")
+        sys.path.insert(0, _REPO_ROOT)
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
@@ -247,14 +252,14 @@ class TestGraftEntry:
             "import jax;"
             "jax.config.update('jax_platforms', 'cpu');"
             "jax.config.update('jax_num_cpu_devices', 16);"
-            "import sys; sys.path.insert(0, '/root/repo');"
+            f"import sys; sys.path.insert(0, {_REPO_ROOT!r});"
             "import __graft_entry__ as ge;"
             "ge.dryrun_multichip(16)"
         )
         out = subprocess.run(
             [sys.executable, "-c", code],
             capture_output=True, text=True, timeout=900,
-            cwd="/root/repo",
+            cwd=_REPO_ROOT,
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert "dryrun_multichip OK" in out.stdout
