@@ -17,10 +17,11 @@ N-device mesh.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -28,20 +29,108 @@ from ..ops.lu import lu_factor_batched, lu_solve_batched, det_lu_batched
 from ..ops.solve import inverse_batched, rank_batched, solve_batched
 
 
+# ---------------------------------------------------------------------------
+# Batch-sharded execution (SURVEY §2.3: "data parallelism over matrix
+# batches: vmapped/SHARDED Pallas kernels").  A ``pallas_call`` cannot be
+# auto-partitioned through ``jit``, so the mesh form is explicit: the
+# batch axis is sharded over the mesh with ``shard_map`` and EACH DEVICE
+# runs the full dispatch stack — fused RBT kernel included — on its local
+# shard.  The solve itself moves ZERO collective bytes (every lane is an
+# independent system); collectives appear only in callers that reduce
+# metrics (``solve_checked``'s residuals stay per-lane too).  Proven in
+# ``__graft_entry__.dryrun_multichip`` (CommMeter + compiled-HLO
+# collective scan) and ``tests/test_models_parallel.py``.
+# ---------------------------------------------------------------------------
+
+
+def batch_shard_axes(mesh: Mesh, batch: int) -> Tuple[str, ...]:
+    """Longest prefix of ``mesh.axis_names`` whose device product divides
+    ``batch`` — all axes when possible, so a pure-batch workload uses
+    every chip of a (dp, tp) mesh rather than replicating over tp."""
+    names = tuple(mesh.axis_names)
+    sizes = tuple(int(s) for s in mesh.devices.shape)
+    for k in range(len(names), 0, -1):
+        prod = int(np.prod(sizes[:k]))
+        if batch % prod == 0:
+            return names[:k]
+    raise ValueError(
+        f"batch {batch} not divisible by any mesh-axis prefix of "
+        f"{dict(zip(names, sizes))} — pad the batch to a multiple of "
+        f"{sizes[0]} (axis {names[0]!r})"
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axes", "backend", "op")
+)
+def _sharded_batch_op(mesh, axes, backend, op, a, b=None):
+    """shard_map the dispatch entry ``op`` over the batch axis."""
+    from ..ops import dispatch
+
+    fns = {
+        "solve": dispatch.solve_batched,
+        "inverse": dispatch.inverse_batched,
+        "det": dispatch.det_batched,
+        "rank": dispatch.rank_batched,
+    }
+    fn = functools.partial(fns[op], backend=backend)
+    mat = P(axes, None, None)
+    out_specs = {
+        "solve": P(axes, None, None) if (b is not None and b.ndim == 3)
+        else P(axes, None),
+        "inverse": mat,
+        "det": P(axes),
+        "rank": P(axes),
+    }[op]
+    if b is None:
+        f = shard_map(
+            fn, mesh=mesh, in_specs=(mat,), out_specs=out_specs,
+            check_vma=False,
+        )
+        return f(a)
+    b_spec = mat if b.ndim == 3 else P(axes, None)
+    f = shard_map(
+        fn, mesh=mesh, in_specs=(mat, b_spec), out_specs=out_specs,
+        check_vma=False,
+    )
+    return f(a, b)
+
+
 class BatchedSolver:
-    """High-level batched dense solver over a (optional) device mesh."""
+    """High-level batched dense solver over a (optional) device mesh.
+
+    With a mesh, ``solve``/``inverse``/``det``/``rank`` run batch-sharded
+    under ``shard_map`` (zero collectives — see the section comment
+    above); ``factor``/``affine_solve``/``lstsq``/``svd`` and the rest
+    run unsharded on the default device placement."""
 
     def __init__(self, mesh: Optional[Mesh] = None, backend: str = "auto"):
         self.mesh = mesh
         self.backend = backend
 
+    def _run(self, op: str, a: jax.Array, b: Optional[jax.Array] = None):
+        from ..ops import dispatch
+
+        if self.mesh is not None:
+            axes = batch_shard_axes(self.mesh, a.shape[0])
+            return _sharded_batch_op(
+                self.mesh, axes, self.backend, op, a, b
+            )
+        fns = {
+            "solve": dispatch.solve_batched,
+            "inverse": dispatch.inverse_batched,
+            "det": dispatch.det_batched,
+            "rank": dispatch.rank_batched,
+        }
+        args = (a,) if b is None else (a, b)
+        return fns[op](*args, backend=self.backend)
+
     # Dispatch points: the Pallas kernels register themselves as the
     # "pallas" backend; "loop" is the XLA fori_loop reference path.
     def solve(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        """Unique solutions of a batch of square systems: ``[B,N,N],[B,N]``."""
-        from ..ops import dispatch
-
-        return dispatch.solve_batched(a, b, backend=self.backend)
+        """Unique solutions of a batch of square systems: ``[B,N,N],[B,N]``;
+        batch-sharded over the mesh when one was given."""
+        return self._run("solve", a, b)
 
     def factor(self, a: jax.Array):
         from ..ops import dispatch
@@ -49,19 +138,13 @@ class BatchedSolver:
         return dispatch.lu_factor_batched(a, backend=self.backend)
 
     def inverse(self, a: jax.Array):
-        from ..ops import dispatch
-
-        return dispatch.inverse_batched(a, backend=self.backend)
+        return self._run("inverse", a)
 
     def det(self, a: jax.Array) -> jax.Array:
-        from ..ops import dispatch
-
-        return dispatch.det_batched(a, backend=self.backend)
+        return self._run("det", a)
 
     def rank(self, a: jax.Array) -> jax.Array:
-        from ..ops import dispatch
-
-        return dispatch.rank_batched(a, backend=self.backend)
+        return self._run("rank", a)
 
     def affine_solve(self, a: jax.Array, b: jax.Array):
         """General (possibly singular/rectangular) solve with affine

@@ -173,7 +173,9 @@ class LargeRBT(NamedTuple):
     ok: jax.Array      # [B] all diagonal-block inverses finite
 
 
-def _rbt_block_factor(a_p: jax.Array, nb: int) -> LargeRBT:
+def _rbt_block_factor(
+    a_p: jax.Array, nb: int, diag_engine: str = "recursive"
+) -> LargeRBT:
     B, N, _ = a_p.shape
     phases = N // nb
     A = a_p
@@ -181,15 +183,30 @@ def _rbt_block_factor(a_p: jax.Array, nb: int) -> LargeRBT:
     ok = jnp.ones((B,), bool)
     for k in range(phases):
         D = A[:, :nb, :nb]
-        # XLA's pivoted inverse for the nb×nb diagonal blocks.  The
-        # fused Pallas inverse kernel is 17× faster STANDALONE (0.27 vs
-        # ~0.5 ms... per call it is comparable) but interleaving a
-        # pallas_call into this big XLA program measured ~5 ms of extra
-        # materialization per call on this runtime (85 vs 9.6 ms for
-        # the whole factor) — the custom-call boundary breaks fusion
-        # around the [B, M, M] trailing dataflow.  A singular block
-        # yields non-finite entries that the e2e gate flags.
-        Dinv = jnp.linalg.inv(D)
+        # Diagonal-block inverses.  After RBT preconditioning every
+        # leading principal minor of A' is nonsingular w.p. 1 — and that
+        # covers the Schur-complement diagonal blocks D_k (each is a
+        # trailing Schur complement of a leading minor), so they can be
+        # inverted UNPIVOTED.  ``diag_engine="recursive"`` (default,
+        # round 5) uses the log-depth GEMM Schur recursion
+        # (``ops.lu_recursive``): pure MXU work, no getrf column loops,
+        # no pivot gathers — the round-4 micro-profile showed the
+        # pivoted ``jnp.linalg.inv`` blocks cost 9.6 of 15.3 ms at B=8
+        # N=2048.  ``"pivoted"`` keeps XLA's getrf inverse (the old
+        # path, still the RESCUE via large_solve_mixed).  The fused
+        # Pallas inverse kernel is NOT used here: interleaving a
+        # pallas_call into this big XLA program costs ~5 ms/call of
+        # materialization (85 vs 9.6 ms for the whole factor) — the
+        # custom-call boundary breaks fusion around the [B, M, M]
+        # trailing dataflow.  A singular/zero-pivot block flags the
+        # lane for the e2e gate.
+        if diag_engine == "recursive":
+            from .lu_recursive import inverse_nopivot_recursive
+
+            Dinv, dok = inverse_nopivot_recursive(D, leaf=16)
+            ok = ok & dok
+        else:
+            Dinv = jnp.linalg.inv(D)
         ok = ok & jnp.all(jnp.isfinite(Dinv), axis=(1, 2))
         dinvs.append(Dinv)
         if A.shape[1] > nb:
@@ -233,7 +250,9 @@ def _rbt_block_solve(fac: LargeRBT, b: jax.Array, nb: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nb", "ir_steps", "depth", "fallback", "interpret"),
+    static_argnames=(
+        "nb", "ir_steps", "depth", "fallback", "interpret", "diag_engine",
+    ),
 )
 @f32_matmuls
 def large_solve_rbt(
@@ -244,6 +263,7 @@ def large_solve_rbt(
     depth: int = 2,
     fallback: bool = True,
     interpret: bool = False,
+    diag_engine: str = "recursive",
 ) -> jax.Array:
     """Large-N batched solve via RBT block elimination (see the module
     section comment).  Per-lane gated like ``ops.rbt``: refinement
@@ -268,7 +288,7 @@ def large_solve_rbt(
         a32, diags_u, diags_v, trans=True, interpret=interpret
     )
     b_p = butterfly_apply(b32[:, :, None], diags_u, trans=True)[..., 0]
-    fac = _rbt_block_factor(a_p, nb)
+    fac = _rbt_block_factor(a_p, nb, diag_engine=diag_engine)
     y = _rbt_block_solve(fac, b_p, nb)
     x = butterfly_apply(y[:, :, None], diags_v, trans=False)[..., 0]
 

@@ -53,6 +53,113 @@ class TestMesh:
         )
 
 
+class TestBatchShardedSolve:
+    """The flagship batch path's multi-chip form (VERDICT r4 item 1):
+    dp-sharded shard_map execution with ZERO collective traffic."""
+
+    def _batch(self, B=16, N=64, seed=0):
+        ka, kb = jax.random.split(jax.random.PRNGKey(seed))
+        a = jax.random.normal(ka, (B, N, N), jnp.float32) + (
+            4.0 * N**0.5
+        ) * jnp.eye(N, dtype=jnp.float32)
+        b = jax.random.normal(kb, (B, N), jnp.float32)
+        return a, b
+
+    def test_axes_fold_and_errors(self):
+        from linalg_solver_tpu.models.solver import batch_shard_axes
+
+        mesh = make_mesh(dp=4, tp=2)
+        assert batch_shard_axes(mesh, 16) == ("dp", "tp")
+        assert batch_shard_axes(mesh, 4) == ("dp",)   # tp doesn't divide
+        with pytest.raises(ValueError):
+            batch_shard_axes(mesh, 6)                 # nothing divides
+
+    def test_sharded_solve_matches_and_zero_collectives(self):
+        from linalg_solver_tpu.models import solver as solver_mod
+        from linalg_solver_tpu.parallel import comm
+
+        mesh = make_mesh(dp=4, tp=2)
+        a, b = self._batch()
+        a_sh, b_sh = shard_batch(a, mesh), shard_batch(b, mesh)
+        with comm.CommMeter() as meter:
+            x = BatchedSolver(mesh=mesh).solve(a_sh, b_sh)
+            jax.block_until_ready(x)
+        assert dict(meter.calls) == {}, meter.as_dict()
+        x_ref = BatchedSolver().solve(a, b)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(x_ref), atol=1e-5
+        )
+        # solution actually solves the systems (f64 host check)
+        r = np.linalg.norm(
+            np.einsum(
+                "bij,bj->bi", np.asarray(a, np.float64),
+                np.asarray(x, np.float64),
+            ) - np.asarray(b, np.float64), axis=1,
+        ) / np.linalg.norm(np.asarray(b, np.float64), axis=1)
+        assert r.max() < 1e-5, r.max()
+        # output stays batch-sharded over the full mesh
+        assert x.sharding.is_equivalent_to(
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(("dp", "tp"), None)
+            ),
+            x.ndim,
+        )
+
+    def test_compiled_hlo_has_no_collectives(self):
+        from linalg_solver_tpu.models import solver as solver_mod
+
+        mesh = make_mesh(dp=4, tp=2)
+        a, b = self._batch()
+        a_sh, b_sh = shard_batch(a, mesh), shard_batch(b, mesh)
+        hlo = (
+            solver_mod._sharded_batch_op.lower(
+                mesh, ("dp", "tp"), "auto", "solve", a_sh, b_sh
+            )
+            .compile()
+            .as_text()
+        )
+        for tok in (
+            "all-reduce", "all-gather", "collective-permute",
+            "reduce-scatter", "all-to-all",
+        ):
+            assert tok not in hlo, tok
+
+    def test_sharded_rbt_fused_backend_bitwise(self):
+        """The headline fused-RBT backend under shard_map: lanes are
+        independent, so sharding must not change a single bit."""
+        from linalg_solver_tpu.ops import dispatch
+
+        mesh = make_mesh(dp=4, tp=2)
+        a, b = self._batch(seed=7)
+        a_sh, b_sh = shard_batch(a, mesh), shard_batch(b, mesh)
+        x = BatchedSolver(mesh=mesh, backend="rbt").solve(a_sh, b_sh)
+        x_ref = dispatch.solve_batched(a, b, backend="rbt")
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(x_ref))
+
+    def test_sharded_inverse_det_rank(self):
+        mesh = make_mesh(dp=4, tp=2)
+        # N small enough that det stays in f32 range
+        ka = jax.random.PRNGKey(5)
+        a = jax.random.normal(ka, (16, 8, 8), jnp.float32) + 3.0 * jnp.eye(
+            8, dtype=jnp.float32
+        )
+        a_sh = shard_batch(a, mesh)
+        sv = BatchedSolver(mesh=mesh)
+        inv = sv.inverse(a_sh)
+        err = jnp.max(
+            jnp.abs(
+                jnp.einsum("bij,bjk->bik", a, inv)
+                - jnp.eye(8, dtype=jnp.float32)
+            )
+        )
+        assert float(err) < 1e-4, float(err)
+        np.testing.assert_allclose(
+            np.asarray(sv.det(a_sh)), np.asarray(jnp.linalg.det(a)),
+            rtol=1e-4,
+        )
+        assert np.all(np.asarray(sv.rank(a_sh)) == 8)
+
+
 class TestBatchedSolver:
     def test_solve_and_inverse(self):
         solver = BatchedSolver()
