@@ -235,13 +235,17 @@ def _solve_impl(a: jax.Array, b: jax.Array, backend: str = "auto"):
         n = a.shape[-1]
         if n >= _XLA_CROSSOVER_N and n % 128 == 0:
             # Large-N regime: RBT block elimination — no pivot gathers,
-            # no getrf column loops, diagonal-block inverses + GEMMs
-            # only, per-lane gated with a pivoted large_solve_mixed
-            # rescue (round-4 chip A/B: 3007 vs mixed's 1621 GF/s at
-            # B=8 N=2048; 1227 vs 721 at B=16 N=1024; resid 1.2e-7).
+            # no getrf column loops, UNPIVOTED recursive diagonal-block
+            # inverses (pure GEMM work) + MXU trailing GEMMs, per-lane
+            # gated with a pivoted large_solve_mixed rescue.  Round-5
+            # chip A/B (examples/bench_r5_large_diag.py sweep):
+            # B=8 N=2048 4121 GF/s at nb=256 (pivoted-diag 3015,
+            # nb=128 3713, nb=512 3578); B=16 N=1024 3077 GF/s at
+            # nb=128 (pivoted-diag 1181, nb=256 2943); resid 1.2e-7.
             from . import lu_large as _lul
 
-            return _lul.large_solve_rbt(a, b, nb=128, ir_steps=2)
+            nb_l = 256 if n >= 2048 and n % 256 == 0 else 128
+            return _lul.large_solve_rbt(a, b, nb=nb_l, ir_steps=2)
         nb = next(
             (w for w in (64, 48, 32, 16, 8) if n % w == 0), None
         )

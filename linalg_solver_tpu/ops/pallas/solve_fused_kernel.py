@@ -48,6 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 _SQRT_HALF = 0.7071067811865476
 
+#: max matrix-RHS columns the fused kernel stacks as vector slabs
+MAX_K_RHS = 8
+
 #: VMEM budget for work + orig (bytes); headroom below the measured
 #: ~120 MB ceiling for vectors/diags/DMA buffers.
 _VMEM_BUDGET = 110 * 2**20
@@ -63,15 +66,19 @@ _STREAM_CK = 32
 _VMEM_BUDGET_STREAM = 100 * 2**20
 
 
-def supported(n: int, nb: int = 32) -> bool:
-    """work + pristine-copy f32 tiles fit VMEM; phases and butterfly
-    segments line up (depth-2 needs n % 4 == 0; handled by depth
-    shrink for n % 4 == 2)."""
+def supported(n: int, nb: int = 32, k_rhs: int = 1) -> bool:
+    """work + pristine-copy f32 tiles (+ 4 [k·n, 128] vector scratches
+    for matrix RHS) fit VMEM; phases and butterfly segments line up
+    (depth-2 needs n % 4 == 0; handled by depth shrink for
+    n % 4 == 2).  ``k_rhs`` ≤ ``MAX_K_RHS`` RHS columns share one
+    factorization (VERDICT r4 item 5a)."""
+    vec_bytes = 6 * k_rhs * n * LANES * 4   # yv/rv/xv/bo + b in + x out
     return (
-        n >= 2 * nb
+        1 <= k_rhs <= MAX_K_RHS
+        and n >= 2 * nb
         and n % nb == 0
         and n % 2 == 0
-        and 2 * n * n * LANES * 4 <= _VMEM_BUDGET
+        and 2 * n * n * LANES * 4 + vec_bytes <= _VMEM_BUDGET
     )
 
 
@@ -140,8 +147,10 @@ def _bf_mat_cols(ref, diags, n, depth, trans):
             ref[g + h:g + seg, :, :] = nb_ * _SQRT_HALF
 
 
-def _bf_vec(ref, diags, n, depth, trans):
-    """Mix a [n, lanes] vector along axis 0."""
+def _bf_vec(ref, diags, n, depth, trans, off: int = 0):
+    """Mix a [n, lanes] vector along axis 0 — the slab starting at
+    static row ``off`` of ``ref`` (matrix-RHS kernels stack k RHS
+    columns as k row slabs of one [k·n, lanes] scratch)."""
     levels = list(range(depth))
     if not trans:
         levels = levels[::-1]
@@ -149,8 +158,8 @@ def _bf_vec(ref, diags, n, depth, trans):
         seg = n >> lvl
         h = seg // 2
         for g in range(0, n, seg):
-            top = ref[g:g + h, :]
-            bot = ref[g + h:g + seg, :]
+            top = ref[off + g:off + g + h, :]
+            bot = ref[off + g + h:off + g + seg, :]
             r0 = diags[lvl][g:g + h, :]
             r1 = diags[lvl][g + h:g + seg, :]
             if trans:
@@ -159,22 +168,28 @@ def _bf_vec(ref, diags, n, depth, trans):
             else:
                 nt = r0 * top + r1 * bot
                 nb_ = r0 * top - r1 * bot
-            ref[g:g + h, :] = nt * _SQRT_HALF
-            ref[g + h:g + seg, :] = nb_ * _SQRT_HALF
+            ref[off + g:off + g + h, :] = nt * _SQRT_HALF
+            ref[off + g + h:off + g + seg, :] = nb_ * _SQRT_HALF
 
 
 def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
                   work, aux, yv, rv, xv, bo, ipiv, sems, *,
                   n: int, bt: int, nb: int, depth: int, ir_steps: int,
-                  hold_orig: bool = True):
+                  hold_orig: bool = True, unroll: int = 1,
+                  k_rhs: int = 1):
     """``aux`` is the pristine copy of A when ``hold_orig`` (two-copy
     variant, N ≤ 320) or a ``[_STREAM_CK, n, bt]`` chunk buffer when
     not (streamed-residual variant, N ≤ 448: refinement residuals
-    re-read A from HBM in column chunks)."""
+    re-read A from HBM in column chunks).  ``k_rhs`` RHS columns are
+    stacked as k row slabs of the [k·n, bt] vector scratches — the
+    factorization is shared, substitution/refinement loop the slabs
+    (VERDICT r4 item 5a; k=1 lowers to the identical round-4
+    program)."""
     i = pl.program_id(0)
     dtype = work.dtype
     du = (du0, du1)[:depth]
     dv = (dv0, dv1)[:depth]
+    offs = tuple(kk * n for kk in range(k_rhs))
 
     load = pltpu.make_async_copy(
         a_hbm.at[:, :, pl.ds(i * bt, bt)], work, sems.at[0]
@@ -193,7 +208,8 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
     _bf_mat_rows(work, du, n, depth, trans=True)
     _bf_mat_cols(work, dv, n, depth, trans=True)
     yv[:, :] = bo[:, :]
-    _bf_vec(yv, du, n, depth, trans=True)
+    for off in offs:
+        _bf_vec(yv, du, n, depth, trans=True, off=off)
 
     # ------------------------------------------------------------------
     # Pivot-free LU as rank-1 right-looking sweeps.  The phase loop is
@@ -240,7 +256,22 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
                 )
             return ok
 
-        ok = lax.fori_loop(0, min(nb, n - k0), phase_body, ok)
+        # ``unroll`` amortizes the per-step fori machinery (loop
+        # control, dynamic-slice setup) across several rank-1 steps:
+        # Mosaic's fori_loop supports only unroll=1 or full unroll, so
+        # partial unroll is done manually — a group loop whose body
+        # holds ``unroll`` static sub-steps (program grows ×unroll,
+        # not ×steps).
+        steps = min(nb, n - k0)
+        if unroll > 1 and steps % unroll == 0:
+            def group_body(g, ok, _u=unroll):
+                for j in range(_u):
+                    ok = phase_body(g * _u + j, ok)
+                return ok
+
+            ok = lax.fori_loop(0, steps // unroll, group_body, ok)
+        else:
+            ok = lax.fori_loop(0, steps, phase_body, ok)
 
     # ------------------------------------------------------------------
     # Substitution against the VMEM factors (L unit-lower multipliers
@@ -248,32 +279,50 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
     # ------------------------------------------------------------------
     riota_n = lax.broadcasted_iota(jnp.int32, (n, bt), 0)
 
+    def _grouped(body, count):
+        """fori with manual partial unroll (see the phase loop note)."""
+        if unroll > 1 and count % unroll == 0:
+            def gbody(g, carry, _u=unroll):
+                for j in range(_u):
+                    carry = body(g * _u + j, carry)
+                return carry
+
+            lax.fori_loop(0, count // unroll, gbody, 0)
+        else:
+            lax.fori_loop(0, count, body, 0)
+
     def _forward(vec):
         def body(c, carry):
-            yc = vec[pl.ds(c, 1), :]                          # [1, bt]
             lcol = work[pl.ds(c, 1), :, :][0]                 # [n, bt]
             mask = (riota_n > c).astype(dtype)
-            vec[:, :] = vec[:, :] - (mask * lcol) * yc
+            mcol = mask * lcol
+            for off in offs:
+                yc = vec[pl.ds(off + c, 1), :]                # [1, bt]
+                vec[off:off + n, :] = vec[off:off + n, :] - mcol * yc
             return carry
 
-        lax.fori_loop(0, n, body, 0)
+        _grouped(body, n)
 
     def _backward(vec):
         def body(t, carry):
             c = n - 1 - t
-            xc = vec[pl.ds(c, 1), :] * ipiv[pl.ds(c, 1), :]   # [1, bt]
-            vec[pl.ds(c, 1), :] = xc
+            piv = ipiv[pl.ds(c, 1), :]
             ucol = work[pl.ds(c, 1), :, :][0]
             mask = (riota_n < c).astype(dtype)
-            vec[:, :] = vec[:, :] - (mask * ucol) * xc
+            mcol = mask * ucol
+            for off in offs:
+                xc = vec[pl.ds(off + c, 1), :] * piv          # [1, bt]
+                vec[pl.ds(off + c, 1), :] = xc
+                vec[off:off + n, :] = vec[off:off + n, :] - mcol * xc
             return carry
 
-        lax.fori_loop(0, n, body, 0)
+        _grouped(body, n)
 
     _forward(yv)
     _backward(yv)
     xv[:, :] = yv[:, :]
-    _bf_vec(xv, dv, n, depth, trans=False)                    # x = V y
+    for off in offs:
+        _bf_vec(xv, dv, n, depth, trans=False, off=off)       # x = V y
 
     # ------------------------------------------------------------------
     # Iterative refinement vs the ORIGINAL system, f32 throughout
@@ -281,11 +330,14 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
     # ------------------------------------------------------------------
     def _residual():
         """rv := bo − A·xv against the ORIGINAL A — from the VMEM copy
-        (hold_orig) or streamed from HBM in column chunks."""
+        (hold_orig) or streamed from HBM in column chunks (each chunk
+        is DMA'd ONCE and reused across the k RHS slabs)."""
         if hold_orig:
-            rv[:, :] = bo[:, :] - jnp.sum(
-                aux[:, :, :] * xv[:, :][:, None, :], axis=0
-            )
+            for off in offs:
+                rv[off:off + n, :] = bo[off:off + n, :] - jnp.sum(
+                    aux[:, :, :]
+                    * xv[off:off + n, :][:, None, :], axis=0
+                )
         else:
             rv[:, :] = bo[:, :]
             for c0 in range(0, n, _STREAM_CK):
@@ -297,11 +349,12 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
                 )
                 dma.start()
                 dma.wait()
-                rv[:, :] = rv[:, :] - jnp.sum(
-                    aux[:, :, :]
-                    * xv[c0:c0 + _STREAM_CK, :][:, None, :],
-                    axis=0,
-                )
+                for off in offs:
+                    rv[off:off + n, :] = rv[off:off + n, :] - jnp.sum(
+                        aux[:, :, :]
+                        * xv[off + c0:off + c0 + _STREAM_CK, :][:, None, :],
+                        axis=0,
+                    )
 
     rmax = zcmax = xmax = jnp.zeros((bt,), dtype)
     for step in range(ir_steps):
@@ -309,10 +362,12 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
         if step == ir_steps - 1:
             rmax = jnp.max(jnp.abs(rv[:, :]), axis=0)
             xmax = jnp.max(jnp.abs(xv[:, :]), axis=0)
-        _bf_vec(rv, du, n, depth, trans=True)
+        for off in offs:
+            _bf_vec(rv, du, n, depth, trans=True, off=off)
         _forward(rv)
         _backward(rv)
-        _bf_vec(rv, dv, n, depth, trans=False)
+        for off in offs:
+            _bf_vec(rv, dv, n, depth, trans=False, off=off)
         if step == ir_steps - 1:
             zcmax = jnp.max(jnp.abs(rv[:, :]), axis=0)
         xv[:, :] = xv[:, :] + rv[:, :]
@@ -343,44 +398,47 @@ def _fused_kernel(a_hbm, b_ref, du0, du1, dv0, dv1, x_ref, bad_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("nb", "ir_steps", "depth", "interpret",
-                     "hold_orig"),
+                     "hold_orig", "unroll", "k_rhs"),
 )
 def _fused_call(a_t, b_t, du, dv, nb: int, ir_steps: int, depth: int,
-                interpret: bool, hold_orig: bool = True):
+                interpret: bool, hold_orig: bool = True,
+                unroll: int = 1, k_rhs: int = 1):
     n, _, Bp = a_t.shape
     bt = LANES
+    kn = k_rhs * n
     aux_shape = (n, n, bt) if hold_orig else (_STREAM_CK, n, bt)
     kernel = functools.partial(
         _fused_kernel, n=n, bt=bt, nb=nb, depth=depth,
-        ir_steps=ir_steps, hold_orig=hold_orig,
+        ir_steps=ir_steps, hold_orig=hold_orig, unroll=unroll,
+        k_rhs=k_rhs,
     )
     x_t, bad = pl.pallas_call(
         kernel,
         grid=(Bp // bt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [
-            pl.BlockSpec((n, bt), lambda i: (0, i),
+            pl.BlockSpec((kn, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
         ] + [
             pl.BlockSpec((n, bt), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
         ] * 4,
         out_specs=[
-            pl.BlockSpec((n, bt), lambda i: (0, i),
+            pl.BlockSpec((kn, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, Bp), a_t.dtype),
+            jax.ShapeDtypeStruct((kn, Bp), a_t.dtype),
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, n, bt), a_t.dtype),   # work (factors)
             pltpu.VMEM(aux_shape, a_t.dtype),    # pristine A / chunk buf
-            pltpu.VMEM((n, bt), a_t.dtype),      # yv
-            pltpu.VMEM((n, bt), a_t.dtype),      # rv
-            pltpu.VMEM((n, bt), a_t.dtype),      # xv
-            pltpu.VMEM((n, bt), a_t.dtype),      # bo
+            pltpu.VMEM((kn, bt), a_t.dtype),     # yv (k slabs)
+            pltpu.VMEM((kn, bt), a_t.dtype),     # rv
+            pltpu.VMEM((kn, bt), a_t.dtype),     # xv
+            pltpu.VMEM((kn, bt), a_t.dtype),     # bo
             pltpu.VMEM((n, bt), a_t.dtype),      # ipiv
             pltpu.SemaphoreType.DMA((1,)),
         ],
@@ -401,7 +459,8 @@ def _diags_lanes(key, n: int, depth: int, dtype):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "nb", "ir_steps", "depth", "interpret", "force_stream"
+        "nb", "ir_steps", "depth", "interpret", "force_stream",
+        "unroll",
     ),
 )
 def solve_fused_rbt(
@@ -413,23 +472,31 @@ def solve_fused_rbt(
     depth: int = 2,
     interpret: bool = False,
     force_stream: bool = False,
+    unroll: int = 1,
 ):
-    """One-launch RBT solve of ``a @ x = b`` (vector RHS).
+    """One-launch RBT solve of ``a @ x = b``.
 
-    Returns ``(x [B, N], bad [B])`` — per-lane failure flags with the
-    same semantics as ``ops.rbt._solve_core(gate=True)``; rescue policy
-    is the caller's (``ops.rbt.pallas_solve_rbt_batched``).  N ≤ 320
-    holds a pristine VMEM copy of A for the refinement residuals;
-    N = 352..448 streams A back from HBM in column chunks instead
-    (``supported_streamed``)."""
+    ``b`` may be a vector RHS ``[B, N]`` or a matrix RHS ``[B, N, k]``
+    with ``k ≤ MAX_K_RHS`` — the k columns ride the SAME factorization
+    as k row slabs of the kernel's vector scratches.  Returns
+    ``(x, bad [B])`` with ``x`` shaped like ``b`` — per-lane failure
+    flags with the same semantics as ``ops.rbt._solve_core(gate=True)``
+    (for matrix RHS the gate statistics max over all columns); rescue
+    policy is the caller's (``ops.rbt.pallas_solve_rbt_batched``).
+    N ≤ 320 holds a pristine VMEM copy of A for the refinement
+    residuals; N = 352..448 streams A back from HBM in column chunks
+    instead (``supported_streamed``)."""
     B, N, _ = a.shape
-    hold = supported(N, nb) and not force_stream
-    assert hold or supported_streamed(N, nb), (
-        f"solve_fused_rbt: N={N} (nb={nb}) exceeds both VMEM variants"
+    matrix_rhs = b.ndim == 3
+    k = b.shape[-1] if matrix_rhs else 1
+    hold = supported(N, nb, k) and not force_stream
+    assert hold or (k == 1 and supported_streamed(N, nb)), (
+        f"solve_fused_rbt: N={N} (nb={nb}, k={k}) exceeds the VMEM "
+        f"variants"
     )
     f32 = jnp.result_type(a.dtype, jnp.float32)
     a32 = a.astype(f32)
-    b32 = b.astype(f32)
+    b32 = (b if matrix_rhs else b[:, :, None]).astype(f32)
 
     d = depth
     while d > 1 and (N >> (d - 1)) % 2:
@@ -442,14 +509,16 @@ def solve_fused_rbt(
         filler = jnp.broadcast_to(jnp.eye(N, dtype=f32), (pad, N, N))
         a32 = jnp.concatenate([a32, filler], axis=0)
         b32 = jnp.concatenate(
-            [b32, jnp.ones((pad, N), f32)], axis=0
+            [b32, jnp.ones((pad, N, k), f32)], axis=0
         )
     a_t = jnp.transpose(a32, (2, 1, 0))    # [col j, row i, batch]
-    b_t = jnp.transpose(b32, (1, 0))       # [row i, batch]
+    # [k·n, batch]: RHS column kk = row slab kk*n .. (kk+1)*n
+    b_t = jnp.transpose(b32, (2, 1, 0)).reshape(k * N, B + pad)
     x_t, bad = _fused_call(
-        a_t, b_t, du, dv, nb, ir_steps, d, interpret, hold_orig=hold
+        a_t, b_t, du, dv, nb, ir_steps, d, interpret, hold_orig=hold,
+        unroll=unroll, k_rhs=k,
     )
-    return (
-        jnp.transpose(x_t, (1, 0))[:B],
-        bad[0, :B].astype(bool),
-    )
+    x = jnp.transpose(x_t.reshape(k, N, B + pad), (2, 1, 0))[:B]
+    if not matrix_rhs:
+        x = x[:, :, 0]
+    return x, bad[0, :B].astype(bool)

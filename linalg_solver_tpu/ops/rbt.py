@@ -695,6 +695,7 @@ def pallas_solve_rbt_batched(
     while (N >> (d - 1)) % 2:
         d -= 1  # shrink depth until segments stay even
 
+    k_rhs = b3.shape[-1]
     if engine == "auto":
         from .pallas import solve_fused_kernel as _sfk
 
@@ -706,16 +707,22 @@ def pallas_solve_rbt_batched(
         # N=384, where the N³ lane-padded VPU work only pays at high
         # lane utilization: 1858 vs 1162 GF/s at B=128 N=384, but 644
         # vs 867 at B=64 (half the lanes are filler) — so it routes
-        # only when the padded tiles are ≥ 3/4 full.
+        # only when the padded tiles are ≥ 3/4 full.  MATRIX RHS with
+        # k ≤ MAX_K_RHS columns rides the same factorization as k
+        # vector slabs (round-5 chip A/B: k=8 N=256 B=256 2.26 ms
+        # fused vs 3.9 ms phase engine).
         lanes_util_ok = (
             B % _sfk.LANES == 0 or B % _sfk.LANES >= 96
         )
         engine = (
             "fused"
-            if vector_input and b3.shape[-1] == 1
-            and (
-                _sfk.supported(N, nb)
-                or (_sfk.supported_streamed(N, nb) and lanes_util_ok)
+            if (
+                _sfk.supported(N, nb, k_rhs)
+                or (
+                    k_rhs == 1
+                    and _sfk.supported_streamed(N, nb)
+                    and lanes_util_ok
+                )
             )
             else "kernel"
         )
@@ -723,36 +730,45 @@ def pallas_solve_rbt_batched(
     if engine == "fused":
         from .pallas import solve_fused_kernel as _sfk
 
-        if b3.shape[-1] != 1:
+        if b3.shape[-1] > _sfk.MAX_K_RHS:
             raise ValueError(
-                "engine='fused' solves a single RHS vector; got "
-                f"matrix RHS with {b3.shape[-1]} columns — use "
-                "engine='kernel' (or the default engine='auto', which "
-                "routes matrix RHS to the phase engine)."
+                f"engine='fused' handles at most {_sfk.MAX_K_RHS} RHS "
+                f"columns; got {b3.shape[-1]} — use engine='kernel' "
+                "(or the default engine='auto', which routes wide "
+                "matrix RHS to the phase engine)."
             )
         # The fused kernel's phase width optimum differs from the
         # phase engine's: smaller phases shrink the constant masked
         # trailing block (chip sweep at B=N=256: nb=16 1.46-1.69 ms,
         # nb=32 1.76-1.80, nb=64 1.97-2.05; nb=8 ties 16).
         nbf = 16 if N % 16 == 0 else nb
-        b2 = b3[:, :, 0]
+        b2 = b3[:, :, 0] if k_rhs == 1 else b3
         x2, bad = _sfk.solve_fused_rbt(
             a32, b2, keys=(17, 29), nb=nbf, ir_steps=ir_steps,
             depth=d, interpret=interpret,
         )
+
+        def _flat(x):
+            return x if k_rhs == 1 else x.reshape(B, N * k_rhs)
+
         if not fallback:
+            if k_rhs == 1:  # kernel returned [B, N]
+                return x2 if vector_input else x2[:, :, None]
             return x2
 
         def _core2(a_s, b_s):
-            return _sfk.solve_fused_rbt(
+            y, bd = _sfk.solve_fused_rbt(
                 a_s, b_s, keys=(101, 103), nb=nbf, ir_steps=ir_steps,
                 depth=d, interpret=interpret,
             )
+            return _flat(y), bd
 
         def _pivoted(a_s, b_s):
-            return blocked_solve_batched(
-                a_s, b_s[:, :, None], nb=nb, ir_steps=2
-            )[:, :, 0]
+            yp = blocked_solve_batched(
+                a_s, b_s[:, :, None] if k_rhs == 1 else b_s,
+                nb=nb, ir_steps=2,
+            )
+            return yp[:, :, 0] if k_rhs == 1 else _flat(yp)
 
         if fallback == "pivoted":
             def _core2(a_s, b_s):  # noqa: F811 — direct pivoted rescue
@@ -761,9 +777,12 @@ def pallas_solve_rbt_batched(
 
         from .pallas.solve_fused_kernel import LANES as _SFK_LANES
 
-        return _compacted_rescue(
-            _core2, _pivoted, a32, b2, x2, bad, K=_SFK_LANES
+        x2 = _compacted_rescue(
+            _core2, _pivoted, a32, b2, _flat(x2), bad, K=_SFK_LANES
         )
+        if k_rhs == 1:
+            return x2 if vector_input else x2[:, :, None]
+        return x2.reshape(B, N, k_rhs)
 
     core = functools.partial(
         _solve_core, a32, b3, nb, ir_steps, factor_precision, d,

@@ -86,13 +86,29 @@ class TestSolveFusedKernel:
         r = _resid(a, b, x)
         assert r.max() < 1e-4, r
 
-    def test_matrix_rhs_falls_back_to_phase_engine(self):
-        """engine='auto' only fuses vector RHS; matrix RHS must still
-        solve correctly through the phase engine."""
+    def test_matrix_rhs_fused_slabs(self):
+        """Matrix RHS k <= MAX_K_RHS rides the fused kernel as k vector
+        slabs sharing one factorization (round 5); wide RHS still routes
+        to the phase engine through engine='auto'."""
         from linalg_solver_tpu.ops import rbt
 
-        a, b = _batch(3, 64, seed=13)
-        bm = np.stack([b, 2 * b], axis=2)  # [B, N, 2]
+        rng = np.random.RandomState(13)
+        a, _ = _batch(3, 64, seed=13)
+        for k in (2, 8):
+            bm = rng.randn(3, 64, k).astype(np.float32)
+            xm, bad = solve_fused_rbt(
+                jnp.asarray(a), jnp.asarray(bm), interpret=True
+            )
+            assert xm.shape == (3, 64, k)
+            assert not np.asarray(bad).any()
+            err = np.max(np.abs(
+                np.asarray(xm, np.float64)
+                - np.linalg.solve(a.astype(np.float64),
+                                  bm.astype(np.float64))
+            ))
+            assert err < 1e-5, (k, err)
+        # through the auto engine (routing + compacted rescue shapes)
+        bm = rng.randn(3, 64, 4).astype(np.float32)
         xm = np.asarray(rbt.pallas_solve_rbt_batched(
             jnp.asarray(a), jnp.asarray(bm), nb=32, interpret=True
         ), np.float64)
@@ -100,6 +116,60 @@ class TestSolveFusedKernel:
             np.einsum("bij,bjk->bik", a.astype(np.float64), xm) - bm
         ))
         assert r < 1e-3, r
+
+    def test_matrix_rhs_wide_falls_back_to_phase_engine(self):
+        """k > MAX_K_RHS exceeds the slab budget: engine='auto' routes
+        to the phase engine and still solves correctly."""
+        from linalg_solver_tpu.ops import rbt
+        from linalg_solver_tpu.ops.pallas.solve_fused_kernel import (
+            MAX_K_RHS,
+        )
+
+        rng = np.random.RandomState(29)
+        a, _ = _batch(3, 64, seed=29)
+        bm = rng.randn(3, 64, MAX_K_RHS + 4).astype(np.float32)
+        xm = np.asarray(rbt.pallas_solve_rbt_batched(
+            jnp.asarray(a), jnp.asarray(bm), nb=32, interpret=True
+        ), np.float64)
+        r = np.max(np.abs(
+            np.einsum("bij,bjk->bik", a.astype(np.float64), xm) - bm
+        ))
+        assert r < 1e-3, r
+
+    def test_matrix_rhs_singular_lane_rescued(self):
+        """The lane-compacted rescue works on matrix-RHS batches: a
+        truly singular lane flags non-finite, good lanes stay exact."""
+        from linalg_solver_tpu.ops import rbt
+
+        rng = np.random.RandomState(31)
+        a, _ = _batch(5, 64, seed=31)
+        a[2] = 0.0
+        bm = rng.randn(5, 64, 4).astype(np.float32)
+        xm = np.asarray(rbt.pallas_solve_rbt_batched(
+            jnp.asarray(a), jnp.asarray(bm), nb=32, interpret=True
+        ), np.float64)
+        good = [0, 1, 3, 4]
+        err = np.max(np.abs(
+            xm[good] - np.linalg.solve(
+                a[good].astype(np.float64), bm[good].astype(np.float64)
+            )
+        ))
+        assert err < 1e-5, err
+        assert not np.isfinite(xm[2]).all()
+
+    def test_unroll_variants_bitwise(self):
+        """Manual partial unroll must not change a single bit."""
+        a, b = _batch(4, 64, seed=37)
+        xs = []
+        for u in (1, 2, 4):
+            x, bad = solve_fused_rbt(
+                jnp.asarray(a), jnp.asarray(b), interpret=True,
+                unroll=u,
+            )
+            assert not np.asarray(bad).any()
+            xs.append(np.asarray(x))
+        assert np.array_equal(xs[0], xs[1])
+        assert np.array_equal(xs[0], xs[2])
 
     def test_streamed_residual_variant_matches(self):
         """The streamed-residual variant (refinement re-reads A from
