@@ -741,11 +741,16 @@ def pallas_solve_rbt_batched(
         # phase engine's: smaller phases shrink the constant masked
         # trailing block (chip sweep at B=N=256: nb=16 1.46-1.69 ms,
         # nb=32 1.76-1.80, nb=64 1.97-2.05; nb=8 ties 16).
+        # unroll=2 amortizes the per-step fori machinery (round-5 chip
+        # A/B, examples/bench_r5_unroll_ab.py: u=2 1.571 ms vs u=1
+        # 1.671, u=4 1.70-1.76; u=8's Mosaic compile exceeded 18 min —
+        # dead end, like round-4's full unroll).
         nbf = 16 if N % 16 == 0 else nb
+        unr = 2 if min(nbf, N) % 2 == 0 else 1
         b2 = b3[:, :, 0] if k_rhs == 1 else b3
         x2, bad = _sfk.solve_fused_rbt(
             a32, b2, keys=(17, 29), nb=nbf, ir_steps=ir_steps,
-            depth=d, interpret=interpret,
+            depth=d, interpret=interpret, unroll=unr,
         )
 
         def _flat(x):
@@ -759,7 +764,7 @@ def pallas_solve_rbt_batched(
         def _core2(a_s, b_s):
             y, bd = _sfk.solve_fused_rbt(
                 a_s, b_s, keys=(101, 103), nb=nbf, ir_steps=ir_steps,
-                depth=d, interpret=interpret,
+                depth=d, interpret=interpret, unroll=unr,
             )
             return _flat(y), bd
 
