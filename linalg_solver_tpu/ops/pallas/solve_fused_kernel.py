@@ -60,9 +60,14 @@ _VMEM_BUDGET = 110 * 2**20
 _STREAM_CK = 32
 
 #: VMEM budget for the streamed variant (trail + one chunk buffer).
-#: N=448 (110 MB) was tried and FAILED remote compile even under the
-#: ~120 MB probe ceiling — per-kernel accounting leaves less headroom
-#: than a single flat scratch; 100 MB admits up to N=384 (80 MB).
+#: N=448 FAILS compile even with the chunk shrunk to CK=16 (round-5
+#: reproducer `examples/bench_r5_stream448.py`): the 98.0 MB work
+#: scratch itself fits, but Mosaic adds 50.85 MB of REGISTER-
+#: ALLOCATOR SPILL SLOTS to the same scoped-vmem budget -> 153.7 MB
+#: of 128 MB.  The spill slots, not DMA/bookkeeping overhead, are
+#: the "accounting" gap; they scale with program size, which is why
+#: shrinking the chunk buffer cannot close a 26 MB overrun.  100 MB
+#: admits up to N=384 (80 MB trail + spills fit).
 _VMEM_BUDGET_STREAM = 100 * 2**20
 
 
